@@ -1,0 +1,129 @@
+"""Segment matches → image predictions (rank fusion).
+
+The production method is ``max_seg_topk_wt_borda_Im`` (func_vpr.py:207-224):
+per query image, min-max-normalize similarity scores (global min/max over the
+whole sims matrix), accumulate each matched database segment's normalized
+similarity into its database-IMAGE bin (weighted Borda count), then predict
+the top-n database images by accumulated score.
+
+Two implementations:
+- ``weighted_borda_predict``: vectorized JAX — one scatter-add
+  (segment_sum) over (query image × database image) bins + top_k. This is
+  the production TPU path.
+- ``get_matches_host``: per-query host reference covering the additional
+  fusion methods (max_sim, max_seg_topk, borda variants) for parity and
+  analysis, mirroring func_vpr.py:80-243 semantics.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def first_k_unique(values: Sequence[int], k: int) -> List[int]:
+    """First K unique values, order-preserving (func_vpr.py:50-59)."""
+    seen = set()
+    out = []
+    for v in values:
+        if v not in seen:
+            seen.add(v)
+            out.append(v)
+            if len(out) == k:
+                break
+    return out
+
+
+def _weighted_borda_rank(pairs) -> List[int]:
+    """Indices sorted by accumulated score, desc; insertion-order tie-break
+    (func_vpr.py:61-77 dict semantics)."""
+    scores = {}
+    for index, score in pairs:
+        scores[index] = scores.get(index, 0.0) + score
+    return sorted(scores.keys(), key=lambda i: scores[i], reverse=True)
+
+
+def get_matches_host(matches: np.ndarray,
+                     sims: np.ndarray,
+                     seg_range_query: Sequence[np.ndarray],
+                     im_inds_ref: np.ndarray,
+                     n: int = 5,
+                     method: str = "max_seg_topk_wt_borda_Im"
+                     ) -> List[np.ndarray]:
+    """Host rank fusion over per-segment kNN results.
+
+    Args:
+      matches: [n_query_segs, R] database segment indices per query segment.
+      sims: [n_query_segs, R] similarity scores (2 - L2², higher better).
+      seg_range_query: per query image, the row indices of its segments.
+      im_inds_ref: [n_db_segs] database image id per database segment.
+      n: predictions per query image.
+    """
+    preds: List[np.ndarray] = []
+    sims_max = float(np.max(sims))
+    sims_min = float(np.min(sims))
+    denom = (sims_max - sims_min) or 1.0
+
+    for rows in seg_range_query:
+        m = matches[rows]            # [S, R]
+        s = sims[rows]               # [S, R]
+        if method == "max_sim":
+            order = np.flip(np.argsort(s.ravel(), kind="stable")[-50:])
+            pred = im_inds_ref[m.ravel()[order]]
+            preds.append(np.array(first_k_unique(pred.tolist(), n)))
+        elif method == "max_seg_topk":
+            counts = np.bincount(im_inds_ref[m.ravel()])
+            nonzero = np.where(counts > 0)[0]
+            top = nonzero[np.flip(np.argsort(counts[nonzero], kind="stable")[-n:])]
+            preds.append(top)
+        elif method in ("max_seg_topk_wt_borda_Im", "max_seg_topk_wt_borda"):
+            norm_s = (s - sims_min) / denom
+            # Rank-major iteration (transpose) matches the reference's
+            # per-rank ranked-lists construction.
+            pairs = []
+            ids = im_inds_ref[m] if method.endswith("_Im") else m
+            for rank in range(m.shape[1]):
+                pairs.extend(zip(ids[:, rank].tolist(),
+                                 norm_s[:, rank].tolist()))
+            ranked = _weighted_borda_rank(pairs)
+            preds.append(np.array(ranked[:n]))
+        else:
+            raise NotImplementedError(f"method {method!r}")
+    return preds
+
+
+def weighted_borda_predict(sims: jnp.ndarray,
+                           matches: jnp.ndarray,
+                           query_img_ids: jnp.ndarray,
+                           ref_img_ids: jnp.ndarray,
+                           num_query_images: int,
+                           num_ref_images: int,
+                           n: int = 5) -> jnp.ndarray:
+    """Vectorized production fusion (max_seg_topk_wt_borda_Im) on device.
+
+    Args:
+      sims: [n_query_segs, R] similarities (2 - L2²).
+      matches: [n_query_segs, R] db segment indices.
+      query_img_ids: [n_query_segs] query image id per query segment.
+      ref_img_ids: [n_db_segs] db image id per db segment.
+
+    Returns:
+      [num_query_images, n] predicted db image ids, best first.
+    """
+    sims = sims.astype(jnp.float32)
+    s_min = jnp.min(sims)
+    s_max = jnp.max(sims)
+    norm = (sims - s_min) / jnp.maximum(s_max - s_min, 1e-30)
+
+    ref_ids = ref_img_ids[matches]                      # [S, R]
+    flat_bins = (query_img_ids[:, None] * num_ref_images
+                 + ref_ids).reshape(-1)
+    scores = jax.ops.segment_sum(
+        norm.reshape(-1), flat_bins,
+        num_segments=num_query_images * num_ref_images)
+    scores = scores.reshape(num_query_images, num_ref_images)
+    _, top = jax.lax.top_k(scores, n)
+    return top
