@@ -33,6 +33,53 @@ def nearest_resize(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     return x[..., ih, :][..., iw]
 
 
+def _cubic_conv_weights(t: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Cubic convolution kernel weights for the 4 taps around fractional
+    offset t (torch bicubic uses a = -0.75, no antialias)."""
+    def w(x):
+        x = np.abs(x)
+        return np.where(
+            x <= 1, (a + 2) * x ** 3 - (a + 3) * x ** 2 + 1,
+            np.where(x < 2, a * x ** 3 - 5 * a * x ** 2 + 8 * a * x - 4 * a,
+                     0.0))
+    return np.stack([w(1 + t), w(t), w(1 - t), w(2 - t)], axis=-1)
+
+
+def bicubic_weight_matrix(out_size: int, in_size: int,
+                          a: float = -0.75) -> np.ndarray:
+    """[out, in] dense interpolation matrix reproducing torch
+    F.interpolate(mode='bicubic', align_corners=False, antialias=False)."""
+    if out_size == in_size:
+        return np.eye(out_size, dtype=np.float32)
+    scale = in_size / out_size
+    x = (np.arange(out_size) + 0.5) * scale - 0.5
+    f = np.floor(x).astype(np.int64)
+    t = x - f
+    weights = _cubic_conv_weights(t, a)             # [out, 4]
+    mat = np.zeros((out_size, in_size), dtype=np.float64)
+    for tap in range(4):
+        idx = np.clip(f - 1 + tap, 0, in_size - 1)
+        np.add.at(mat, (np.arange(out_size), idx), weights[:, tap])
+    return mat.astype(np.float32)
+
+
+def bicubic_resize_torch(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Bicubic resize of the FIRST two dims of ``x`` [H, W, ...], matching
+    torch bicubic (align_corners=False) — used for DINOv2 position-embedding
+    grid interpolation."""
+    in_h, in_w = x.shape[0], x.shape[1]
+    out_h, out_w = out_hw
+    if (in_h, in_w) == (out_h, out_w):
+        return x
+    import jax
+    wh = jnp.asarray(bicubic_weight_matrix(out_h, in_h))
+    ww = jnp.asarray(bicubic_weight_matrix(out_w, in_w))
+    y = jnp.einsum("oi,ij...->oj...", wh, x.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("pj,oj...->op...", ww, y,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def _align_corners_coords(out_size: int, in_size: int) -> np.ndarray:
     """torch bilinear align_corners=True source coordinate per output index."""
     if out_size == 1 or in_size == 1:

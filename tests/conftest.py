@@ -13,8 +13,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# Oracle-parity tests need accurate f32 matmuls; this build's default is
+# low precision (bf16-like). Production code requests HIGHEST explicitly
+# where accuracy matters and keeps the fast default in model forwards.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 
 @pytest.fixture
