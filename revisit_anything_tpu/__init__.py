@@ -24,4 +24,15 @@ jit-compatible with static shapes.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if not _os.environ.get("RAT_NO_COMPILE_CACHE"):
+    # XLA compiles are expensive in the target environment; persist compiled
+    # executables across processes. Opt out with RAT_NO_COMPILE_CACHE=1.
+    import jax as _jax
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.environ.get("RAT_COMPILE_CACHE_DIR",
+                                       _os.path.expanduser("~/.jax_cache")))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 from revisit_anything_tpu import config  # noqa: F401

@@ -81,7 +81,13 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 def init_params(cfg: DinoV2Config, key: jax.Array,
                 dtype=jnp.float32) -> Params:
     """Random-init parameter tree (trunc-normal-ish; exact init is
-    irrelevant for inference — real weights come from checkpoints)."""
+    irrelevant for inference — real weights come from checkpoints).
+    Traced under one jit: eager per-op dispatch is very slow here."""
+    return jax.jit(lambda k: _init_params(cfg, k, dtype))(key)
+
+
+def _init_params(cfg: DinoV2Config, key: jax.Array,
+                 dtype=jnp.float32) -> Params:
     keys = iter(jax.random.split(key, 8 + 16 * cfg.depth))
     d = cfg.embed_dim
 

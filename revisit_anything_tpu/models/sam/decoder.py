@@ -1,0 +1,189 @@
+"""SAM mask decoder: two-way transformer + hypernetwork mask heads.
+
+Mirrors sam/segment_anything/modeling/mask_decoder.py:16-176 and
+transformer.py:16-240. TPU-first notes:
+
+- The whole decoder is vmapped over the prompt batch: one jit call decodes
+  hundreds of point prompts at once (the reference loops 64-point batches
+  through predict_torch — automatic_mask_generator.py:245-265).
+- The 2x2-stride-2 transposed convs of the output upscaler are expressed
+  as matmul+reshape (kernel == stride ⇒ each input pixel expands to an
+  independent 2x2 block), which lands on the MXU with no conv lowering.
+- The per-prompt image-token branch [B_pts, 4096, 256] dominates memory:
+  at 256 prompts x bf16 it is ~0.5 GB — batch size is the knob.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from revisit_anything_tpu.models.sam.config import SamArchConfig
+
+Params = Dict[str, Any]
+
+
+def _layer_norm(x, p, eps=1e-6):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _dense(x, p):
+    return jnp.dot(x, p["w"], preferred_element_type=jnp.float32).astype(
+        x.dtype) + p["b"]
+
+
+def _attn(attn_p: Params, q, k, v, num_heads: int):
+    """Projected multi-head attention with optional internal downsampling
+    (transformer.py Attention)."""
+    q = _dense(q, attn_p["q"])
+    k = _dense(k, attn_p["k"])
+    v = _dense(v, attn_p["v"])
+    b, nq, d = q.shape
+    hd = d // num_heads
+    qh = q.reshape(b, nq, num_heads, hd)
+    kh = k.reshape(b, k.shape[1], num_heads, hd)
+    vh = v.reshape(b, v.shape[1], num_heads, hd)
+    logits = jnp.einsum("bnhd,bmhd->bhnm", qh, kh,
+                        preferred_element_type=jnp.float32) / (hd ** 0.5)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhnm,bmhd->bnhd", probs, vh,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return _dense(out.reshape(b, nq, d), attn_p["out"])
+
+
+def _run_two_way(params_dec: Params, tokens, src, src_pe, cfg: SamArchConfig):
+    """TwoWayTransformer.forward: alternating token-self / token→image /
+    mlp / image→token attention, depth 2, then final token→image."""
+    nh = cfg.decoder_heads
+    queries, keys = tokens, src
+    for i, layer in enumerate(params_dec["layers"]):
+        if i == 0:
+            # First layer: self-attention without PE, output REPLACES the
+            # queries (no residual) — transformer.py TwoWayAttentionBlock
+            # skip_first_layer_pe branch.
+            queries = _attn(layer["self_attn"], queries, queries, queries, nh)
+        else:
+            q = queries + tokens
+            attn_out = _attn(layer["self_attn"], q, q, queries, nh)
+            queries = queries + attn_out
+        queries = _layer_norm(queries, layer["norm1"], cfg.eps)
+
+        q = queries + tokens
+        k = keys + src_pe
+        attn_out = _attn(layer["t2i"], q, k, keys, nh)
+        queries = queries + attn_out
+        queries = _layer_norm(queries, layer["norm2"], cfg.eps)
+
+        mlp_out = _dense(jax.nn.relu(_dense(queries, layer["lin1"])),
+                         layer["lin2"])
+        queries = queries + mlp_out
+        queries = _layer_norm(queries, layer["norm3"], cfg.eps)
+
+        q = queries + tokens
+        k = keys + src_pe
+        attn_out = _attn(layer["i2t"], k, q, queries, nh)
+        keys = keys + attn_out
+        keys = _layer_norm(keys, layer["norm4"], cfg.eps)
+
+    q = queries + tokens
+    k = keys + src_pe
+    attn_out = _attn(params_dec["final_attn"], q, k, keys, nh)
+    queries = queries + attn_out
+    queries = _layer_norm(queries, params_dec["norm_final"], cfg.eps)
+    return queries, keys
+
+
+def _upscale(src_map: jnp.ndarray, dec: Params, cfg: SamArchConfig):
+    """Output upscaler: two ConvTranspose(k=2, s=2) as matmul+reshape,
+    channel-LN + GELU between (mask_decoder.py:55-62)."""
+    b, g, _, d = src_map.shape
+
+    def convt(x, w, bias):
+        # w: [in, out*2*2] — each input pixel expands to a 2x2 block.
+        bb, hh, ww_, cin = x.shape
+        cout = w.shape[1] // 4
+        y = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+        y = y.reshape(bb, hh, ww_, 2, 2, cout)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(bb, 2 * hh, 2 * ww_, cout)
+        return y + bias
+
+    x = convt(src_map, dec["up1_w"], dec["up1_b"])
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    x = (x - mu) * jax.lax.rsqrt(var + cfg.eps) * dec["up_ln"]["scale"] \
+        + dec["up_ln"]["bias"]
+    x = jax.nn.gelu(x, approximate=False)
+    x = convt(x, dec["up2_w"], dec["up2_b"])
+    x = jax.nn.gelu(x, approximate=False)
+    return x                                            # [B, 4g, 4g, d/8]
+
+
+def _mlp(x, layers, final_act=None):
+    for i, p in enumerate(layers):
+        x = _dense(x, p)
+        if i < len(layers) - 1:
+            x = jax.nn.relu(x)
+    return x
+
+
+@partial(jax.jit, static_argnames=("cfg", "multimask"))
+def decode_masks(params: Params, cfg: SamArchConfig,
+                 image_embedding: jnp.ndarray,
+                 image_pe: jnp.ndarray,
+                 sparse_prompts: jnp.ndarray,
+                 dense_prompts: jnp.ndarray,
+                 multimask: bool = True
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Decode masks for a batch of prompts against ONE image embedding.
+
+    Args:
+      image_embedding: [64, 64, 256] from encode_image (single image).
+      image_pe: [64, 64, 256] dense positional embedding.
+      sparse_prompts: [Np, T, 256] per-prompt sparse embeddings.
+      dense_prompts: [Np, 64, 64, 256] (no-mask embedding for AMG).
+
+    Returns:
+      (low_res_masks [Np, M, 256, 256], iou_pred [Np, M]) where M = 3 for
+      multimask (tokens 1..3) else 1 (token 0) — mask_decoder.py:96-144.
+    """
+    dec = params["decoder"]
+    np_, t, d = sparse_prompts.shape
+    g = cfg.grid
+
+    out_tokens = jnp.concatenate([dec["iou_token"], dec["mask_tokens"]],
+                                 axis=0)
+    tokens = jnp.concatenate(
+        [jnp.broadcast_to(out_tokens[None], (np_,) + out_tokens.shape),
+         sparse_prompts.astype(out_tokens.dtype)], axis=1)
+
+    src = image_embedding[None] + dense_prompts
+    src = src.reshape(np_, g * g, d)
+    src_pe = jnp.broadcast_to(image_pe.reshape(1, g * g, d),
+                              (np_, g * g, d)).astype(src.dtype)
+
+    queries, keys = _run_two_way(dec, tokens, src, src_pe, cfg)
+
+    iou_token_out = queries[:, 0]
+    mask_tokens_out = queries[:, 1:1 + cfg.num_mask_tokens]
+
+    src_map = keys.reshape(np_, g, g, d)
+    upscaled = _upscale(src_map, dec, cfg)              # [Np, 4g, 4g, d/8]
+    up_flat = upscaled.reshape(np_, (4 * g) * (4 * g), -1)
+
+    hyper = jnp.stack(
+        [_mlp(mask_tokens_out[:, i], dec["hyper_mlps"][i])
+         for i in range(cfg.num_mask_tokens)], axis=1)   # [Np, M, d/8]
+    masks = jnp.einsum("pmc,pnc->pmn", hyper, up_flat,
+                       preferred_element_type=jnp.float32)
+    masks = masks.reshape(np_, cfg.num_mask_tokens, 4 * g, 4 * g)
+
+    iou_pred = _mlp(iou_token_out, dec["iou_head"])
+
+    if multimask:
+        return masks[:, 1:], iou_pred[:, 1:]
+    return masks[:, :1], iou_pred[:, :1]

@@ -1,0 +1,179 @@
+"""SAM image encoder: ViTDet with windowed attention + decomposed rel-pos.
+
+TPU-native re-design of the reference encoder
+(sam/segment_anything/modeling/image_encoder.py:17-395):
+- NHWC layout throughout; patch embed as reshape+matmul.
+- Window partition (14x14, grid 64 pads to 70) is a static reshape; all
+  25 windows ride one batched attention — no per-window loop.
+- The decomposed relative-position bias tables are gathered with
+  statically precomputed index maps; the q-dependent bias is two einsums
+  fused into the attention logits.
+- Softmax in f32; matmuls inherit the session precision (bf16-class on
+  TPU) — encoder outputs feed thresholded masks, tolerant to bf16.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from revisit_anything_tpu.models.sam.config import SamArchConfig
+
+Params = Dict[str, Any]
+
+
+def _layer_norm(x, p, eps=1e-6):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _dense(x, p):
+    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32).astype(x.dtype)
+    return y + p["b"] if p.get("b") is not None else y
+
+
+def _linear_interp_matrix(out_size: int, in_size: int) -> np.ndarray:
+    """torch F.interpolate(mode='linear', align_corners=False) as a dense
+    [out, in] matrix — used to resize rel-pos tables when sizes mismatch
+    (image_encoder.py get_rel_pos)."""
+    if out_size == in_size:
+        return np.eye(out_size, dtype=np.float32)
+    scale = in_size / out_size
+    x = (np.arange(out_size) + 0.5) * scale - 0.5
+    lo = np.floor(x).astype(np.int64)
+    t = x - lo
+    mat = np.zeros((out_size, in_size), dtype=np.float64)
+    for tap, w in ((0, 1.0 - t), (1, t)):
+        idx = np.clip(lo + tap, 0, in_size - 1)
+        np.add.at(mat, (np.arange(out_size), idx), w)
+    return mat.astype(np.float32)
+
+
+def _rel_pos_gather(rel_pos: jnp.ndarray, q_size: int, k_size: int) -> jnp.ndarray:
+    """[q_size, k_size, head_dim] relative-position table, reproducing the
+    reference's get_rel_pos (interpolate table to 2*max-1 entries, gather by
+    relative coordinate)."""
+    max_rel = 2 * max(q_size, k_size) - 1
+    if rel_pos.shape[0] != max_rel:
+        m = jnp.asarray(_linear_interp_matrix(max_rel, rel_pos.shape[0]))
+        rel_pos = jnp.dot(m, rel_pos.astype(jnp.float32),
+                          precision=jax.lax.Precision.HIGHEST).astype(rel_pos.dtype)
+    q_coords = np.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
+    k_coords = np.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
+    rel = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)
+    return rel_pos[jnp.asarray(rel.astype(np.int64))]
+
+
+def _attention(x: jnp.ndarray, blk: Params, cfg: SamArchConfig) -> jnp.ndarray:
+    """Windowed/global attention over NHWC tokens with decomposed rel-pos
+    bias (image_encoder.py:185-240, :292-361)."""
+    b, h, w, d = x.shape
+    nh, hd = cfg.encoder_heads, cfg.head_dim
+    qkv = _dense(x.reshape(b, h * w, d), blk["qkv"])
+    qkv = qkv.reshape(b, h * w, 3, nh, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # [b, hw, nh, hd]
+
+    scale = hd ** -0.5
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                        preferred_element_type=jnp.float32) * scale
+
+    rh = _rel_pos_gather(blk["rel_pos_h"], h, h)         # [h, h, hd]
+    rw = _rel_pos_gather(blk["rel_pos_w"], w, w)         # [w, w, hd]
+    qg = q.reshape(b, h, w, nh, hd)
+    bias_h = jnp.einsum("bhwnd,hkd->bnhwk", qg, rh,
+                        preferred_element_type=jnp.float32)
+    bias_w = jnp.einsum("bhwnd,wkd->bnhwk", qg, rw,
+                        preferred_element_type=jnp.float32)
+    # bias_h [b,nh,h,w,kh] + bias_w [b,nh,h,w,kw] → [b,nh,h,w,kh,kw]
+    bias = bias_h[:, :, :, :, :, None] + bias_w[:, :, :, :, None, :]
+    logits = logits + bias.reshape(b, nh, h * w, h * w)
+
+    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhnm,bmhd->bnhd", probs, v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    return _dense(out.reshape(b, h * w, nh * hd), blk["proj"]).reshape(
+        b, h, w, d)
+
+
+def _window_partition(x: jnp.ndarray, ws: int):
+    b, h, w, c = x.shape
+    ph, pw = (-h) % ws, (-w) % ws
+    x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    hp, wp = h + ph, w + pw
+    x = x.reshape(b, hp // ws, ws, wp // ws, ws, c)
+    wins = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws, ws, c)
+    return wins, (hp, wp)
+
+
+def _window_unpartition(wins: jnp.ndarray, ws: int, pad_hw, hw):
+    hp, wp = pad_hw
+    h, w = hw
+    b = wins.shape[0] // (hp * wp // ws // ws)
+    x = wins.reshape(b, hp // ws, wp // ws, ws, ws, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, -1)
+    return x[:, :h, :w]
+
+
+def _block(x: jnp.ndarray, blk: Params, cfg: SamArchConfig,
+           windowed: bool) -> jnp.ndarray:
+    shortcut = x
+    x = _layer_norm(x, blk["norm1"], cfg.eps)
+    if windowed:
+        hw = (x.shape[1], x.shape[2])
+        x, pad_hw = _window_partition(x, cfg.window_size)
+        x = _attention(x, blk, cfg)
+        x = _window_unpartition(x, cfg.window_size, pad_hw, hw)
+    else:
+        x = _attention(x, blk, cfg)
+    x = shortcut + x
+    y = _layer_norm(x, blk["norm2"], cfg.eps)
+    y = _dense(jax.nn.gelu(_dense(y, blk["lin1"]), approximate=False),
+               blk["lin2"])
+    return x + y
+
+
+def _channel_ln(x, p, eps=1e-6):
+    """LayerNorm over the channel (last) axis of NHWC maps — the neck's
+    LayerNorm2d (modeling/common.py:28-43)."""
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def encode_image(params: Params, cfg: SamArchConfig,
+                 images: jnp.ndarray) -> jnp.ndarray:
+    """images [B, 1024, 1024, 3] (pixel-normalized) → [B, 64, 64, 256].
+
+    Mirrors ImageEncoderViT.forward + neck (image_encoder.py:107-116).
+    """
+    enc = params["encoder"]
+    b, hh, ww, _ = images.shape
+    p = cfg.patch_size
+    gh, gw = hh // p, ww // p
+    x = images.reshape(b, gh, p, gw, p, 3)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh, gw, p * p * 3)
+    x = jnp.dot(x, enc["patch_embed"]["w"],
+                preferred_element_type=jnp.float32).astype(images.dtype)
+    x = x + enc["patch_embed"]["b"]
+    x = x + enc["pos_embed"].astype(x.dtype)
+
+    for i, blk in enumerate(enc["blocks"]):
+        x = _block(x, blk, cfg, windowed=i not in cfg.global_attn_indexes)
+
+    # Neck: 1x1 conv (matmul) → channel-LN → 3x3 conv → channel-LN.
+    neck = enc["neck"]
+    x = jnp.dot(x, neck["conv1_w"],
+                preferred_element_type=jnp.float32).astype(x.dtype)
+    x = _channel_ln(x, neck["ln1"], cfg.eps)
+    x = jax.lax.conv_general_dilated(
+        x, neck["conv2_w"], window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    x = _channel_ln(x, neck["ln2"], cfg.eps)
+    return x

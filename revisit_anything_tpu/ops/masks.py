@@ -58,6 +58,7 @@ def mask_pool_matrices(
     return A, B
 
 
+@jax.jit
 def pool_masks_to_patch_grid(
         masks: jnp.ndarray, A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     """OR-pool masks [M, src_h, src_w] (bool) to patch grid [M, dh*dw] (bool).
@@ -89,6 +90,7 @@ def mask_centroids(masks: np.ndarray) -> np.ndarray:
     return out
 
 
+@jax.jit
 def masks_to_boxes(masks: jnp.ndarray) -> jnp.ndarray:
     """XYXY bounding boxes from masks [..., H, W] (bool) -> [..., 4].
 

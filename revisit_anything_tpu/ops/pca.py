@@ -24,6 +24,7 @@ class PCAParams(NamedTuple):
     whiten: bool
 
 
+@jax.jit
 def pca_apply(x: jnp.ndarray, params: PCAParams) -> jnp.ndarray:
     """sklearn-compatible transform: ((x - mean) @ components^T) / sqrt(ev)."""
     y = jnp.dot(x - params.mean, params.components.T,

@@ -95,6 +95,10 @@ def get_matches_host(matches: np.ndarray,
     return preds
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("num_query_images", "num_ref_images", "n"))
 def weighted_borda_predict(sims: jnp.ndarray,
                            matches: jnp.ndarray,
                            query_img_ids: jnp.ndarray,

@@ -22,6 +22,11 @@ import pytest  # noqa: E402
 # where accuracy matters and keeps the fast default in model forwards.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Compiles are expensive in this environment (~1.5s per eager op dispatch);
+# persist compiled executables across test runs.
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 
 @pytest.fixture
 def rng():

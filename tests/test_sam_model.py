@@ -1,0 +1,134 @@
+"""SAM encoder/prompt/decoder parity vs a random-weight HF SamModel oracle."""
+
+import numpy as np
+import pytest
+import torch
+
+from revisit_anything_tpu.models import sam as sam_mod
+from revisit_anything_tpu.models.sam import (
+    SamArchConfig, convert_hf_sam_state_dict, decode_masks,
+    dense_positional_embedding, embed_points, encode_image,
+    no_mask_dense_embedding)
+
+transformers = pytest.importorskip("transformers")
+from transformers import (SamConfig, SamMaskDecoderConfig, SamModel,  # noqa
+                          SamPromptEncoderConfig, SamVisionConfig)
+
+
+IMG = 128          # image size → grid 8, lowres masks 32
+DIM = 64
+PD = 32            # prompt dim
+
+
+def make_pair(depth=3, global_idx=(1,), window=4):
+    vc = SamVisionConfig(
+        hidden_size=DIM, num_hidden_layers=depth, num_attention_heads=4,
+        image_size=IMG, patch_size=16, global_attn_indexes=list(global_idx),
+        window_size=window, output_channels=PD, num_pos_feats=PD // 2,
+        mlp_dim=DIM * 4)
+    pc = SamPromptEncoderConfig(hidden_size=PD, image_embedding_size=IMG // 16,
+                                image_size=IMG, num_pos_feats=PD // 2)
+    mc = SamMaskDecoderConfig(hidden_size=PD, iou_head_hidden_dim=PD,
+                              num_hidden_layers=2, num_attention_heads=4)
+    torch.manual_seed(0)
+    model = SamModel(SamConfig(vision_config=vc.to_dict(),
+                               prompt_encoder_config=pc.to_dict(),
+                               mask_decoder_config=mc.to_dict())).eval()
+    # HF's random init leaves many weights ~0 (e.g. qkv ~1e-10), which
+    # degenerates attention and would let a broken rel-pos/bias path pass
+    # parity. Randomize EVERY parameter to exercise all paths.
+    with torch.no_grad():
+        for p in model.parameters():
+            p.data.normal_(0, 0.05)
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    cfg = SamArchConfig(
+        encoder_dim=DIM, encoder_depth=depth, encoder_heads=4,
+        global_attn_indexes=global_idx, image_size=IMG, patch_size=16,
+        window_size=window, prompt_dim=PD, decoder_heads=4,
+        decoder_mlp_dim=2048, iou_head_hidden=PD)
+    params = convert_hf_sam_state_dict(sd, cfg)
+    return model, cfg, params
+
+
+def test_encoder_matches_hf(rng):
+    model, cfg, params = make_pair()
+    imgs = rng.standard_normal((2, IMG, IMG, 3)).astype(np.float32)
+    ours = np.asarray(encode_image(params, cfg, imgs))     # [B, 8, 8, PD]
+    with torch.no_grad():
+        ref = model.vision_encoder(
+            torch.from_numpy(imgs.transpose(0, 3, 1, 2))).last_hidden_state
+    np.testing.assert_allclose(ours.transpose(0, 3, 1, 2), ref.numpy(),
+                               atol=5e-4)
+
+
+def test_prompt_points_match_hf(rng):
+    model, cfg, params = make_pair(depth=1)
+    pts = (rng.random((1, 5, 1, 2)) * IMG).astype(np.float32)
+    labels = np.ones((1, 5, 1), dtype=np.int64)
+    with torch.no_grad():
+        sparse, dense = model.prompt_encoder(
+            input_points=torch.from_numpy(pts),
+            input_labels=torch.from_numpy(labels),
+            input_boxes=None, input_masks=None)
+    ours = np.asarray(embed_points(
+        params, cfg, pts[0], labels[0], pad=True))          # [5, 2, PD]
+    np.testing.assert_allclose(ours, sparse.detach().numpy()[0], atol=1e-4)
+    ours_dense = np.asarray(no_mask_dense_embedding(params, cfg, 1))
+    np.testing.assert_allclose(ours_dense.transpose(0, 3, 1, 2),
+                               dense.detach().numpy(), atol=1e-6)
+
+
+def test_decoder_matches_hf_end_to_end(rng):
+    """Full SamModel forward (encoder + prompts + decoder, multimask) vs
+    our pipeline on the same random weights."""
+    model, cfg, params = make_pair()
+    imgs = rng.standard_normal((1, IMG, IMG, 3)).astype(np.float32)
+    pts = (rng.random((1, 6, 1, 2)) * IMG).astype(np.float32)
+    labels = np.ones((1, 6, 1), dtype=np.int64)
+
+    with torch.no_grad():
+        out = model(pixel_values=torch.from_numpy(imgs.transpose(0, 3, 1, 2)),
+                    input_points=torch.from_numpy(pts),
+                    input_labels=torch.from_numpy(labels),
+                    multimask_output=True)
+    ref_masks = out.pred_masks.numpy()[0]      # [6, 3, 32, 32]
+    ref_iou = out.iou_scores.numpy()[0]        # [6, 3]
+
+    emb = encode_image(params, cfg, imgs)[0]
+    sparse = embed_points(params, cfg, pts[0], labels[0], pad=True)
+    dense = no_mask_dense_embedding(params, cfg, 6)
+    pe = dense_positional_embedding(params, cfg)[0]
+    masks, iou = decode_masks(params, cfg, emb, pe, sparse, dense,
+                              multimask=True)
+    np.testing.assert_allclose(np.asarray(iou), ref_iou, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(masks), ref_masks, atol=5e-3)
+
+
+def test_encoder_nonzero_rel_pos_effect(rng):
+    """Rel-pos bias must actually influence the output (guards against a
+    silently ignored table)."""
+    model, cfg, params = make_pair(depth=1, global_idx=())
+    imgs = rng.standard_normal((1, IMG, IMG, 3)).astype(np.float32)
+    out1 = np.asarray(encode_image(params, cfg, imgs))
+    params2 = params.copy()
+    import jax.numpy as jnp
+    blk = dict(params["encoder"]["blocks"][0])
+    blk["rel_pos_h"] = jnp.zeros_like(blk["rel_pos_h"])
+    blk["rel_pos_w"] = jnp.zeros_like(blk["rel_pos_w"])
+    params2 = {**params, "encoder": {**params["encoder"], "blocks": [blk]}}
+    out2 = np.asarray(encode_image(params2, cfg, imgs))
+    assert np.abs(out1 - out2).max() > 1e-6
+
+
+def test_singlemask_output_shape(rng):
+    model, cfg, params = make_pair(depth=1)
+    imgs = rng.standard_normal((1, IMG, IMG, 3)).astype(np.float32)
+    emb = encode_image(params, cfg, imgs)[0]
+    pts = (rng.random((3, 1, 2)) * IMG).astype(np.float32)
+    sparse = embed_points(params, cfg, pts, np.ones((3, 1)), pad=True)
+    dense = no_mask_dense_embedding(params, cfg, 3)
+    pe = dense_positional_embedding(params, cfg)[0]
+    masks, iou = decode_masks(params, cfg, emb, pe, sparse, dense,
+                              multimask=False)
+    assert masks.shape == (3, 1, 32, 32)
+    assert iou.shape == (3, 1)
