@@ -1,0 +1,217 @@
+"""Automatic mask generation — the TPU redesign of SAM's AMG harness.
+
+The reference (sam/segment_anything/automatic_mask_generator.py:137-376)
+loops 64-point batches through the decoder with dynamic-shape filtering and
+torchvision NMS. Here every device stage is static-shape:
+
+- all 1024 grid prompts run in a few large jitted decode batches
+  (``points_per_batch`` is the memory knob);
+- mask postprocessing (256→1024 bilinear, unpad, →original-size bilinear,
+  reproducing Sam.postprocess_masks sam.py:144-174) happens in the same jit
+  as thresholding, IoU/stability filtering and box extraction, so only
+  bool masks + per-candidate scalars leave the device;
+- NMS runs as a fixed-shape greedy pass (ops/nms.py);
+- record assembly (ragged output) is host-side numpy.
+
+AMG hyperparameters mirror SamAutomaticMaskGenerator defaults, which the
+reference uses unchanged (func_vpr.py:510-516): 32x32 point grid,
+pred_iou_thresh 0.88, stability 0.95 @ offset 1.0, box NMS 0.7, one crop,
+no small-region postprocessing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from revisit_anything_tpu.io.h5io import MaskRecord
+from revisit_anything_tpu.models.sam.config import (
+    SAM_PIXEL_MEAN, SAM_PIXEL_STD, SamArchConfig)
+from revisit_anything_tpu.models.sam.decoder import decode_masks
+from revisit_anything_tpu.models.sam.encoder import encode_image
+from revisit_anything_tpu.models.sam.prompt import (
+    dense_positional_embedding, embed_points, no_mask_dense_embedding)
+from revisit_anything_tpu.ops.nms import nms_host
+from revisit_anything_tpu.ops.resize import bilinear_resize_torch
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class AmgConfig:
+    points_per_side: int = 32
+    points_per_batch: int = 256
+    pred_iou_thresh: float = 0.88
+    stability_score_thresh: float = 0.95
+    stability_score_offset: float = 1.0
+    box_nms_thresh: float = 0.7
+
+
+def build_point_grid(n_per_side: int) -> np.ndarray:
+    """[n², 2] xy points in [0,1]² at cell centers
+    (utils/amg.py build_all_layer_point_grids semantics, single layer)."""
+    offset = 1.0 / (2 * n_per_side)
+    coords = np.linspace(offset, 1.0 - offset, n_per_side)
+    xs, ys = np.meshgrid(coords, coords)          # row-major over y
+    return np.stack([xs.ravel(), ys.ravel()], axis=-1)
+
+
+def resize_longest_side(h: int, w: int, long_side: int) -> Tuple[int, int]:
+    """ResizeLongestSide target (utils/transforms.py get_preprocess_shape)."""
+    scale = long_side / max(h, w)
+    return int(h * scale + 0.5), int(w * scale + 0.5)
+
+
+def preprocess_image(image_rgb: np.ndarray,
+                     cfg: SamArchConfig) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """uint8 RGB [H, W, 3] → normalized, 1024-resized, zero-padded
+    [1, 1024, 1024, 3] + the resized (pre-pad) dims.
+
+    Resize uses PIL bilinear (antialiased), matching the reference's
+    ResizeLongestSide.apply_image (utils/transforms.py:30-38).
+    """
+    from PIL import Image
+    h, w = image_rgb.shape[:2]
+    nh, nw = resize_longest_side(h, w, cfg.image_size)
+    resized = np.asarray(
+        Image.fromarray(image_rgb).resize((nw, nh), Image.BILINEAR),
+        dtype=np.float32)
+    x = (resized - np.asarray(SAM_PIXEL_MEAN)) / np.asarray(SAM_PIXEL_STD)
+    out = np.zeros((1, cfg.image_size, cfg.image_size, 3), np.float32)
+    out[0, :nh, :nw] = x
+    return out, (nh, nw)
+
+
+@partial(jax.jit, static_argnames=("cfg", "input_hw", "orig_hw", "amg"))
+def _decode_batch(params: Params, cfg: SamArchConfig,
+                  image_embedding: jnp.ndarray,
+                  image_pe: jnp.ndarray,
+                  points_1024: jnp.ndarray,
+                  input_hw: Tuple[int, int],
+                  orig_hw: Tuple[int, int],
+                  amg: AmgConfig):
+    """Decode one prompt batch and compute all per-candidate statistics.
+
+    Returns (masks_bool [B*3, H, W], iou [B*3], stability [B*3],
+    boxes [B*3, 4]) at the ORIGINAL image resolution.
+    """
+    bsz = points_1024.shape[0]
+    sparse = embed_points(params, cfg, points_1024[:, None, :],
+                          jnp.ones((bsz, 1), jnp.int32), pad=True)
+    dense = no_mask_dense_embedding(params, cfg, bsz)
+    lowres, iou = decode_masks(params, cfg, image_embedding, image_pe,
+                               sparse, dense, multimask=True)
+    m = lowres.reshape(-1, cfg.lowres_size, cfg.lowres_size)
+    iou = iou.reshape(-1)
+
+    # postprocess_masks (sam.py:144-174): lowres → 1024² → unpad → original.
+    m = bilinear_resize_torch(m, (cfg.image_size, cfg.image_size))
+    m = m[:, :input_hw[0], :input_hw[1]]
+    m = bilinear_resize_torch(m, orig_hw)
+
+    # Stability score (utils/amg.py:156-176) on the logits.
+    thr = cfg.mask_threshold
+    off = amg.stability_score_offset
+    hi = jnp.sum(m > (thr + off), axis=(1, 2)).astype(jnp.float32)
+    lo = jnp.sum(m > (thr - off), axis=(1, 2)).astype(jnp.float32)
+    stability = hi / jnp.maximum(lo, 1.0)
+
+    masks_bool = m > thr
+    # batched_mask_to_box (utils/amg.py:303-346): XYXY where x2/y2 are the
+    # LAST true pixel indices (no +1); empty masks → [0,0,0,0].
+    hgt, wid = orig_hw
+    rows = jnp.any(masks_bool, axis=2)
+    cols = jnp.any(masks_bool, axis=1)
+    ridx = jnp.arange(hgt)
+    cidx = jnp.arange(wid)
+    top = jnp.min(jnp.where(rows, ridx, hgt), axis=1)
+    bottom = jnp.max(jnp.where(rows, ridx, -1), axis=1)
+    left = jnp.min(jnp.where(cols, cidx, wid), axis=1)
+    right = jnp.max(jnp.where(cols, cidx, -1), axis=1)
+    empty = ~jnp.any(rows, axis=1)
+    boxes = jnp.stack([left, top, right, bottom], axis=1)
+    boxes = jnp.where(empty[:, None], 0, boxes).astype(jnp.float32)
+
+    return masks_bool, iou, stability, boxes
+
+
+def generate_masks(params: Params, cfg: SamArchConfig,
+                   image_rgb: np.ndarray,
+                   amg: AmgConfig = AmgConfig()) -> List[MaskRecord]:
+    """Full automatic mask generation for one RGB uint8 image.
+
+    Returns MaskRecords ordered by predicted IoU desc (torchvision-NMS keep
+    order, matching the reference's output ordering).
+    """
+    h, w = image_rgb.shape[:2]
+    batched, input_hw = preprocess_image(image_rgb, cfg)
+    embedding = encode_image(params, cfg, jnp.asarray(batched))[0]
+    image_pe = dense_positional_embedding(params, cfg)[0]
+
+    # 32x32 grid in original-image coords → 1024-frame coords
+    # (apply_coords: scale by resized/original per axis, transforms.py:40-50).
+    grid = build_point_grid(amg.points_per_side)
+    pts_orig = grid * np.array([w, h], np.float32)
+    scale = np.array([input_hw[1] / w, input_hw[0] / h], np.float32)
+    pts_1024 = (pts_orig * scale).astype(np.float32)
+
+    n = pts_1024.shape[0]
+    bsz = amg.points_per_batch
+    pad = (-n) % bsz
+    if pad:
+        pts_1024 = np.concatenate(
+            [pts_1024, np.zeros((pad, 2), np.float32)], axis=0)
+        pts_orig = np.concatenate(
+            [pts_orig, np.zeros((pad, 2), np.float32)], axis=0)
+    valid_pts = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+
+    all_masks, all_iou, all_stab, all_boxes, all_pts, all_valid = \
+        [], [], [], [], [], []
+    for s in range(0, len(pts_1024), bsz):
+        mb, io, st, bx = _decode_batch(
+            params, cfg, embedding, image_pe,
+            jnp.asarray(pts_1024[s:s + bsz]), input_hw, (h, w), amg)
+        all_masks.append(np.asarray(mb))
+        all_iou.append(np.asarray(io))
+        all_stab.append(np.asarray(st))
+        all_boxes.append(np.asarray(bx))
+        all_pts.append(np.repeat(pts_orig[s:s + bsz], 3, axis=0))
+        all_valid.append(np.repeat(valid_pts[s:s + bsz], 3))
+
+    masks = np.concatenate(all_masks)
+    iou = np.concatenate(all_iou)
+    stab = np.concatenate(all_stab)
+    boxes = np.concatenate(all_boxes)
+    points = np.concatenate(all_pts)
+    valid = np.concatenate(all_valid)
+
+    keep = (valid
+            & (iou > amg.pred_iou_thresh)
+            & (stab >= amg.stability_score_thresh))
+    idx = np.where(keep)[0]
+    if idx.size == 0:
+        return []
+
+    kept_order = nms_host(boxes[idx], iou[idx], amg.box_nms_thresh)
+    final = idx[kept_order]
+
+    records = []
+    for i in final:
+        seg = masks[i]
+        records.append(MaskRecord(
+            segmentation=seg,
+            area=int(seg.sum()),
+            bbox=(float(boxes[i, 0]), float(boxes[i, 1]),
+                  float(boxes[i, 2] - boxes[i, 0]),
+                  float(boxes[i, 3] - boxes[i, 1])),
+            predicted_iou=float(iou[i]),
+            point_coords=points[i][None, :].astype(np.float64),
+            stability_score=float(stab[i]),
+            crop_box=(0, 0, w, h),
+        ))
+    return records

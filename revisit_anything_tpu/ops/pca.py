@@ -24,15 +24,23 @@ class PCAParams(NamedTuple):
     whiten: bool
 
 
-@jax.jit
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("whiten",))
+def _pca_apply(x, mean, components, explained_variance, whiten):
+    y = jnp.dot(x - mean, components.T,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    if whiten:
+        y = y / jnp.sqrt(explained_variance)
+    return y
+
+
 def pca_apply(x: jnp.ndarray, params: PCAParams) -> jnp.ndarray:
     """sklearn-compatible transform: ((x - mean) @ components^T) / sqrt(ev)."""
-    y = jnp.dot(x - params.mean, params.components.T,
-                preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
-    if params.whiten:
-        y = y / jnp.sqrt(params.explained_variance)
-    return y
+    return _pca_apply(x, params.mean, params.components,
+                      params.explained_variance, bool(params.whiten))
 
 
 def load_sklearn_pca_pickle(path: str) -> PCAParams:

@@ -87,6 +87,41 @@ def _align_corners_coords(out_size: int, in_size: int) -> np.ndarray:
     return np.arange(out_size) * (in_size - 1) / (out_size - 1)
 
 
+def bilinear_weight_matrix(out_size: int, in_size: int) -> np.ndarray:
+    """[out, in] matrix reproducing torch F.interpolate(mode='bilinear',
+    align_corners=False, antialias=False) along one axis."""
+    if out_size == in_size:
+        return np.eye(out_size, dtype=np.float32)
+    scale = in_size / out_size
+    x = (np.arange(out_size) + 0.5) * scale - 0.5
+    x = np.clip(x, 0.0, in_size - 1)
+    lo = np.floor(x).astype(np.int64)
+    lo = np.clip(lo, 0, in_size - 1)
+    hi = np.minimum(lo + 1, in_size - 1)
+    t = x - lo
+    mat = np.zeros((out_size, in_size), dtype=np.float64)
+    np.add.at(mat, (np.arange(out_size), lo), 1.0 - t)
+    np.add.at(mat, (np.arange(out_size), hi), t)
+    return mat.astype(np.float32)
+
+
+def bilinear_resize_torch(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize of the LAST two dims, matching torch
+    F.interpolate(align_corners=False) — SAM's mask postprocessing resizes
+    (sam.py postprocess_masks)."""
+    import jax
+    in_h, in_w = x.shape[-2], x.shape[-1]
+    out_h, out_w = out_hw
+    if (in_h, in_w) == (out_h, out_w):
+        return x
+    wh = jnp.asarray(bilinear_weight_matrix(out_h, in_h))
+    ww = jnp.asarray(bilinear_weight_matrix(out_w, in_w))
+    y = jnp.einsum("oi,...iw->...ow", wh, x.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("pw,...ow->...op", ww, y,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def bilinear_resize_align_corners(
         x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     """Bilinear resize of the last two dims, align_corners=True semantics.

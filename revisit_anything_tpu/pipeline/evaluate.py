@@ -1,0 +1,103 @@
+"""Retrieval + evaluation driver — the place_rec_main.py equivalent.
+
+Orchestrates: segment banks → (optional) PCA → on-TPU kNN → weighted-Borda
+voting → Recall@K, mirroring recall_segloc (place_rec_main.py:44-96) with
+the FAISS search replaced by revisit_anything_tpu.ops.knn.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from revisit_anything_tpu.config import (BORDA_TOPK, KNN_TOPK, RECALL_TOPK)
+from revisit_anything_tpu.ops.knn import knn_l2
+from revisit_anything_tpu.ops.pca import PCAParams, pca_apply
+from revisit_anything_tpu.pipeline.aggregate import SegmentBank
+from revisit_anything_tpu.retrieval.matching import get_matches_host
+from revisit_anything_tpu.retrieval.recall import calc_recall, calculate_map
+from revisit_anything_tpu.utils.profiling import stage_timer
+
+
+@dataclasses.dataclass
+class RetrievalResult:
+    recalls: List[float]
+    predictions: List[np.ndarray]
+    matches: np.ndarray          # [n_query_segs, K] db segment ids
+    sims: np.ndarray             # [n_query_segs, K] squared L2 (faiss conv.)
+    map_value: Optional[float] = None
+
+
+def _normalize_rows(x: np.ndarray) -> np.ndarray:
+    """normalizeFeat (func_vpr.py:1673-1676): row L2 normalization."""
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def apply_pca_in_batches(bank: SegmentBank, pca: PCAParams,
+                         batch_rows: int = 50000) -> SegmentBank:
+    """PCA-project a segment bank on device, streamed in row batches."""
+    out = []
+    n = len(bank.descriptors)
+    for s in range(0, n, batch_rows):
+        out.append(np.asarray(pca_apply(
+            jnp.asarray(bank.descriptors[s:s + batch_rows]), pca)))
+    return SegmentBank(np.concatenate(out) if out else bank.descriptors,
+                       bank.image_indices)
+
+
+def run_segloc_retrieval(db_bank: SegmentBank,
+                         query_bank: SegmentBank,
+                         gt: Sequence[Sequence[int]],
+                         pca: Optional[PCAParams] = None,
+                         knn_topk: int = KNN_TOPK,
+                         borda_topk: int = BORDA_TOPK,
+                         recall_topk: int = RECALL_TOPK,
+                         map_calculate: bool = False) -> RetrievalResult:
+    """SegLoc retrieval: kNN of query segments over db segments + weighted
+    Borda voting over db image bins (recall_segloc, place_rec_main.py:44-96).
+
+    With PCA, descriptors are row-normalized before the L2 search
+    (place_rec_main.py:55-57); raw VLADs are already unit-norm.
+    """
+    timer = stage_timer()
+    db = db_bank.descriptors
+    q = query_bank.descriptors
+    if pca is not None:
+        with timer.stage("retrieval.pca"):
+            db = np.asarray(pca_apply(jnp.asarray(db), pca))
+            q = np.asarray(pca_apply(jnp.asarray(q), pca))
+        db = _normalize_rows(db)
+        q = _normalize_rows(q)
+
+    with timer.stage("retrieval.knn"):
+        sq_l2, matches = knn_l2(jnp.asarray(q), jnp.asarray(db), knn_topk)
+        sq_l2 = np.asarray(sq_l2)
+        matches = np.asarray(matches)
+
+    with timer.stage("retrieval.vote"):
+        sims = 2.0 - sq_l2[:, :borda_topk]
+        m50 = matches[:, :borda_topk]
+        preds = get_matches_host(m50, sims, query_bank.seg_ranges,
+                                 db_bank.image_indices, n=recall_topk,
+                                 method="max_seg_topk_wt_borda_Im")
+    recalls = calc_recall(preds, gt, recall_topk)
+    map_value = calculate_map(preds, gt) if map_calculate else None
+    return RetrievalResult(recalls, preds, matches, sq_l2, map_value)
+
+
+def run_anyloc_retrieval(db_vlads: np.ndarray,
+                         query_vlads: np.ndarray,
+                         gt: Sequence[Sequence[int]],
+                         recall_topk: int = RECALL_TOPK) -> RetrievalResult:
+    """AnyLoc baseline: whole-image VLAD kNN (place_rec_main.py:379-419 /
+    func_vpr.py get_recall :833-883)."""
+    sq_l2, matches = knn_l2(jnp.asarray(query_vlads), jnp.asarray(db_vlads),
+                            recall_topk)
+    matches = np.asarray(matches)
+    preds = [row for row in matches]
+    recalls = calc_recall(preds, gt, recall_topk)
+    return RetrievalResult(recalls, preds, matches, np.asarray(sq_l2))

@@ -1,0 +1,103 @@
+"""Offline extraction stage: images → mask/feature HDF5 artifacts.
+
+The TPU equivalent of place_rec_SAM_DINO.py:19-142: SAM automatic masks at
+half the DINO resolution (place_rec_SAM_DINO.py:51-63) and DINOv2 ViT-g/14
+layer-31 value-facet dense features at full resolution, written in the
+reference's h5 schemas so artifacts interoperate both ways.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import h5py
+import numpy as np
+
+import jax.numpy as jnp
+
+from revisit_anything_tpu.config import DatasetConfig
+from revisit_anything_tpu.io.h5io import (write_dino_features,
+                                          write_image_masks)
+from revisit_anything_tpu.models import dinov2 as dn
+from revisit_anything_tpu.models.sam.amg import AmgConfig, generate_masks
+from revisit_anything_tpu.models.sam.config import SamArchConfig
+from revisit_anything_tpu.ops.vlad import l2_normalize
+from revisit_anything_tpu.utils.profiling import stage_timer
+
+
+def load_image_rgb(path: str) -> np.ndarray:
+    """uint8 RGB image from disk."""
+    from PIL import Image
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
+def _resize_cv2_bilinear(img: np.ndarray, wh: Tuple[int, int]) -> np.ndarray:
+    """cv2.resize INTER_LINEAR — the reference's image resize
+    (func_vpr.py:540-553)."""
+    import cv2
+    return cv2.resize(img, wh, interpolation=cv2.INTER_LINEAR)
+
+
+def extract_sam_masks(image_paths: Sequence[str],
+                      image_keys: Sequence[str],
+                      out_h5_path: str,
+                      sam_params,
+                      sam_cfg: SamArchConfig,
+                      target_hw: Tuple[int, int],
+                      amg: AmgConfig = AmgConfig(),
+                      progress: bool = True) -> None:
+    """Run the automatic mask generator over images; write the reference's
+    mask h5 schema (process_SAM_to_h5, func_vpr.py:664-679)."""
+    timer = stage_timer()
+    with h5py.File(out_h5_path, "w") as f:
+        for path, key in zip(image_paths, image_keys):
+            with timer.stage("sam.load"):
+                img = load_image_rgb(path)
+                img = _resize_cv2_bilinear(img, (target_hw[1], target_hw[0]))
+            with timer.stage("sam.generate"):
+                records = generate_masks(sam_params, sam_cfg, img, amg)
+            with timer.stage("sam.write"):
+                write_image_masks(f, key, records)
+            if progress:
+                print(f"[sam] {key}: {len(records)} masks", flush=True)
+
+
+def extract_dino_features(image_paths: Sequence[str],
+                          image_keys: Sequence[str],
+                          out_h5_path: str,
+                          dino_params,
+                          dino_cfg: dn.DinoV2Config,
+                          target_hw: Tuple[int, int],
+                          layer: int = 31,
+                          facet: str = "value",
+                          batch_size: int = 8,
+                          progress: bool = True) -> None:
+    """DINOv2 dense value-facet features → h5 (`ift_dino` [1, D, dh, dw]),
+    L2-normalized over channels like process_single_DINO (func_vpr.py:549-563).
+    Images are batched per jit call; one static shape per dataset size."""
+    timer = stage_timer()
+    dh, dw = target_hw[0] // 14, target_hw[1] // 14
+    with h5py.File(out_h5_path, "w") as f:
+        for s in range(0, len(image_paths), batch_size):
+            paths = image_paths[s:s + batch_size]
+            keys = image_keys[s:s + batch_size]
+            with timer.stage("dino.load"):
+                imgs = np.stack([
+                    _resize_cv2_bilinear(load_image_rgb(p),
+                                         (target_hw[1], target_hw[0]))
+                    for p in paths])
+                x = dn.preprocess(imgs)
+            with timer.stage("dino.forward"):
+                feats = dn.extract_dense(dino_params, dino_cfg,
+                                         jnp.asarray(x), layer, facet)
+                # [B, dh*dw, D] → [B, D, dh, dw], L2 over D
+                feats = jnp.transpose(feats, (0, 2, 1)).reshape(
+                    len(paths), -1, dh, dw)
+                feats = l2_normalize(feats, axis=1)
+                feats_np = np.asarray(feats, dtype=np.float32)
+            with timer.stage("dino.write"):
+                for i, key in enumerate(keys):
+                    write_dino_features(f, key, feats_np[i:i + 1])
+            if progress:
+                print(f"[dino] {s + len(paths)}/{len(image_paths)}",
+                      flush=True)

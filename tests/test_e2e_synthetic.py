@@ -1,0 +1,134 @@
+"""End-to-end pipeline test on synthetic data with small random models.
+
+Covers the full reference workflow (place_rec_SAM_DINO → vocab → pca →
+place_rec_main) through this framework's stage APIs: queries are noisy
+copies of database images, so retrieval must recover the planted mapping.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from revisit_anything_tpu.models import dinov2 as dn
+from revisit_anything_tpu.models.sam import SamArchConfig, init_sam_params
+from revisit_anything_tpu.models.sam.amg import AmgConfig
+from revisit_anything_tpu.pipeline import (
+    compute_segment_vlads, extract_dino_features, extract_sam_masks,
+    fit_pca_from_vlads, fit_vocabulary_from_h5, run_anyloc_retrieval,
+    run_segloc_retrieval)
+from revisit_anything_tpu.pipeline.aggregate import global_vlads_from_h5
+from revisit_anything_tpu.pipeline.evaluate import RetrievalResult
+
+SAM_SMALL = SamArchConfig(encoder_dim=64, encoder_depth=2, encoder_heads=4,
+                          global_attn_indexes=(1,), image_size=128,
+                          patch_size=16, window_size=4, prompt_dim=32,
+                          decoder_heads=4, decoder_mlp_dim=128,
+                          iou_head_hidden=32)
+DINO_SMALL = dn.DinoV2Config(embed_dim=64, depth=2, num_heads=4,
+                             ffn="mlp", pretrain_grid=(8, 8))
+
+H, W = 112, 112          # DINO res (8x8 patches); SAM at half res 56x56
+N_DB, N_Q = 8, 4
+
+
+@pytest.fixture(scope="module")
+def artifacts(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("e2e")
+    rng = np.random.default_rng(11)
+    sam_params = init_sam_params(SAM_SMALL, jax.random.PRNGKey(0))
+    dino_params = dn.init_params(DINO_SMALL, jax.random.PRNGKey(1))
+
+    # Structured random images (blobs on noise) so masks/features correlate
+    # with content.
+    def make_image():
+        img = rng.integers(60, 200, (H, W, 3), dtype=np.uint8)
+        for _ in range(4):
+            cy, cx = rng.integers(10, H - 10), rng.integers(10, W - 10)
+            r = rng.integers(6, 20)
+            yy, xx = np.ogrid[:H, :W]
+            blob = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+            img[blob] = rng.integers(0, 255, 3)
+        return img
+
+    db_imgs = [make_image() for _ in range(N_DB)]
+    targets = [(2 * q + 1) % N_DB for q in range(N_Q)]
+    q_imgs = [np.clip(db_imgs[t].astype(int)
+                      + rng.integers(-12, 12, (H, W, 3)), 0, 255
+                      ).astype(np.uint8) for t in targets]
+
+    from PIL import Image
+    paths = {}
+    for tag, imgs in (("db", db_imgs), ("q", q_imgs)):
+        pp = []
+        for i, im in enumerate(imgs):
+            p = str(tmp / f"{tag}_{i:03d}.png")
+            Image.fromarray(im).save(p)
+            pp.append(p)
+        paths[tag] = pp
+
+    amg = AmgConfig(points_per_side=6, points_per_batch=36,
+                    pred_iou_thresh=-1e9, stability_score_thresh=0.0)
+    files = {}
+    for tag in ("db", "q"):
+        keys = [os.path.basename(p) for p in paths[tag]]
+        masks_h5 = str(tmp / f"{tag}_masks.h5")
+        dino_h5 = str(tmp / f"{tag}_dino.h5")
+        extract_sam_masks(paths[tag], keys, masks_h5, sam_params, SAM_SMALL,
+                          (H // 2, W // 2), amg, progress=False)
+        extract_dino_features(paths[tag], keys, dino_h5, dino_params,
+                              DINO_SMALL, (H, W), layer=1, facet="value",
+                              progress=False)
+        files[tag] = (masks_h5, dino_h5, keys)
+    return files, targets
+
+
+def test_full_pipeline_recovers_planted_signal(artifacts):
+    files, targets = artifacts
+    db_masks, db_dino, db_keys = files["db"]
+    q_masks, q_dino, q_keys = files["q"]
+
+    centers = fit_vocabulary_from_h5(db_dino, db_keys, num_clusters=8)
+    assert centers.shape == (8, 64)
+
+    kw = dict(order=3, mask_hw=(H // 2, W // 2), desired_hw=(H, W),
+              num_clusters=8, progress=False)
+    db_bank = compute_segment_vlads(db_masks, db_dino, db_keys, centers, **kw)
+    q_bank = compute_segment_vlads(q_masks, q_dino, q_keys, centers, **kw)
+    assert db_bank.descriptors.shape[1] == 8 * 64
+    assert len(db_bank.seg_ranges) == N_DB
+
+    gt = [[t] for t in targets]
+    res = run_segloc_retrieval(db_bank, q_bank, gt)
+    assert isinstance(res, RetrievalResult)
+    assert res.recalls[0] >= 0.75, res.recalls
+
+    # PCA branch (small comps for tiny sample) should still retrieve well
+    pca = fit_pca_from_vlads(db_bank, num_components=16)
+    res_pca = run_segloc_retrieval(db_bank, q_bank, gt, pca=pca)
+    assert res_pca.recalls[-1] >= 0.75, res_pca.recalls
+
+
+def test_anyloc_branch(artifacts):
+    files, targets = artifacts
+    _, db_dino, db_keys = files["db"]
+    _, q_dino, q_keys = files["q"]
+    centers = fit_vocabulary_from_h5(db_dino, db_keys, num_clusters=8)
+    db_v = global_vlads_from_h5(db_dino, db_keys, centers, (H, W), 8)
+    q_v = global_vlads_from_h5(q_dino, q_keys, centers, (H, W), 8)
+    assert db_v.shape == (N_DB, 8 * 64)
+    res = run_anyloc_retrieval(db_v, q_v, [[t] for t in targets])
+    assert res.recalls[0] >= 0.75, res.recalls
+
+
+def test_order_zero_runs(artifacts):
+    files, targets = artifacts
+    db_masks, db_dino, db_keys = files["db"]
+    centers = fit_vocabulary_from_h5(db_dino, db_keys, num_clusters=8)
+    bank = compute_segment_vlads(db_masks, db_dino, db_keys, centers,
+                                 order=0, mask_hw=(H // 2, W // 2),
+                                 desired_hw=(H, W), num_clusters=8,
+                                 progress=False)
+    assert len(bank.descriptors) == len(bank.image_indices)
