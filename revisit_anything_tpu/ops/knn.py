@@ -26,11 +26,16 @@ def _pad_rows(x: jnp.ndarray, multiple: int, value: float) -> jnp.ndarray:
         [x, jnp.full((pad,) + x.shape[1:], value, x.dtype)], axis=0)
 
 
-@partial(jax.jit, static_argnames=("k", "db_tile"))
+@partial(jax.jit, static_argnames=("k", "db_tile", "varying_axis"))
 def _knn_scores(query: jnp.ndarray, db: jnp.ndarray, db_norms: jnp.ndarray,
-                k: int, db_tile: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                k: int, db_tile: int,
+                varying_axis: str = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Streaming top-k of score = q·d - 0.5||d||² (db_norms=||d||²) or plain
-    q·d (db_norms=0). Returns (scores [Nq,k], indices [Nq,k]) descending."""
+    q·d (db_norms=0). Returns (scores [Nq,k], indices [Nq,k]) descending.
+
+    ``varying_axis``: when called inside shard_map with device-varying db,
+    the scan's init carry must be marked varying over that mesh axis.
+    """
     nq = query.shape[0]
     nd = db.shape[0]
     num_tiles = nd // db_tile
@@ -39,6 +44,10 @@ def _knn_scores(query: jnp.ndarray, db: jnp.ndarray, db_norms: jnp.ndarray,
 
     init_scores = jnp.full((nq, k), -jnp.inf, jnp.float32)
     init_idx = jnp.zeros((nq, k), jnp.int32)
+    if varying_axis is not None:
+        init_scores = jax.lax.pcast(init_scores, (varying_axis,),
+                                    to="varying")
+        init_idx = jax.lax.pcast(init_idx, (varying_axis,), to="varying")
 
     def body(carry, tile):
         best_s, best_i = carry

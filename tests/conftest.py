@@ -17,6 +17,11 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The axon TPU plugin force-sets jax_platforms="axon,cpu" at import,
+# overriding the JAX_PLATFORMS env var — tests must run on the virtual
+# 8-device CPU backend, so override the config back.
+jax.config.update("jax_platforms", "cpu")
+
 # Oracle-parity tests need accurate f32 matmuls; this build's default is
 # low precision (bf16-like). Production code requests HIGHEST explicitly
 # where accuracy matters and keeps the fast default in model forwards.
