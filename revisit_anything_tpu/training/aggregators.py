@@ -1,0 +1,173 @@
+"""Trainable aggregators: NetVLAD (+AntiBurst), GeM, SALAD.
+
+TPU re-designs of the VLAD-BuFF aggregators
+(VLAD-BuFF/models/aggregators/aggregation.py:166-468 and salad.py:43-168):
+the 1x1 soft-assign conv is a matmul; the per-cluster residual loop is one
+einsum over [B, C, P, D]; the AntiBurst weighting is the [B, P, P] gram
+matrix (``selfDis = -2 + 2 xᵀx``) pushed through a learnable
+sigmoid-sum-power (getWeights, aggregation.py:148-162).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from revisit_anything_tpu.ops.vlad import l2_normalize
+
+Params = Dict[str, Any]
+
+
+def netvlad_init(key: jax.Array, dim: int, clusters: int = 64,
+                 antiburst: bool = True,
+                 ab_w: float = 10.0, ab_b: float = -4.0, ab_p: float = 1.0,
+                 dtype=jnp.float32) -> Params:
+    """Parameters for NetVLAD(+AntiBurst). ``assign_w`` is the 1x1 conv
+    (bias-free, aggregation.py:334); centroids are trainable."""
+    k1, k2 = jax.random.split(key)
+    p: Params = {
+        "assign_w": jax.random.normal(k1, (dim, clusters), dtype) * 0.02,
+        "centroids": jax.random.normal(k2, (clusters, dim), dtype) * 0.02,
+    }
+    if antiburst:
+        p["ab_params"] = jnp.asarray([ab_w, ab_b, ab_p], dtype)
+    return p
+
+
+def netvlad_init_from_cluster_centers(centers: jnp.ndarray,
+                                      alpha: float = 30.0,
+                                      antiburst: bool = True) -> Params:
+    """NetVLAD init from kmeans centers (initialize_netvlad_layer,
+    aggregation.py:392-468): assign weights = 2·alpha·normalized centers."""
+    cn = l2_normalize(centers, axis=1)
+    p: Params = {
+        "assign_w": (2.0 * alpha * cn).T.astype(jnp.float32),
+        "centroids": centers.astype(jnp.float32),
+    }
+    if antiburst:
+        p["ab_params"] = jnp.asarray([10.0, -4.0, 1.0], jnp.float32)
+    return p
+
+
+def _antiburst_weights(x_flat: jnp.ndarray, ab_params: jnp.ndarray
+                       ) -> jnp.ndarray:
+    """w[b, p] = (Σ_q sigmoid(w·selfDis[b,p,q] + b))^p_exp with
+    selfDis = -2 + 2 xᵀx (aggregation.py:148-162, :337-344)."""
+    gram = jnp.einsum("bdp,bdq->bpq", x_flat, x_flat,
+                      preferred_element_type=jnp.float32)
+    self_dis = -2.0 + 2.0 * gram
+    w = jax.nn.sigmoid(ab_params[0] * self_dis + ab_params[1])
+    return jnp.sum(w, axis=-1) ** ab_params[2]
+
+
+def netvlad_forward(params: Params, features: jnp.ndarray,
+                    normalize_input: bool = True) -> jnp.ndarray:
+    """features [B, D, H, W] (backbone layout) → [B, clusters*D] VLADs.
+
+    Mirrors NetVLAD.forward (aggregation.py:266-390): input L2-norm over D,
+    softmax soft assignment, optional AntiBurst down-weighting, residual
+    aggregation, intra-norm + global L2.
+    """
+    b, d = features.shape[:2]
+    x = features.reshape(b, d, -1)                       # [B, D, P]
+    if normalize_input:
+        x = l2_normalize(x, axis=1)
+    logits = jnp.einsum("bdp,dc->bcp", x, params["assign_w"],
+                        preferred_element_type=jnp.float32)
+    soft_assign = jax.nn.softmax(logits, axis=1)         # [B, C, P]
+    if "ab_params" in params:
+        w_burst = _antiburst_weights(x, params["ab_params"])
+        soft_assign = soft_assign / w_burst[:, None, :]
+    # vlad[b,c,d] = Σ_p soft_assign[b,c,p] * (x[b,d,p] - centroid[c,d])
+    vlad = (jnp.einsum("bcp,bdp->bcd", soft_assign, x,
+                       preferred_element_type=jnp.float32)
+            - jnp.sum(soft_assign, axis=2)[:, :, None] * params["centroids"])
+    vlad = l2_normalize(vlad, axis=2)                    # intra-norm
+    vlad = vlad.reshape(b, -1)
+    return l2_normalize(vlad, axis=1)
+
+
+def gem_pool(features: jnp.ndarray, p: float = 3.0,
+             eps: float = 1e-6) -> jnp.ndarray:
+    """GeM pooling (aggregation.py GeM): [B, D, H, W] → [B, D]."""
+    x = jnp.clip(features, eps, None) ** p
+    return jnp.mean(x, axis=(2, 3)) ** (1.0 / p)
+
+
+# ---------------------------------------------------------------------------
+# SALAD (Sinkhorn optimal-transport assignment, salad.py:8-168)
+# ---------------------------------------------------------------------------
+
+
+def salad_init(key: jax.Array, dim: int, num_clusters: int = 64,
+               cluster_dim: int = 128, token_dim: int = 256,
+               dtype=jnp.float32) -> Params:
+    ks = jax.random.split(key, 6)
+    s = 0.02
+
+    def dense(k, i, o):
+        return {"w": jax.random.normal(k, (i, o), dtype) * s,
+                "b": jnp.zeros((o,), dtype)}
+
+    return {
+        # score projection (clusters) and feature projection (cluster_dim)
+        "score_w1": dense(ks[0], dim, 512),
+        "score_w2": dense(ks[1], 512, num_clusters),
+        "feat_w1": dense(ks[2], dim, 512),
+        "feat_w2": dense(ks[3], 512, cluster_dim),
+        # global token MLP
+        "tok_w1": dense(ks[4], dim, 512),
+        "tok_w2": dense(ks[5], 512, token_dim),
+        "dustbin": jnp.asarray(1.0, dtype),
+    }
+
+
+def _sinkhorn_log(scores: jnp.ndarray, iters: int = 3) -> jnp.ndarray:
+    """Log-domain Sinkhorn with dustbin row (salad.py:8-40 semantics,
+    uniform marginals)."""
+    b, cp1, p = scores.shape
+    log_mu = jnp.full((cp1,), -jnp.log(p))
+    log_mu = log_mu.at[-1].set(jnp.log((cp1 - 1) / cp1))  # dustbin mass
+    log_nu = jnp.full((p,), -jnp.log(p))
+
+    u = jnp.zeros((b, cp1))
+    v = jnp.zeros((b, p))
+    for _ in range(iters):
+        u = log_mu[None] - jax.nn.logsumexp(scores + v[:, None, :], axis=2)
+        v = log_nu[None] - jax.nn.logsumexp(scores + u[:, :, None], axis=1)
+    return scores + u[:, :, None] + v[:, None, :]
+
+
+def salad_forward(params: Params, features: jnp.ndarray,
+                  token: Optional[jnp.ndarray] = None,
+                  sinkhorn_iters: int = 3) -> jnp.ndarray:
+    """[B, D, H, W] (+ optional [B, D] global token) → SALAD descriptor."""
+    b, d = features.shape[:2]
+    x = features.reshape(b, d, -1).transpose(0, 2, 1)    # [B, P, D]
+
+    def mlp(h, w1, w2):
+        h = jnp.dot(h, w1["w"]) + w1["b"]
+        h = jax.nn.relu(h)
+        return jnp.dot(h, w2["w"]) + w2["b"]
+
+    scores = mlp(x, params["score_w1"], params["score_w2"])  # [B, P, C]
+    scores = scores.transpose(0, 2, 1)                       # [B, C, P]
+    feats = mlp(x, params["feat_w1"], params["feat_w2"])     # [B, P, cd]
+
+    dust = jnp.broadcast_to(params["dustbin"], (b, 1, scores.shape[2]))
+    scores = jnp.concatenate([scores, dust], axis=1)         # [B, C+1, P]
+    log_p = _sinkhorn_log(scores, sinkhorn_iters)
+    p_assign = jnp.exp(log_p)[:, :-1, :]                     # drop dustbin
+
+    agg = jnp.einsum("bcp,bpd->bcd", p_assign, feats,
+                     preferred_element_type=jnp.float32)
+    agg = l2_normalize(agg, axis=2).reshape(b, -1)
+
+    if token is None:
+        token = jnp.mean(x, axis=1)
+    tok = mlp(token, params["tok_w1"], params["tok_w2"])
+    tok = l2_normalize(tok, axis=1)
+    return l2_normalize(jnp.concatenate([tok, agg], axis=1), axis=1)

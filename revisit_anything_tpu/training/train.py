@@ -1,0 +1,195 @@
+"""VPR training loop — the optax re-design of VLAD-BuFF's Lightning module.
+
+Covers VPRModel (VLAD-BuFF/vpr_model.py:16-377) + train.py:297-418:
+DINOv2 backbone with a frozen prefix and N trainable final blocks
+(models/backbones/dinov2.py:40-77), NetVLAD(+AntiBurst) aggregation,
+MultiSimilarity loss+miner, AdamW with linear LR warmdown. TPU-first:
+
+- the frozen prefix runs under stop_gradient (no backward FLOPs/memory),
+  and its params are masked out of the optimizer;
+- one jitted train_step; batch = flattened places (each place contributes
+  ``imgs_per_place`` views sharing a label, GSVCitiesDataloader semantics);
+- multi-chip: data parallel over the mesh "data" axis + tensor parallel
+  over "model" (aggregator clusters, backbone FFN hidden) via NamedSharding
+  annotations — XLA inserts psum/all_gather.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from revisit_anything_tpu.models import dinov2 as dn
+from revisit_anything_tpu.training.aggregators import (netvlad_forward,
+                                                       netvlad_init)
+from revisit_anything_tpu.training.losses import multi_similarity_loss
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class VPRTrainConfig:
+    backbone: dn.DinoV2Config = dn.VIT_B14
+    num_trainable_blocks: int = 4          # train.py --num_trainable_blocks
+    clusters: int = 64
+    antiburst: bool = True
+    lr: float = 6e-5                       # train.py --lr
+    weight_decay: float = 9.5e-9           # train.py --weight_decay
+    warmup_steps: int = 600
+    total_steps: int = 20000
+    imgs_per_place: int = 4
+
+
+@dataclasses.dataclass
+class VPRTrainState:
+    params: Params                         # {"backbone":…, "aggregator":…}
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def backbone_forward(backbone_params: Params, cfg: dn.DinoV2Config,
+                     images: jnp.ndarray, num_trainable: int) -> jnp.ndarray:
+    """[B, H, W, 3] → [B, D, gh, gw] patch features; gradients flow only
+    through the last ``num_trainable`` blocks + final norm (VLAD-BuFF
+    backbone semantics, models/backbones/dinov2.py:40-77)."""
+    x = dn.embed_patches(backbone_params, cfg, images)
+    split = cfg.depth - num_trainable
+    for blk in backbone_params["blocks"][:split]:
+        x = dn._block(x, blk, cfg)
+    x = jax.lax.stop_gradient(x)
+    for blk in backbone_params["blocks"][split:]:
+        x = dn._block(x, blk, cfg)
+    x = dn._layer_norm(x, backbone_params["norm"], cfg.eps)
+    patches = x[:, 1 + cfg.num_register_tokens:]
+    b, n, d = patches.shape
+    gh = images.shape[1] // cfg.patch_size
+    gw = images.shape[2] // cfg.patch_size
+    return patches.reshape(b, gh, gw, d).transpose(0, 3, 1, 2)
+
+
+def model_forward(params: Params, cfg: VPRTrainConfig,
+                  images: jnp.ndarray) -> jnp.ndarray:
+    feats = backbone_forward(params["backbone"], cfg.backbone, images,
+                             cfg.num_trainable_blocks)
+    return netvlad_forward(params["aggregator"], feats)
+
+
+def _trainable_mask(params: Params, cfg: VPRTrainConfig) -> Params:
+    """Pytree of bools: aggregator + last N backbone blocks + final norm."""
+    split = cfg.backbone.depth - cfg.num_trainable_blocks
+
+    def mask_backbone(path_is_trainable):
+        bb = params["backbone"]
+        out = jax.tree.map(lambda _: False, bb)
+        out["blocks"] = ([jax.tree.map(lambda _: False, b)
+                          for b in bb["blocks"][:split]]
+                         + [jax.tree.map(lambda _: True, b)
+                            for b in bb["blocks"][split:]])
+        out["norm"] = jax.tree.map(lambda _: True, bb["norm"])
+        return out
+
+    return {"backbone": mask_backbone(True),
+            "aggregator": jax.tree.map(lambda _: True,
+                                       params["aggregator"])}
+
+
+def make_optimizer(cfg: VPRTrainConfig, params: Params):
+    """AdamW + linear warmup/warmdown, frozen-prefix masked out
+    (vpr_model.py configure_optimizers + lr warmdown)."""
+    schedule = optax.linear_onecycle_schedule(
+        transition_steps=cfg.total_steps, peak_value=cfg.lr,
+        pct_start=cfg.warmup_steps / max(cfg.total_steps, 1))
+    tx = optax.adamw(schedule, weight_decay=cfg.weight_decay)
+    return optax.masked(tx, _trainable_mask(params, cfg))
+
+
+def create_train_state(cfg: VPRTrainConfig, key: jax.Array) -> VPRTrainState:
+    kb, ka = jax.random.split(key)
+    backbone = dn.init_params(cfg.backbone, kb)
+    aggregator = netvlad_init(ka, cfg.backbone.embed_dim, cfg.clusters,
+                              cfg.antiburst)
+    params = {"backbone": backbone, "aggregator": aggregator}
+    opt_state = make_optimizer(cfg, params).init(params)
+    return VPRTrainState(params, opt_state, jnp.zeros((), jnp.int32))
+
+
+def loss_fn(params: Params, cfg: VPRTrainConfig, images: jnp.ndarray,
+            labels: jnp.ndarray) -> jnp.ndarray:
+    descriptors = model_forward(params, cfg, images)
+    return multi_similarity_loss(descriptors, labels)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
+def train_step(params: Params, opt_state, step: jnp.ndarray,
+               cfg: VPRTrainConfig, images: jnp.ndarray,
+               labels: jnp.ndarray):
+    """One optimization step. images [B, H, W, 3] float32 (normalized),
+    labels [B] place ids (each place appears imgs_per_place times)."""
+    loss, grads = jax.value_and_grad(loss_fn)(params, cfg, images, labels)
+    tx = make_optimizer(cfg, params)
+    updates, new_opt_state = tx.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    return new_params, new_opt_state, step + 1, loss
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip sharding
+# ---------------------------------------------------------------------------
+
+
+def param_sharding_rules(mesh: Mesh, params: Params) -> Params:
+    """NamedShardings: tensor-parallel over 'model' for FFN hidden dims and
+    aggregator clusters; everything else replicated."""
+    def spec_for(path, leaf):
+        names = [getattr(p, "key", getattr(p, "idx", None))
+                 for p in path]
+        names = [str(n) for n in names if n is not None]
+        joined = "/".join(names)
+        if not hasattr(leaf, "ndim") or leaf.ndim < 2:
+            return P()
+        if joined.endswith(("fc1/w", "w12/w", "lin1/w")):
+            return P(None, "model")
+        if joined.endswith(("fc2/w", "w3/w", "lin2/w")):
+            return P("model", None)
+        if joined.endswith("assign_w"):
+            return P(None, "model")
+        if joined.endswith("centroids"):
+            return P("model", None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, spec_for(path, leaf)), params)
+
+
+def make_sharded_train_step(mesh: Mesh, cfg: VPRTrainConfig,
+                            params: Params, opt_state):
+    """jit train_step with dp ('data') batch sharding + tp ('model') param
+    sharding. Returns (step_fn, sharded_params, sharded_opt_state)."""
+    p_shard = param_sharding_rules(mesh, params)
+    o_shard = jax.tree.map(lambda _: NamedSharding(mesh, P()), opt_state)
+    data = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    params_s = jax.device_put(params, p_shard)
+    opt_state_s = jax.device_put(opt_state, o_shard)
+
+    @partial(jax.jit,
+             in_shardings=(p_shard, o_shard, repl, data, data),
+             out_shardings=(p_shard, o_shard, repl, repl),
+             donate_argnums=(0, 1))
+    def step_fn(params_, opt_state_, step_, images_, labels_):
+        loss, grads = jax.value_and_grad(loss_fn)(params_, cfg, images_,
+                                                  labels_)
+        tx = make_optimizer(cfg, params_)
+        updates, new_opt = tx.update(grads, opt_state_, params_)
+        new_params = optax.apply_updates(params_, updates)
+        return new_params, new_opt, step_ + 1, loss
+
+    return step_fn, params_s, opt_state_s

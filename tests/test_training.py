@@ -1,0 +1,167 @@
+"""Training subsystem tests: aggregators vs torch oracle, MS loss, and the
+sharded train step on the 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from revisit_anything_tpu.models import dinov2 as dn
+from revisit_anything_tpu.training import (
+    create_train_state, gem_pool, make_sharded_train_step,
+    multi_similarity_loss, netvlad_forward, netvlad_init, salad_forward,
+    salad_init, train_step, VPRTrainConfig)
+from revisit_anything_tpu.training.train import model_forward
+
+
+def oracle_netvlad(x_np, assign_w, centroids, ab_params=None):
+    """Independent torch float64 oracle of NetVLAD(+AntiBurst) semantics
+    (aggregation.py:266-390)."""
+    x = torch.from_numpy(x_np).double()               # [B, D, H, W]
+    n, d = x.shape[:2]
+    x = F.normalize(x, p=2, dim=1)
+    xf = x.view(n, d, -1)
+    sa = torch.softmax(
+        torch.einsum("bdp,dc->bcp", xf, torch.from_numpy(assign_w).double()),
+        dim=1)
+    if ab_params is not None:
+        dis = -2 + 2 * xf.permute(0, 2, 1) @ xf
+        w = torch.sigmoid(ab_params[0] * dis + ab_params[1]).sum(-1) \
+            ** ab_params[2]
+        sa = sa / w[:, None, :]
+    c = torch.from_numpy(centroids).double()          # [C, D]
+    vlad = torch.einsum("bcp,bdp->bcd", sa, xf) - sa.sum(-1)[..., None] * c
+    vlad = F.normalize(vlad, p=2, dim=2).reshape(n, -1)
+    return F.normalize(vlad, p=2, dim=1).numpy()
+
+
+def test_netvlad_matches_oracle(rng):
+    p = netvlad_init(jax.random.PRNGKey(0), dim=32, clusters=8,
+                     antiburst=False)
+    x = rng.standard_normal((2, 32, 4, 5)).astype(np.float32)
+    ours = np.asarray(netvlad_forward(p, x))
+    ref = oracle_netvlad(x, np.asarray(p["assign_w"]),
+                         np.asarray(p["centroids"]))
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_netvlad_antiburst_matches_oracle(rng):
+    p = netvlad_init(jax.random.PRNGKey(1), dim=16, clusters=4,
+                     antiburst=True, ab_w=5.0, ab_b=-2.0, ab_p=1.5)
+    x = rng.standard_normal((3, 16, 3, 4)).astype(np.float32)
+    ours = np.asarray(netvlad_forward(p, x))
+    ref = oracle_netvlad(x, np.asarray(p["assign_w"]),
+                         np.asarray(p["centroids"]), [5.0, -2.0, 1.5])
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_gem_matches_oracle(rng):
+    x = np.abs(rng.standard_normal((2, 8, 6, 6))).astype(np.float32)
+    ours = np.asarray(gem_pool(x, p=3.0))
+    t = torch.from_numpy(x)
+    ref = F.avg_pool2d(t.clamp(min=1e-6).pow(3), (6, 6)).pow(1. / 3)
+    np.testing.assert_allclose(ours, ref.squeeze(-1).squeeze(-1).numpy(),
+                               atol=1e-5)
+
+
+def test_salad_runs_and_normalized(rng):
+    p = salad_init(jax.random.PRNGKey(2), dim=32, num_clusters=8,
+                   cluster_dim=16, token_dim=24)
+    x = rng.standard_normal((2, 32, 4, 4)).astype(np.float32)
+    out = np.asarray(salad_forward(p, x))
+    assert out.shape == (2, 24 + 8 * 16)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-5)
+
+
+def oracle_ms_loss(emb, labels, alpha=1.0, beta=50.0, base=0.0, eps=0.1):
+    """Independent numpy oracle of MS miner + loss (dot-product sims,
+    cosine miner)."""
+    n = len(labels)
+    sims = emb @ emb.T
+    cos = (emb / np.linalg.norm(emb, axis=1, keepdims=True))
+    cos = cos @ cos.T
+    total, active = 0.0, 0
+    for i in range(n):
+        pos = [j for j in range(n) if labels[j] == labels[i] and j != i]
+        neg = [j for j in range(n) if labels[j] != labels[i]]
+        max_neg = max((cos[i, j] for j in neg), default=-np.inf)
+        min_pos = min((cos[i, j] for j in pos), default=np.inf)
+        pos = [j for j in pos if cos[i, j] < max_neg + eps]
+        neg = [j for j in neg if cos[i, j] > min_pos - eps]
+        if not pos and not neg:
+            continue
+        active += 1
+        lp = np.log1p(sum(np.exp(-alpha * (sims[i, j] - base)) for j in pos))
+        ln = np.log1p(sum(np.exp(beta * (sims[i, j] - base)) for j in neg))
+        total += lp / alpha + ln / beta
+    return total / max(active, 1)
+
+
+def test_ms_loss_matches_oracle(rng):
+    emb = rng.standard_normal((12, 16)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    labels = np.repeat(np.arange(3), 4)
+    ours = float(multi_similarity_loss(emb, labels))
+    ref = oracle_ms_loss(emb.astype(np.float64), labels)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+def test_ms_loss_separable_clusters_lower(rng):
+    # well-separated embeddings → lower loss than random
+    sep = np.eye(4, 16, dtype=np.float32)[np.repeat(np.arange(4), 3)]
+    labels = np.repeat(np.arange(4), 3)
+    rnd = rng.standard_normal((12, 16)).astype(np.float32)
+    rnd /= np.linalg.norm(rnd, axis=1, keepdims=True)
+    assert float(multi_similarity_loss(sep, labels)) < \
+        float(multi_similarity_loss(rnd, labels))
+
+
+TINY = VPRTrainConfig(
+    backbone=dn.DinoV2Config(embed_dim=32, depth=3, num_heads=2, ffn="mlp",
+                             pretrain_grid=(4, 4)),
+    num_trainable_blocks=1, clusters=4, total_steps=100, warmup_steps=10)
+
+
+def test_train_step_reduces_loss(rng):
+    state = create_train_state(TINY, jax.random.PRNGKey(0))
+    imgs = rng.standard_normal((8, 56, 56, 3)).astype(np.float32)
+    labels = np.repeat(np.arange(2), 4)
+    params, opt_state, step = state.params, state.opt_state, state.step
+    losses = []
+    for _ in range(8):
+        params, opt_state, step, loss = train_step(
+            params, opt_state, step, TINY, imgs, labels)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+    assert int(step) == 8
+
+
+def test_frozen_prefix_not_updated(rng):
+    state = create_train_state(TINY, jax.random.PRNGKey(0))
+    imgs = rng.standard_normal((4, 56, 56, 3)).astype(np.float32)
+    labels = np.array([0, 0, 1, 1])
+    # snapshot BEFORE the step: train_step donates its inputs
+    before = np.array(state.params["backbone"]["blocks"][0]["qkv"]["w"])
+    b2 = np.array(state.params["backbone"]["blocks"][2]["qkv"]["w"])
+    p, o, s, _ = train_step(state.params, state.opt_state, state.step,
+                            TINY, imgs, labels)
+    after = np.asarray(p["backbone"]["blocks"][0]["qkv"]["w"])
+    np.testing.assert_array_equal(before, after)
+    # trainable last block DID change
+    a2 = np.asarray(p["backbone"]["blocks"][2]["qkv"]["w"])
+    assert np.abs(b2 - a2).max() > 0
+
+
+def test_sharded_train_step(rng):
+    from revisit_anything_tpu.parallel import make_mesh
+    mesh = make_mesh((4, 2), ("data", "model"))
+    state = create_train_state(TINY, jax.random.PRNGKey(0))
+    step_fn, params_s, opt_s = make_sharded_train_step(
+        mesh, TINY, state.params, state.opt_state)
+    imgs = rng.standard_normal((8, 56, 56, 3)).astype(np.float32)
+    labels = np.repeat(np.arange(2), 4)
+    p, o, s, loss = step_fn(params_s, opt_s, state.step, imgs, labels)
+    assert np.isfinite(float(loss))
+    p, o, s, loss2 = step_fn(p, o, s, imgs, labels)
+    assert np.isfinite(float(loss2))
