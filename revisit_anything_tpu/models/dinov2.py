@@ -206,7 +206,9 @@ def interpolate_pos_embed(params: Params, cfg: DinoV2Config,
 def embed_patches(params: Params, cfg: DinoV2Config,
                   images: jnp.ndarray) -> jnp.ndarray:
     """images [B, H, W, 3] (normalized, H/W multiples of 14) → tokens
-    [B, 1+R+N, D] with pos embedding added."""
+    [B, 1+R+N, D] with pos embedding added. Computes in the params' dtype
+    (bf16 params → bf16 activations)."""
+    images = images.astype(params["patch_embed"]["w"].dtype)
     b, h, w, _ = images.shape
     p = cfg.patch_size
     gh, gw = h // p, w // p

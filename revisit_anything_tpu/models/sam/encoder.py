@@ -153,6 +153,8 @@ def encode_image(params: Params, cfg: SamArchConfig,
     Mirrors ImageEncoderViT.forward + neck (image_encoder.py:107-116).
     """
     enc = params["encoder"]
+    # compute in the params' dtype (bf16 params → bf16 activations)
+    images = images.astype(enc["patch_embed"]["w"].dtype)
     b, hh, ww, _ = images.shape
     p = cfg.patch_size
     gh, gw = hh // p, ww // p

@@ -1,0 +1,108 @@
+"""Ground-truth construction tests with synthetic dataset fixtures."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from revisit_anything_tpu.datasets import (get_gt, parse_camera_pose,
+                                           radius_positives, utm_from_paths)
+
+
+def test_radius_positives_semantics(rng):
+    db = np.array([[0, 0], [10, 0], [100, 100]], dtype=float)
+    q = np.array([[1, 0], [50, 50]], dtype=float)
+    pos = radius_positives(db, q, radius=15)
+    assert set(pos[0].tolist()) == {0, 1}
+    assert len(pos[1]) == 0
+
+
+def test_utm_from_paths():
+    paths = ["img@123.5@678.25@x.jpg", "a@-10.0@20.0@.png"]
+    utm = utm_from_paths(paths)
+    np.testing.assert_allclose(utm, [[123.5, 678.25], [-10.0, 20.0]])
+
+
+def test_parse_camera_pose(tmp_path):
+    cam = tmp_path / "a.camera"
+    cam.write_text(
+        "fx 0 cx\n0 fy cy\n0 0 1\nk1 k2\n"
+        "1 0 0\n0 1 0\n0 0 1\n0 0 0\n"
+        "1.5 2.5 3.5\n"
+        "640 480\n")
+    pose = parse_camera_pose(str(cam))
+    np.testing.assert_allclose(pose, [1.5, 2.5, 3.5])
+
+
+def test_baidu_gt_pipeline(tmp_path):
+    base = tmp_path / "baidu_datasets"
+    for sub, positions in (
+            ("training_gt", [[0, 0, 0], [5, 0, 0], [100, 0, 0]]),
+            ("query_gt", [[1, 0, 0], [99, 0, 0]])):
+        d = base / sub
+        d.mkdir(parents=True)
+        for i, p in enumerate(positions):
+            (d / f"img_{i}.camera").write_text(
+                "h\nh\nh\nh\n1 0 0\n0 1 0\n0 0 1\n0 0 0\n"
+                f"{p[0]} {p[1]} {p[2]}\n640 480\n")
+    gt = get_gt("baidu", str(tmp_path))
+    assert set(gt[0].tolist()) == {0, 1}       # within 10m of (1,0,0)
+    assert set(gt[1].tolist()) == {2}
+
+
+def test_17places_and_amstertime_gt():
+    q = [f"q{i}.jpg" for i in range(40)]
+    r = [f"r{i}.jpg" for i in range(40)]
+    gt17 = get_gt("17places", "/nonexistent", ref_paths=r, query_paths=q)
+    assert gt17[20] == list(range(5, 36))
+    gt_ams = get_gt("AmsterTime", "/nonexistent", ref_paths=r, query_paths=q)
+    assert gt_ams[7] == [7]
+
+
+def test_sfxl_gt():
+    r = [f"db@{x}.0@0.0@.jpg" for x in (0, 30, 60)]
+    q = ["q@10.0@0.0@.jpg"]
+    gt = get_gt("SFXL", "/nonexistent", ref_paths=r, query_paths=q)
+    assert set(gt[0].tolist()) == {0, 1}
+
+
+def test_vpair_gt(tmp_path):
+    d = tmp_path / "vpair"
+    d.mkdir()
+    data = np.array([(0, [1, 2]), (1, [3])], dtype=object)
+    np.save(d / "vpair_gt.npy", data, allow_pickle=True)
+    gt = get_gt("VPAir", str(tmp_path))
+    assert list(gt[0]) == [1, 2] and list(gt[1]) == [3]
+
+
+def test_msls_gt(tmp_path):
+    # synthetic SALAD-style npy files: 4 db (2 cph, 2 sf), 3 queries
+    db = np.array(["train/cph/db_2.jpg", "train/sf/db_1.jpg",
+                   "train/cph/db_1.jpg", "train/sf/db_0.jpg"])
+    q_all = np.array(["train/cph/q_1.jpg", "train/sf/q_0.jpg",
+                      "train/cph/q_0.jpg", "train/extra/skip.jpg"])
+    q_idx = np.array([0, 1, 2])
+    p_idx = np.array([np.array([0, 2]), np.array([1]),
+                      np.array([2])], dtype=object)
+    np.save(tmp_path / "msls_val_dbImages.npy", db)
+    np.save(tmp_path / "msls_val_qImages.npy", q_all)
+    np.save(tmp_path / "msls_val_qIdx.npy", q_idx)
+    np.save(tmp_path / "msls_val_pIdx.npy", p_idx, allow_pickle=True)
+
+    gt = get_gt("mslsCPH", "/nonexistent", msls_gt_root=str(tmp_path))
+    # cph db natural order: db_1 (orig idx 2 → city idx 1), db_2 (orig 0 → 0)
+    # cph queries natural order: q_0 (city idx 1), q_1 (city idx 0)
+    # q_0 (orig gt [2]) → city db idx 1 → natsorted position 0
+    # q_1 (orig gt [0,2]) → city idx [0,1] → natsorted [1, 0]
+    assert gt[0].tolist() == [0]
+    assert sorted(gt[1].tolist()) == [0, 1]
+
+    gt_sf = get_gt("mslsSF", "/nonexistent", msls_gt_root=str(tmp_path))
+    assert len(gt_sf) == 1
+    # sf q_0 → orig db 1 (db_1); sf dbs natsorted = [db_0, db_1] → pos 1
+    assert gt_sf[0].tolist() == [1]
+
+
+def test_unknown_dataset_returns_none():
+    assert get_gt("not_a_dataset", "/nonexistent") is None
