@@ -97,7 +97,7 @@ def main():
         vlads = image_segment_vlad(masks, feats_np, centers,
                                    pool_a, pool_b, order=3)
         proj = np.asarray(pca_apply(jnp.asarray(vlads), pca))
-        proj /= np.linalg.norm(proj, axis=1, keepdims=True) + 1e-12
+        proj = proj / (np.linalg.norm(proj, axis=1, keepdims=True) + 1e-12)
         sq, idx = knn_l2(jnp.asarray(proj), db_dev, 200)
         sims = 2.0 - jnp.asarray(sq)[:, :50]
         preds = weighted_borda_predict(

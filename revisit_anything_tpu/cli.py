@@ -1,0 +1,266 @@
+"""Command-line pipeline driver — the reference's stage scripts as one CLI.
+
+    python -m revisit_anything_tpu.cli extract --dataset D --method SAM|DINO
+        (= place_rec_SAM_DINO.py)
+    python -m revisit_anything_tpu.cli vocab --dataset D --domain indoor
+        (= vlad_c_centers_pt_gen.py)
+    python -m revisit_anything_tpu.cli pca --dataset D --experiment E
+        (= place_rec_pca.py)
+    python -m revisit_anything_tpu.cli evaluate --dataset D --experiment E
+        --vocab-vlad domain|map [--save-results]
+        (= place_rec_main.py)
+
+Stage artifacts (h5/pt/npz/pkl) live under --workdir with the reference's
+filenames, so cached reference artifacts are directly consumable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import sys
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--workdir", default=os.environ.get("RAT_WORKDIR",
+                                                       "./workdir"))
+    p.add_argument("--data-root", default=os.environ.get("RAT_DATA_ROOT",
+                                                         "./data"))
+
+
+def cmd_extract(args):
+    import jax
+    from revisit_anything_tpu.config import get_dataset
+    from revisit_anything_tpu.datasets.images import list_dataset_images
+    from revisit_anything_tpu.models import dinov2 as dn
+    from revisit_anything_tpu.models.sam import (SAM_REGISTRY,
+                                                 load_sam_checkpoint)
+    from revisit_anything_tpu.pipeline import (extract_dino_features,
+                                               extract_sam_masks)
+
+    ds = get_dataset(args.dataset)
+    refs, queries = list_dataset_images(ds, args.data_root)
+    os.makedirs(args.workdir, exist_ok=True)
+    sets = {"r": refs, "q": queries}
+
+    if args.method == "SAM":
+        cfg = SAM_REGISTRY[args.sam_variant]
+        if args.checkpoint:
+            params = load_sam_checkpoint(args.checkpoint, cfg)
+        else:
+            from revisit_anything_tpu.models.sam import init_sam_params
+            print("WARNING: no --checkpoint; using random SAM weights",
+                  file=sys.stderr)
+            params = init_sam_params(cfg, jax.random.PRNGKey(0))
+        for tag, paths in sets.items():
+            out = os.path.join(args.workdir,
+                               ds.masks_h5_ref if tag == "r"
+                               else ds.masks_h5_query)
+            keys = [os.path.basename(p) for p in paths]
+            extract_sam_masks(paths, keys, out, params, cfg,
+                              ds.sam_size.hw)
+            print(f"wrote {out}")
+    elif args.method == "DINO":
+        cfg = dn.CONFIGS[args.dino_model]
+        if args.checkpoint:
+            params = dn.load_checkpoint(args.checkpoint, cfg)
+        else:
+            print("WARNING: no --checkpoint; using random DINO weights",
+                  file=sys.stderr)
+            params = dn.init_params(cfg, jax.random.PRNGKey(0))
+        for tag, paths in sets.items():
+            out = os.path.join(args.workdir,
+                               ds.dino_h5_ref if tag == "r"
+                               else ds.dino_h5_query)
+            keys = [os.path.basename(p) for p in paths]
+            extract_dino_features(paths, keys, out, params, cfg,
+                                  ds.size.hw, layer=args.layer,
+                                  facet=args.facet)
+            print(f"wrote {out}")
+    else:
+        raise SystemExit(f"unknown method {args.method}")
+
+
+def cmd_vocab(args):
+    from revisit_anything_tpu.config import WorkdirConfig, get_dataset
+    from revisit_anything_tpu.io.h5io import list_image_keys
+    from revisit_anything_tpu.io.vocab import save_cluster_centers
+    from revisit_anything_tpu.pipeline import fit_vocabulary_from_h5
+    import h5py
+
+    ds = get_dataset(args.dataset)
+    dino_h5 = os.path.join(args.workdir, ds.dino_h5_ref)
+    with h5py.File(dino_h5, "r") as f:
+        keys = list_image_keys(f)
+    centers = fit_vocabulary_from_h5(dino_h5, keys,
+                                     num_clusters=args.clusters)
+    vocab_id = args.domain or ds.map_vlad_cluster
+    out = WorkdirConfig(cache_root=args.cache_root).vocab_path(vocab_id)
+    save_cluster_centers(out, centers)
+    print(f"wrote {out} {centers.shape}")
+
+
+def _load_banks(args, exp, ds, centers):
+    import h5py
+    from revisit_anything_tpu.io.h5io import list_image_keys
+    from revisit_anything_tpu.pipeline import compute_segment_vlads
+
+    banks = {}
+    for tag, masks_name, dino_name in (
+            ("r", ds.masks_h5_ref, ds.dino_h5_ref),
+            ("q", ds.masks_h5_query, ds.dino_h5_query)):
+        masks_h5 = os.path.join(args.workdir, masks_name)
+        dino_h5 = os.path.join(args.workdir, dino_name)
+        with h5py.File(dino_h5, "r") as f:
+            keys = list_image_keys(f)
+        banks[tag] = (compute_segment_vlads(
+            masks_h5, dino_h5, keys, centers, exp.order,
+            ds.sam_size.hw, ds.size.hw), keys)
+    return banks
+
+
+def _load_centers(args, ds):
+    from revisit_anything_tpu.config import WorkdirConfig
+    from revisit_anything_tpu.io.vocab import load_cluster_centers
+    vocab_id = ds.vocab_id(args.vocab_vlad)
+    path = WorkdirConfig(cache_root=args.cache_root).vocab_path(vocab_id)
+    return load_cluster_centers(path)
+
+
+def cmd_pca(args):
+    from revisit_anything_tpu.config import get_dataset, get_experiment
+    from revisit_anything_tpu.ops.pca import save_pca_npz
+    from revisit_anything_tpu.pipeline import fit_pca_from_vlads
+
+    ds = get_dataset(args.dataset)
+    exp = get_experiment(args.experiment)
+    centers = _load_centers(args, ds)
+    banks = _load_banks(args, exp, ds, centers)
+    params = fit_pca_from_vlads(banks["r"][0], num_components=args.dim)
+    suffix = (exp.pca_model_pkl if args.vocab_vlad == "domain"
+              else exp.pca_model_pkl_map) or f"_pca_order{exp.order}.npz"
+    out = os.path.join(args.workdir, f"{args.dataset}{suffix}.npz"
+                       if not suffix.endswith(".npz") else
+                       f"{args.dataset}{suffix}")
+    save_pca_npz(out, params)
+    print(f"wrote {out}")
+
+
+def cmd_evaluate(args):
+    from revisit_anything_tpu.config import get_dataset, get_experiment
+    from revisit_anything_tpu.datasets import get_gt
+    from revisit_anything_tpu.datasets.images import list_dataset_images
+    from revisit_anything_tpu.ops.pca import (load_pca_npz,
+                                              load_sklearn_pca_pickle)
+    from revisit_anything_tpu.pipeline import (run_anyloc_retrieval,
+                                               run_segloc_retrieval)
+    from revisit_anything_tpu.pipeline.aggregate import global_vlads_from_h5
+    from revisit_anything_tpu.utils.profiling import stage_timer
+
+    ds = get_dataset(args.dataset)
+    exp = get_experiment(args.experiment)
+    centers = _load_centers(args, ds)
+
+    try:
+        refs, queries = list_dataset_images(ds, args.data_root)
+    except FileNotFoundError:
+        refs = queries = None
+    gt = get_gt(args.dataset, args.data_root, refs, queries)
+
+    if exp.global_method == "AnyLoc":
+        import h5py
+        from revisit_anything_tpu.io.h5io import list_image_keys
+        names = {}
+        for tag, dino_name in (("r", ds.dino_h5_ref),
+                               ("q", ds.dino_h5_query)):
+            path = os.path.join(args.workdir, dino_name)
+            with h5py.File(path, "r") as f:
+                names[tag] = (path, list_image_keys(f))
+        db_v = global_vlads_from_h5(*names["r"], centers, ds.size.hw)
+        q_v = global_vlads_from_h5(*names["q"], centers, ds.size.hw)
+        if gt is None:
+            raise SystemExit("gt unavailable; cannot evaluate")
+        res = run_anyloc_retrieval(db_v, q_v, gt)
+    else:
+        banks = _load_banks(args, exp, ds, centers)
+        pca = None
+        if exp.pca:
+            suffix = (exp.pca_model_pkl if args.vocab_vlad == "domain"
+                      else exp.pca_model_pkl_map)
+            pkl = os.path.join(args.workdir, f"{args.dataset}{suffix}")
+            npz = pkl + ".npz"
+            pca = (load_pca_npz(npz) if os.path.exists(npz)
+                   else load_sklearn_pca_pickle(pkl))
+        if gt is None:
+            q_keys = banks["q"][1]
+            gt = [[] for _ in q_keys]
+        res = run_segloc_retrieval(banks["r"][0], banks["q"][0], gt, pca=pca)
+
+    print("Recall@1..5:", res.recalls)
+    print(stage_timer().report())
+    if args.save_results:
+        out_dir = os.path.join(args.workdir, "results", "global",
+                               f"{args.experiment}_{args.dataset}")
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "results.pkl"), "wb") as f:
+            pickle.dump({"recalls": res.recalls, "sims": res.sims,
+                         "matches": res.matches,
+                         "predictions": res.predictions}, f)
+        with open(os.path.join(out_dir, "recalls.json"), "w") as f:
+            json.dump({"recalls": res.recalls}, f)
+        print(f"results saved to {out_dir}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="revisit_anything_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("extract", help="SAM masks / DINO features → h5")
+    _add_common(p)
+    p.add_argument("--method", required=True, choices=["SAM", "DINO"])
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--sam-variant", default="vit_h",
+                   choices=["vit_h", "vit_l", "vit_b"])
+    p.add_argument("--dino-model", default="dinov2_vitg14",
+                   choices=["dinov2_vitg14", "dinov2_vitl14",
+                            "dinov2_vitb14", "dinov2_vits14"])
+    p.add_argument("--layer", type=int, default=31)
+    p.add_argument("--facet", default="value")
+    p.set_defaults(func=cmd_extract)
+
+    p = sub.add_parser("vocab", help="fit VLAD vocabulary (cosine kmeans)")
+    _add_common(p)
+    p.add_argument("--clusters", type=int, default=32)
+    p.add_argument("--domain", default=None)
+    p.add_argument("--cache-root", default="./cache")
+    p.set_defaults(func=cmd_vocab)
+
+    p = sub.add_parser("pca", help="fit whitened PCA on ref segment VLADs")
+    _add_common(p)
+    p.add_argument("--experiment", required=True)
+    p.add_argument("--vocab-vlad", default="domain",
+                   choices=["domain", "map"])
+    p.add_argument("--dim", type=int, default=1024)
+    p.add_argument("--cache-root", default="./cache")
+    p.set_defaults(func=cmd_pca)
+
+    p = sub.add_parser("evaluate", help="retrieval + Recall@K")
+    _add_common(p)
+    p.add_argument("--experiment", required=True)
+    p.add_argument("--vocab-vlad", default="domain",
+                   choices=["domain", "map"])
+    p.add_argument("--save-results", action="store_true")
+    p.add_argument("--cache-root", default="./cache")
+    p.set_defaults(func=cmd_evaluate)
+
+    args = parser.parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -50,6 +50,7 @@ class AmgConfig:
     stability_score_thresh: float = 0.95
     stability_score_offset: float = 1.0
     box_nms_thresh: float = 0.7
+    min_mask_region_area: int = 0   # >0 enables small-region postprocess
 
 
 def build_point_grid(n_per_side: int) -> np.ndarray:
@@ -200,18 +201,52 @@ def generate_masks(params: Params, cfg: SamArchConfig,
     kept_order = nms_host(boxes[idx], iou[idx], amg.box_nms_thresh)
     final = idx[kept_order]
 
+    final_masks = [masks[i] for i in final]
+    if amg.min_mask_region_area > 0 and len(final):
+        final_masks, keep2 = _postprocess_small_regions(
+            final_masks, amg.min_mask_region_area, amg.box_nms_thresh)
+        final = final[keep2]
+
     records = []
-    for i in final:
-        seg = masks[i]
+    for seg, i in zip(final_masks, final):
+        ys, xs = np.nonzero(seg)
+        if len(xs):
+            bbox = (float(xs.min()), float(ys.min()),
+                    float(xs.max() - xs.min()), float(ys.max() - ys.min()))
+        else:
+            bbox = (0.0, 0.0, 0.0, 0.0)
         records.append(MaskRecord(
             segmentation=seg,
             area=int(seg.sum()),
-            bbox=(float(boxes[i, 0]), float(boxes[i, 1]),
-                  float(boxes[i, 2] - boxes[i, 0]),
-                  float(boxes[i, 3] - boxes[i, 1])),
+            bbox=bbox,
             predicted_iou=float(iou[i]),
             point_coords=points[i][None, :].astype(np.float64),
             stability_score=float(stab[i]),
             crop_box=(0, 0, w, h),
         ))
     return records
+
+
+def _postprocess_small_regions(masks: List[np.ndarray], min_area: int,
+                               nms_thresh: float):
+    """Remove small islands / fill small holes, then NMS that prefers
+    unchanged masks (postprocess_small_regions,
+    automatic_mask_generator.py:324-376)."""
+    from revisit_anything_tpu.native import nms_native, remove_small_regions
+
+    new_masks, unchanged_scores = [], []
+    for m in masks:
+        m2, ch_holes = remove_small_regions(m, min_area, "holes")
+        m2, ch_islands = remove_small_regions(m2, min_area, "islands")
+        new_masks.append(m2)
+        unchanged_scores.append(float(not (ch_holes or ch_islands)))
+
+    boxes = []
+    for m in new_masks:
+        ys, xs = np.nonzero(m)
+        boxes.append([xs.min(), ys.min(), xs.max(), ys.max()]
+                     if len(xs) else [0, 0, 0, 0])
+    keep = nms_native(np.asarray(boxes, np.float32),
+                      np.asarray(unchanged_scores, np.float32), nms_thresh)
+    keep = np.sort(keep)
+    return [new_masks[i] for i in keep], keep

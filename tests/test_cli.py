@@ -1,0 +1,116 @@
+"""CLI smoke tests: extract → vocab → evaluate through the argparse surface."""
+
+import os
+
+import h5py
+import numpy as np
+import pytest
+from PIL import Image
+
+from revisit_anything_tpu import cli
+from revisit_anything_tpu.config import DATASETS, DatasetConfig, ImageSize
+from revisit_anything_tpu.io import write_image_masks, MaskRecord
+
+
+@pytest.fixture
+def toy_env(tmp_path, monkeypatch, rng):
+    """Override the AmsterTime entry (identity gt works for any image
+    count) with a toy-sized config + synthetic images."""
+    ds = DatasetConfig(
+        name="AmsterTime", size=ImageSize(112, 112),
+        data_subpath_ref="new", data_subpath_query="old",
+        masks_h5_ref="AmsterTime_new_masks.h5",
+        masks_h5_query="AmsterTime_old_masks.h5",
+        dino_h5_ref="AmsterTime_r_dino_112.h5",
+        dino_h5_query="AmsterTime_q_dino_112.h5",
+        map_vlad_cluster="AmsterTime", domain_vlad_cluster="urban",
+        sam_at_half_res=False)
+    monkeypatch.setitem(DATASETS, "AmsterTime", ds)
+
+    data_root = tmp_path / "data"
+    workdir = tmp_path / "workdir"
+    cache = tmp_path / "cache"
+    workdir.mkdir()
+
+    db_imgs = []
+    for sub, n in (("new", 5), ("old", 3)):
+        d = data_root / "AmsterTime" / sub
+        d.mkdir(parents=True)
+        for i in range(n):
+            if sub == "new":
+                img = rng.integers(0, 255, (112, 112, 3), dtype=np.uint8)
+                db_imgs.append(img)
+            else:
+                img = np.clip(db_imgs[i].astype(int)
+                              + rng.integers(-10, 10, (112, 112, 3)),
+                              0, 255).astype(np.uint8)
+            Image.fromarray(img).save(d / f"im_{i:02d}.png")
+
+    # synthetic masks h5 (skip the SAM stage; schema-level artifacts)
+    for name, n in (("AmsterTime_new_masks.h5", 5),
+                    ("AmsterTime_old_masks.h5", 3)):
+        with h5py.File(workdir / name, "w") as f:
+            for i in range(n):
+                recs = []
+                for _ in range(4):
+                    m = np.zeros((112, 112), bool)
+                    cy, cx = rng.integers(20, 90, 2)
+                    m[cy - 15:cy + 15, cx - 15:cx + 15] = True
+                    recs.append(MaskRecord(m, int(m.sum()), (0, 0, 0, 0),
+                                           0.9, np.zeros((1, 2)), 0.96,
+                                           (0, 0, 112, 112)))
+                write_image_masks(f, f"im_{i:02d}.png", recs)
+
+    return {"data_root": str(data_root), "workdir": str(workdir),
+            "cache": str(cache)}
+
+
+def _common(env):
+    return ["--dataset", "AmsterTime", "--workdir", env["workdir"],
+            "--data-root", env["data_root"]]
+
+
+def test_cli_extract_vocab_evaluate(toy_env, capsys):
+    env = toy_env
+    cli.main(["extract", *_common(env), "--method", "DINO",
+              "--dino-model", "dinov2_vits14", "--layer", "3"])
+    assert os.path.exists(os.path.join(env["workdir"],
+                                       "AmsterTime_r_dino_112.h5"))
+
+    cli.main(["vocab", *_common(env), "--clusters", "8",
+              "--cache-root", env["cache"], "--domain", "urban"])
+    vocab_path = os.path.join(env["cache"], "vocabulary", "dinov2_vitg14",
+                              "l31_value_c32", "urban", "c_centers.pt")
+    assert os.path.exists(vocab_path)
+
+    cli.main(["evaluate", *_common(env), "--experiment",
+              "exp7_global_SegLoc_VLAD_o3", "--vocab-vlad", "domain",
+              "--cache-root", env["cache"], "--save-results"])
+    out = capsys.readouterr().out
+    assert "Recall@1..5" in out
+    results = os.path.join(env["workdir"], "results", "global",
+                           "exp7_global_SegLoc_VLAD_o3_AmsterTime")
+    assert os.path.exists(os.path.join(results, "recalls.json"))
+
+    # identity-gt toy retrieval with noisy-copy queries should be perfect
+    import json
+    with open(os.path.join(results, "recalls.json")) as f:
+        recalls = json.load(f)["recalls"]
+    assert recalls[0] >= 0.5, recalls
+
+
+def test_cli_anyloc_branch(toy_env, capsys):
+    env = toy_env
+    cli.main(["extract", *_common(env), "--method", "DINO",
+              "--dino-model", "dinov2_vits14", "--layer", "3"])
+    cli.main(["vocab", *_common(env), "--clusters", "8",
+              "--cache-root", env["cache"], "--domain", "urban"])
+    cli.main(["evaluate", *_common(env), "--experiment",
+              "exp1_global_Anyloc", "--vocab-vlad", "domain",
+              "--cache-root", env["cache"]])
+    assert "Recall@1..5" in capsys.readouterr().out
+
+
+def test_cli_unknown_dataset():
+    with pytest.raises(KeyError):
+        cli.main(["extract", "--dataset", "nope", "--method", "DINO"])
