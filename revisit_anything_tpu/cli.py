@@ -65,6 +65,27 @@ def cmd_extract(args):
             extract_sam_masks(paths, keys, out, params, cfg,
                               ds.sam_size.hw)
             print(f"wrote {out}")
+    elif args.method == "DINONV":
+        # SegVLAD-FineT backbone extraction (place_rec_DINO_finetuned.py):
+        # DINOv2-B + NetVLAD checkpoint, 768-d dense features, full res.
+        from revisit_anything_tpu.pipeline.extract import (
+            extract_dinonv_features_to_h5)
+        from revisit_anything_tpu.training.vladbuff import (
+            load_vladbuff_checkpoint)
+        cfg = dn.VIT_B14
+        if args.checkpoint:
+            params = load_vladbuff_checkpoint(args.checkpoint, cfg)
+        else:
+            raise SystemExit("--method DINONV requires --checkpoint "
+                             "(DnV2_NV/last.ckpt)")
+        for tag, paths in sets.items():
+            out = os.path.join(args.workdir,
+                               ds.dino_nv_h5_ref if tag == "r"
+                               else ds.dino_nv_h5_query)
+            keys = [os.path.basename(p) for p in paths]
+            extract_dinonv_features_to_h5(paths, keys, out, params, cfg,
+                                          ds.size.hw)
+            print(f"wrote {out}")
     elif args.method == "DINO":
         cfg = dn.CONFIGS[args.dino_model]
         if args.checkpoint:
@@ -110,10 +131,13 @@ def _load_banks(args, exp, ds, centers):
     from revisit_anything_tpu.io.h5io import list_image_keys
     from revisit_anything_tpu.pipeline import compute_segment_vlads
 
+    finetuned = getattr(args, "finetuned", False)
+    dino_r = ds.dino_nv_h5_ref if finetuned else ds.dino_h5_ref
+    dino_q = ds.dino_nv_h5_query if finetuned else ds.dino_h5_query
     banks = {}
     for tag, masks_name, dino_name in (
-            ("r", ds.masks_h5_ref, ds.dino_h5_ref),
-            ("q", ds.masks_h5_query, ds.dino_h5_query)):
+            ("r", ds.masks_h5_ref, dino_r),
+            ("q", ds.masks_h5_query, dino_q)):
         masks_h5 = os.path.join(args.workdir, masks_name)
         dino_h5 = os.path.join(args.workdir, dino_name)
         with h5py.File(dino_h5, "r") as f:
@@ -128,7 +152,8 @@ def _load_centers(args, ds):
     from revisit_anything_tpu.config import WorkdirConfig
     from revisit_anything_tpu.io.vocab import load_cluster_centers
     vocab_id = ds.vocab_id(args.vocab_vlad)
-    path = WorkdirConfig(cache_root=args.cache_root).vocab_path(vocab_id)
+    path = WorkdirConfig(cache_root=args.cache_root).vocab_path(
+        vocab_id, finetuned=getattr(args, "finetuned", False))
     return load_cluster_centers(path)
 
 
@@ -222,7 +247,8 @@ def main(argv=None):
 
     p = sub.add_parser("extract", help="SAM masks / DINO features → h5")
     _add_common(p)
-    p.add_argument("--method", required=True, choices=["SAM", "DINO"])
+    p.add_argument("--method", required=True,
+                   choices=["SAM", "DINO", "DINONV"])
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--sam-variant", default="vit_h",
                    choices=["vit_h", "vit_l", "vit_b"])
@@ -243,6 +269,7 @@ def main(argv=None):
     p = sub.add_parser("pca", help="fit whitened PCA on ref segment VLADs")
     _add_common(p)
     p.add_argument("--experiment", required=True)
+    p.add_argument("--finetuned", action="store_true")
     p.add_argument("--vocab-vlad", default="domain",
                    choices=["domain", "map"])
     p.add_argument("--dim", type=int, default=1024)
@@ -252,6 +279,8 @@ def main(argv=None):
     p = sub.add_parser("evaluate", help="retrieval + Recall@K")
     _add_common(p)
     p.add_argument("--experiment", required=True)
+    p.add_argument("--finetuned", action="store_true",
+                   help="SegVLAD-FineT path: dinoNV h5s + NVFinetuned vocab")
     p.add_argument("--vocab-vlad", default="domain",
                    choices=["domain", "map"])
     p.add_argument("--save-results", action="store_true")

@@ -141,13 +141,46 @@ def _decode_batch(params: Params, cfg: SamArchConfig,
     return masks_bool, iou, stability, boxes
 
 
+def _pack_bits(masks: jnp.ndarray) -> jnp.ndarray:
+    """bool [M, H, W] → uint8 [M, H, ceil(W/8)] (np.unpackbits layout) —
+    device→host mask transfers shrink 8x (the tunnel readback dominated
+    AMG wall time)."""
+    m, h, w = masks.shape
+    pad = (-w) % 8
+    x = jnp.pad(masks, ((0, 0), (0, 0), (0, pad))).astype(jnp.uint8)
+    x = x.reshape(m, h, (w + pad) // 8, 8)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    return jnp.sum(x * weights, axis=-1, dtype=jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("amg", "max_out"))
+def _select_and_pack(masks, iou, stab, boxes, valid, amg: AmgConfig,
+                     max_out: int):
+    """On-device filtering + greedy NMS + top-K gather + bit-packing:
+    only the kept masks' bits leave the device."""
+    from revisit_anything_tpu.ops.nms import nms_keep_mask
+    keep = (valid
+            & (iou > amg.pred_iou_thresh)
+            & (stab >= amg.stability_score_thresh))
+    scores = jnp.where(keep, iou, -jnp.inf)
+    nms_keep = nms_keep_mask(boxes, scores, amg.box_nms_thresh)
+    final_scores = jnp.where(nms_keep & keep, iou, -jnp.inf)
+    order = jnp.argsort(-final_scores)[:max_out]           # score desc
+    n_kept = jnp.sum(final_scores > -jnp.inf)
+    packed = _pack_bits(masks[order])
+    return packed, order, n_kept
+
+
 def generate_masks(params: Params, cfg: SamArchConfig,
                    image_rgb: np.ndarray,
-                   amg: AmgConfig = AmgConfig()) -> List[MaskRecord]:
+                   amg: AmgConfig = AmgConfig(),
+                   max_masks: int = 512) -> List[MaskRecord]:
     """Full automatic mask generation for one RGB uint8 image.
 
     Returns MaskRecords ordered by predicted IoU desc (torchvision-NMS keep
-    order, matching the reference's output ordering).
+    order, matching the reference's output ordering). ``max_masks`` caps
+    the device→host transfer (post-NMS mask counts are far below it in
+    practice; hit only by pathological inputs).
     """
     h, w = image_rgb.shape[:2]
     batched, input_hw = preprocess_image(image_rgb, cfg)
@@ -171,37 +204,39 @@ def generate_masks(params: Params, cfg: SamArchConfig,
             [pts_orig, np.zeros((pad, 2), np.float32)], axis=0)
     valid_pts = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
 
-    all_masks, all_iou, all_stab, all_boxes, all_pts, all_valid = \
-        [], [], [], [], [], []
+    # all decode batches stay on device; no host sync inside the loop
+    dm, di, dst, dbx = [], [], [], []
     for s in range(0, len(pts_1024), bsz):
         mb, io, st, bx = _decode_batch(
             params, cfg, embedding, image_pe,
             jnp.asarray(pts_1024[s:s + bsz]), input_hw, (h, w), amg)
-        all_masks.append(np.asarray(mb))
-        all_iou.append(np.asarray(io))
-        all_stab.append(np.asarray(st))
-        all_boxes.append(np.asarray(bx))
-        all_pts.append(np.repeat(pts_orig[s:s + bsz], 3, axis=0))
-        all_valid.append(np.repeat(valid_pts[s:s + bsz], 3))
+        dm.append(mb); di.append(io); dst.append(st); dbx.append(bx)
 
-    masks = np.concatenate(all_masks)
-    iou = np.concatenate(all_iou)
-    stab = np.concatenate(all_stab)
-    boxes = np.concatenate(all_boxes)
-    points = np.concatenate(all_pts)
-    valid = np.concatenate(all_valid)
+    masks_dev = jnp.concatenate(dm)
+    iou_dev = jnp.concatenate(di)
+    stab_dev = jnp.concatenate(dst)
+    boxes_dev = jnp.concatenate(dbx)
+    valid_dev = jnp.asarray(np.repeat(valid_pts, 3))
 
-    keep = (valid
-            & (iou > amg.pred_iou_thresh)
-            & (stab >= amg.stability_score_thresh))
-    idx = np.where(keep)[0]
-    if idx.size == 0:
+    max_out = min(max_masks, masks_dev.shape[0])
+    packed, order, n_kept = _select_and_pack(
+        masks_dev, iou_dev, stab_dev, boxes_dev, valid_dev, amg, max_out)
+
+    n_kept = int(n_kept)
+    if n_kept == 0:
         return []
+    n_kept = min(n_kept, max_out)
+    order = np.asarray(order)[:n_kept]
+    packed_np = np.asarray(packed)[:n_kept]
+    iou = np.asarray(iou_dev)
+    stab = np.asarray(stab_dev)
+    points = np.repeat(pts_orig, 3, axis=0)
 
-    kept_order = nms_host(boxes[idx], iou[idx], amg.box_nms_thresh)
-    final = idx[kept_order]
+    # unpack bits → bool [n_kept, h, w]
+    unpacked = np.unpackbits(packed_np, axis=-1)[:, :, :w].astype(bool)
 
-    final_masks = [masks[i] for i in final]
+    final = order
+    final_masks = [unpacked[j] for j in range(n_kept)]
     if amg.min_mask_region_area > 0 and len(final):
         final_masks, keep2 = _postprocess_small_regions(
             final_masks, amg.min_mask_region_area, amg.box_nms_thresh)

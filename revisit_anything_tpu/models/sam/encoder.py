@@ -78,17 +78,21 @@ def _attention(x: jnp.ndarray, blk: Params, cfg: SamArchConfig) -> jnp.ndarray:
     qkv = qkv.reshape(b, h * w, 3, nh, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # [b, hw, nh, hd]
 
+    # In bf16 the [b, nh, N, N] score tensors stay bf16 (halves HBM traffic
+    # of the 4096-token global layers); f32 inference keeps f32 scores.
+    acc_t = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+
     scale = hd ** -0.5
     logits = jnp.einsum("bnhd,bmhd->bhnm", q, k,
-                        preferred_element_type=jnp.float32) * scale
+                        preferred_element_type=acc_t) * scale
 
     rh = _rel_pos_gather(blk["rel_pos_h"], h, h)         # [h, h, hd]
     rw = _rel_pos_gather(blk["rel_pos_w"], w, w)         # [w, w, hd]
     qg = q.reshape(b, h, w, nh, hd)
-    bias_h = jnp.einsum("bhwnd,hkd->bnhwk", qg, rh,
-                        preferred_element_type=jnp.float32)
-    bias_w = jnp.einsum("bhwnd,wkd->bnhwk", qg, rw,
-                        preferred_element_type=jnp.float32)
+    bias_h = jnp.einsum("bhwnd,hkd->bnhwk", qg, rh.astype(q.dtype),
+                        preferred_element_type=acc_t)
+    bias_w = jnp.einsum("bhwnd,wkd->bnhwk", qg, rw.astype(q.dtype),
+                        preferred_element_type=acc_t)
     # bias_h [b,nh,h,w,kh] + bias_w [b,nh,h,w,kw] → [b,nh,h,w,kh,kw]
     bias = bias_h[:, :, :, :, :, None] + bias_w[:, :, :, :, None, :]
     logits = logits + bias.reshape(b, nh, h * w, h * w)

@@ -101,3 +101,39 @@ def extract_dino_features(image_paths: Sequence[str],
             if progress:
                 print(f"[dino] {s + len(paths)}/{len(image_paths)}",
                       flush=True)
+
+
+def extract_dinonv_features_to_h5(image_paths: Sequence[str],
+                                  image_keys: Sequence[str],
+                                  out_h5_path: str,
+                                  vladbuff_params,
+                                  cfg: "dn.DinoV2Config",
+                                  target_hw: Tuple[int, int],
+                                  batch_size: int = 8,
+                                  progress: bool = True) -> None:
+    """SegVLAD-FineT dense backbone features (768-d, UNnormalized — the
+    reference stores them raw, func_vpr.py process_DINONV :1739-1760) →
+    *_dinoNV_*.h5 with the ift_dino dataset name."""
+    from revisit_anything_tpu.training.vladbuff import (
+        extract_dinonv_features)
+    timer = stage_timer()
+    with h5py.File(out_h5_path, "w") as f:
+        for s in range(0, len(image_paths), batch_size):
+            paths = image_paths[s:s + batch_size]
+            keys = image_keys[s:s + batch_size]
+            with timer.stage("dinonv.load"):
+                imgs = np.stack([
+                    _resize_cv2_bilinear(load_image_rgb(p),
+                                         (target_hw[1], target_hw[0]))
+                    for p in paths])
+                x = dn.preprocess(imgs)
+            with timer.stage("dinonv.forward"):
+                feats = extract_dinonv_features(vladbuff_params, cfg,
+                                                jnp.asarray(x))
+                feats_np = np.asarray(feats, dtype=np.float32)
+            with timer.stage("dinonv.write"):
+                for i, key in enumerate(keys):
+                    write_dino_features(f, key, feats_np[i:i + 1])
+            if progress:
+                print(f"[dinoNV] {s + len(paths)}/{len(image_paths)}",
+                      flush=True)

@@ -1,0 +1,46 @@
+"""Training checkpoint / resume (orbax) + torch-interop export.
+
+The reference's checkpointing is Lightning ModelCheckpoint
+(VLAD-BuFF/train.py:383-392) + stage artifacts as resume points (SURVEY
+§5.4). Here training state (params/opt_state/step) persists via orbax;
+pipeline artifacts (h5/npz/pt) remain the stage-level resume mechanism.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def save_train_state(ckpt_dir: str, params: Any, opt_state: Any,
+                     step: int) -> str:
+    """Save a training checkpoint; returns the checkpoint path."""
+    import orbax.checkpoint as ocp
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    path = os.path.join(ckpt_dir, f"step_{int(step):08d}")
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, {"params": params, "opt_state": opt_state,
+                          "step": np.asarray(int(step))})
+    return path
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [d for d in os.listdir(ckpt_dir) if d.startswith("step_")]
+    if not steps:
+        return None
+    return os.path.join(ckpt_dir, sorted(steps)[-1])
+
+
+def restore_train_state(path: str, params_like: Any, opt_state_like: Any):
+    """Restore (params, opt_state, step) matching the given abstract trees."""
+    import orbax.checkpoint as ocp
+    target = {"params": params_like, "opt_state": opt_state_like,
+              "step": np.asarray(0)}
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.abspath(path), target)
+    return restored["params"], restored["opt_state"], int(restored["step"])

@@ -1,0 +1,125 @@
+"""VLAD-BuFF model import + inference — the SegVLAD-FineT backbone path.
+
+The reference's loadDINONV (func_vpr.py:1679-1737) builds
+VPRModel(dinov2_vitb14 backbone [4 trainable blocks] + NetVLAD-64) from the
+released DnV2_NV Lightning checkpoint, and place_rec_DINO_finetuned.py
+writes the backbone's 768-d dense features to ``*_dinoNV_*.h5``
+(unnormalized — func_vpr.py process_DINONV :1739-1760). Here:
+
+- ``convert_vladbuff_checkpoint`` maps the Lightning state dict
+  (backbone.model.* + aggregator.*) onto our DINOv2 param tree + NetVLAD
+  aggregator params (+ optional baked WPCA conv);
+- ``extract_dinonv_features`` runs the backbone densely (full resolution,
+  layer = full depth, token facet, final norm), matching the VLAD-BuFF
+  DINOv2 wrapper (models/backbones/dinov2.py:40-77);
+- ``global_descriptor`` = backbone + NetVLAD (+WPCA) for the VLAD-BuFF
+  eval.py benchmark path;
+- ``fit_wpca`` reproduces add_pca.py's eig-PCA-with-whitening baked as a
+  linear layer (add_pca.py:63-123, :389-596).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from revisit_anything_tpu.models import dinov2 as dn
+from revisit_anything_tpu.ops.vlad import l2_normalize
+from revisit_anything_tpu.training.aggregators import netvlad_forward
+
+Params = Dict[str, Any]
+
+
+def convert_vladbuff_checkpoint(state_dict: Dict[str, np.ndarray],
+                                cfg: dn.DinoV2Config = dn.VIT_B14
+                                ) -> Params:
+    """Lightning VPRModel state dict → {"backbone", "aggregator", "wpca"?}.
+
+    Keys: backbone.model.<dinov2 hub layout>, aggregator.conv.weight
+    [C, D, 1, 1], aggregator.centroids [C, D], optional
+    aggregator.ab_params [3], optional WPCA conv (wpca.*/WPCA layers from
+    add_pca.py:560-600).
+    """
+    bb_sd = {k[len("backbone.model."):]: v for k, v in state_dict.items()
+             if k.startswith("backbone.model.")}
+    backbone = dn.convert_dinov2_hub_state_dict(bb_sd, cfg)
+
+    g = lambda k: np.asarray(state_dict[k], dtype=np.float32)
+    agg: Params = {
+        "assign_w": jnp.asarray(
+            g("aggregator.conv.weight")[:, :, 0, 0].T),   # [D, C]
+        "centroids": jnp.asarray(g("aggregator.centroids")),
+    }
+    if "aggregator.ab_params" in state_dict:
+        agg["ab_params"] = jnp.asarray(g("aggregator.ab_params"))
+
+    out: Params = {"backbone": backbone, "aggregator": agg}
+    wpca_keys = [k for k in state_dict if "wpca" in k.lower()
+                 and k.endswith(".weight")]
+    if wpca_keys:
+        wk = wpca_keys[0]
+        w = g(wk)
+        w = w[:, :, 0, 0] if w.ndim == 4 else w
+        bk = wk[:-len(".weight")] + ".bias"
+        out["wpca"] = {"w": jnp.asarray(w),
+                       "b": jnp.asarray(g(bk)) if bk in state_dict
+                       else jnp.zeros((w.shape[0],), jnp.float32)}
+    return out
+
+
+def load_vladbuff_checkpoint(path: str,
+                             cfg: dn.DinoV2Config = dn.VIT_B14) -> Params:
+    import torch  # host-side deserialization only
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    return convert_vladbuff_checkpoint(
+        {k: v.numpy() for k, v in sd.items()}, cfg)
+
+
+def extract_dinonv_features(params: Params, cfg: dn.DinoV2Config,
+                            images: jnp.ndarray) -> jnp.ndarray:
+    """Dense 768-d backbone features [B, D, gh, gw] (token facet, final
+    norm) — what the reference stores in *_dinoNV_*.h5 (unnormalized)."""
+    tokens = dn.forward_tokens(params["backbone"], cfg, images,
+                               final_norm=True)
+    patches = tokens[:, 1 + cfg.num_register_tokens:]
+    b, n, d = patches.shape
+    gh = images.shape[1] // cfg.patch_size
+    gw = images.shape[2] // cfg.patch_size
+    return patches.reshape(b, gh, gw, d).transpose(0, 3, 1, 2)
+
+
+def global_descriptor(params: Params, cfg: dn.DinoV2Config,
+                      images: jnp.ndarray) -> jnp.ndarray:
+    """Whole-image VLAD-BuFF descriptor: backbone → NetVLAD (→ WPCA,
+    L2-normalized) — the eval.py inference path."""
+    feats = extract_dinonv_features(params, cfg, images)
+    desc = netvlad_forward(params["aggregator"], feats)
+    if "wpca" in params:
+        desc = jnp.dot(desc, params["wpca"]["w"].T,
+                       preferred_element_type=jnp.float32) \
+            + params["wpca"]["b"]
+        desc = l2_normalize(desc, axis=1)
+    return desc
+
+
+def fit_wpca(descriptors: jnp.ndarray, num_components: int,
+             eps: float = 1e-12) -> Dict[str, jnp.ndarray]:
+    """Whitened PCA baked as a linear layer y = W x + b
+    (add_pca.py pca() :63-123): eigendecomposition of the covariance,
+    W = diag(1/sqrt(lam)) U^T, b = -W mu."""
+    x = descriptors.astype(jnp.float32)
+    mu = jnp.mean(x, axis=0)
+    xc = x - mu
+    cov = jnp.dot(xc.T, xc, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST) / (x.shape[0] - 1)
+    lam, u = jnp.linalg.eigh(cov)
+    order = jnp.argsort(-lam)[:num_components]
+    lam = jnp.maximum(lam[order], eps)
+    u = u[:, order]
+    w = (u / jnp.sqrt(lam)[None, :]).T           # [K, D]
+    b = -jnp.dot(w, mu, precision=jax.lax.Precision.HIGHEST)
+    return {"w": w, "b": b}
