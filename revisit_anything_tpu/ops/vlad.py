@@ -102,6 +102,35 @@ def segment_vlad(desc: jnp.ndarray,
     return l2_normalize(flat, axis=-1)
 
 
+@partial(jax.jit, static_argnames=("intra_norm",))
+def soft_global_vlad(desc: jnp.ndarray, centers: jnp.ndarray,
+                     soft_temp: float = 1.0,
+                     intra_norm: bool = True) -> jnp.ndarray:
+    """Soft-assignment whole-image VLAD (utilities.py VLAD.generate, soft
+    branch :863-888): softmax(temp * cosine(desc, centers)) over clusters;
+    cluster k accumulates soft[q,k] * Σ_c (desc_q − center_c) — the
+    residual sum runs over ALL centers, reproducing the reference's
+    einops-rearranged reduction exactly.
+
+    Returns [C*D], L2-normalized.
+    """
+    desc = desc.astype(jnp.float32)
+    centers = centers.astype(jnp.float32)
+    c, d = centers.shape
+    cos = jnp.dot(l2_normalize(desc, axis=1), l2_normalize(centers, axis=1).T,
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    soft = jax.nn.softmax(soft_temp * cos, axis=1)           # [Q, C]
+    # Σ_c (x_q − center_c) = C·x_q − Σ_c center_c
+    res_all = c * desc - jnp.sum(centers, axis=0)            # [Q, D]
+    vlad = jnp.dot(soft.T, res_all,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)      # [C, D]
+    if intra_norm:
+        vlad = l2_normalize(vlad, axis=1)
+    return l2_normalize(vlad.reshape(-1), axis=0)
+
+
 def global_vlad(desc: jnp.ndarray, centers: jnp.ndarray,
                 num_clusters: int = NUM_CLUSTERS) -> jnp.ndarray:
     """AnyLoc-style whole-image VLAD (utilities.py VLAD.generate, hard mode).

@@ -38,6 +38,20 @@ def _resize_cv2_bilinear(img: np.ndarray, wh: Tuple[int, int]) -> np.ndarray:
     return cv2.resize(img, wh, interpolation=cv2.INTER_LINEAR)
 
 
+def _fallback_records(hw: Tuple[int, int]):
+    """Synthetic masks for images where the AMG keeps nothing
+    (the reference's FastSAM empty-output fallback, func_vpr.py:721-736)."""
+    from revisit_anything_tpu.io.h5io import MaskRecord
+    h, w = hw
+    full = np.ones((h, w), dtype=bool)
+    pixel = np.zeros((h, w), dtype=bool)
+    rng = np.random.default_rng(0)
+    pixel[rng.integers(0, h), rng.integers(0, w)] = True
+    return [MaskRecord(m, int(m.sum()), (0, 0, 0, 0), 0.0,
+                       np.zeros((1, 2)), 0.0, (0, 0, w, h))
+            for m in (full, pixel)]
+
+
 def extract_sam_masks(image_paths: Sequence[str],
                       image_keys: Sequence[str],
                       out_h5_path: str,
@@ -56,6 +70,11 @@ def extract_sam_masks(image_paths: Sequence[str],
                 img = _resize_cv2_bilinear(img, (target_hw[1], target_hw[0]))
             with timer.stage("sam.generate"):
                 records = generate_masks(sam_params, sam_cfg, img, amg)
+                if not records:
+                    # Zero-mask fallback (func_vpr.py:721-736): a full-frame
+                    # mask + a single-random-pixel mask keep the downstream
+                    # segment table non-empty for degenerate images.
+                    records = _fallback_records(target_hw)
             with timer.stage("sam.write"):
                 write_image_masks(f, key, records)
             if progress:

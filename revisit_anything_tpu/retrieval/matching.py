@@ -74,6 +74,24 @@ def get_matches_host(matches: np.ndarray,
             order = np.flip(np.argsort(s.ravel(), kind="stable")[-50:])
             pred = im_inds_ref[m.ravel()[order]]
             preds.append(np.array(first_k_unique(pred.tolist(), n)))
+        elif method == "max_seg":
+            # top-n db images by segment-vote count, rank-1 matches only
+            # (func_vpr.py:91-100)
+            counts = np.bincount(im_inds_ref[m[:, 0]])
+            nonzero = np.where(counts > 0)[0]
+            top = nonzero[np.flip(
+                np.argsort(counts[nonzero], kind="stable")[-n:])]
+            preds.append(top)
+        elif method == "max_seg_sim":
+            # top-6 by vote count, re-ranked by each image's best similarity
+            # (func_vpr.py:102-120)
+            counts = np.bincount(im_inds_ref[m[:, 0]])
+            nonzero = np.where(counts > 0)[0]
+            cand = nonzero[np.flip(
+                np.argsort(counts[nonzero], kind="stable")[-6:])]
+            best = [np.max(s[:, 0][im_inds_ref[m[:, 0]] == c])
+                    for c in cand]
+            preds.append(cand[np.flip(np.argsort(best, kind="stable"))][:n])
         elif method == "max_seg_topk":
             counts = np.bincount(im_inds_ref[m.ravel()])
             nonzero = np.where(counts > 0)[0]

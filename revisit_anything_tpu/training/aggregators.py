@@ -15,6 +15,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from revisit_anything_tpu.ops.vlad import l2_normalize
 
@@ -95,6 +96,174 @@ def gem_pool(features: jnp.ndarray, p: float = 3.0,
     """GeM pooling (aggregation.py GeM): [B, D, H, W] → [B, D]."""
     x = jnp.clip(features, eps, None) ** p
     return jnp.mean(x, axis=(2, 3)) ** (1.0 / p)
+
+
+def mac_pool(features: jnp.ndarray) -> jnp.ndarray:
+    """MAC: global max pool (aggregation.py MAC)."""
+    return jnp.max(features, axis=(2, 3))
+
+
+def spoc_pool(features: jnp.ndarray) -> jnp.ndarray:
+    """SPoC: global sum/average pool (aggregation.py SPoC)."""
+    return jnp.mean(features, axis=(2, 3))
+
+
+def rmac_pool(features: jnp.ndarray, levels: int = 3,
+              eps: float = 1e-12) -> jnp.ndarray:
+    """R-MAC (aggregation.py RMAC): multi-scale regional max pooling with
+    ~40% overlap, per-region L2, summed, final L2. [B, D, H, W] → [B, D]."""
+    b, d, hgt, wid = features.shape
+    out = jnp.zeros((b, d), jnp.float32)
+    ovr = 0.4
+    steps = np.array([2, 3, 4, 5, 6, 7])
+    w_min = min(hgt, wid)
+    # region size per level follows the cnnimageretrieval recipe
+    for lvl in range(1, levels + 1):
+        wl = int(2 * w_min / (lvl + 1))
+        if wl == 0:
+            continue
+        if lvl == 1:
+            nh = nw = 1
+        else:
+            nw = lvl + (1 if wid > hgt else 0)
+            nh = lvl + (1 if hgt > wid else 0)
+        xs = (np.linspace(0, wid - wl, nw)).astype(int)
+        ys = (np.linspace(0, hgt - wl, nh)).astype(int)
+        for y0 in ys:
+            for x0 in xs:
+                reg = features[:, :, y0:y0 + wl, x0:x0 + wl]
+                v = jnp.max(reg, axis=(2, 3))
+                v = v / jnp.maximum(
+                    jnp.linalg.norm(v, axis=1, keepdims=True), eps)
+                out = out + v
+    return out / jnp.maximum(jnp.linalg.norm(out, axis=1, keepdims=True),
+                             eps)
+
+
+def cosplace_init(key: jax.Array, in_dim: int, out_dim: int,
+                  dtype=jnp.float32) -> Params:
+    k = jax.random.split(key, 1)[0]
+    return {"fc_w": jax.random.normal(k, (in_dim, out_dim), dtype) * 0.02,
+            "fc_b": jnp.zeros((out_dim,), dtype),
+            "gem_p": jnp.ones((), dtype) * 3.0}
+
+
+def cosplace_forward(params: Params, features: jnp.ndarray) -> jnp.ndarray:
+    """CosPlace (cosplace.py): channel-L2 → GeM(learnable p) → FC → L2."""
+    x = l2_normalize(features, axis=1)
+    x = gem_pool(x, p=params["gem_p"])
+    x = jnp.dot(x, params["fc_w"]) + params["fc_b"]
+    return l2_normalize(x, axis=1)
+
+
+def convap_init(key: jax.Array, in_dim: int, out_dim: int = 512,
+                dtype=jnp.float32) -> Params:
+    return {"conv_w": jax.random.normal(key, (in_dim, out_dim),
+                                        dtype) * 0.02,
+            "conv_b": jnp.zeros((out_dim,), dtype)}
+
+
+def convap_forward(params: Params, features: jnp.ndarray,
+                   s1: int = 2, s2: int = 2) -> jnp.ndarray:
+    """ConvAP (convap.py): 1x1 channel conv → adaptive s1xs2 avg pool →
+    flatten → L2."""
+    b, d, hgt, wid = features.shape
+    x = jnp.einsum("bdhw,do->bohw", features, params["conv_w"],
+                   preferred_element_type=jnp.float32)
+    x = x + params["conv_b"][None, :, None, None]
+    # adaptive average pooling to (s1, s2): torch bin edges
+    def pool_axis(arr, axis, out_size, in_size):
+        starts = (np.arange(out_size) * in_size) // out_size
+        ends = -(-((np.arange(out_size) + 1) * in_size) // out_size)
+        pieces = [jnp.mean(jax.lax.slice_in_dim(arr, int(s), int(e), axis=axis),
+                           axis=axis, keepdims=True)
+                  for s, e in zip(starts, ends)]
+        return jnp.concatenate(pieces, axis=axis)
+    x = pool_axis(x, 2, s1, hgt)
+    x = pool_axis(x, 3, s2, wid)
+    return l2_normalize(x.reshape(b, -1), axis=1)
+
+
+def mixvpr_init(key: jax.Array, in_channels: int, in_h: int, in_w: int,
+                out_channels: int = 512, mix_depth: int = 1,
+                mlp_ratio: float = 1.0, out_rows: int = 4,
+                dtype=jnp.float32) -> Params:
+    hw = in_h * in_w
+    ks = jax.random.split(key, 2 * mix_depth + 2)
+    mixers = []
+    for i in range(mix_depth):
+        hid = int(hw * mlp_ratio)
+        mixers.append({
+            "ln": {"scale": jnp.ones((hw,), dtype),
+                   "bias": jnp.zeros((hw,), dtype)},
+            "fc1": {"w": jax.random.normal(ks[2 * i], (hw, hid),
+                                           dtype) * 0.02,
+                    "b": jnp.zeros((hid,), dtype)},
+            "fc2": {"w": jax.random.normal(ks[2 * i + 1], (hid, hw),
+                                           dtype) * 0.02,
+                    "b": jnp.zeros((hw,), dtype)},
+        })
+    return {
+        "mixers": mixers,
+        "channel_proj": {"w": jax.random.normal(
+            ks[-2], (in_channels, out_channels), dtype) * 0.02,
+            "b": jnp.zeros((out_channels,), dtype)},
+        "row_proj": {"w": jax.random.normal(ks[-1], (hw, out_rows),
+                                            dtype) * 0.02,
+                     "b": jnp.zeros((out_rows,), dtype)},
+    }
+
+
+def mixvpr_forward(params: Params, features: jnp.ndarray) -> jnp.ndarray:
+    """MixVPR (mixvpr.py): feature-mixer MLPs over the flattened spatial
+    axis, then channel and row projections. [B, D, H, W] → [B, out_c*rows]."""
+    b, d = features.shape[:2]
+    x = features.reshape(b, d, -1)                        # [B, D, HW]
+    for mx in params["mixers"]:
+        h = x
+        mu = jnp.mean(h, axis=-1, keepdims=True)
+        var = jnp.var(h, axis=-1, keepdims=True)
+        h = (h - mu) * jax.lax.rsqrt(var + 1e-5)
+        h = h * mx["ln"]["scale"] + mx["ln"]["bias"]
+        h = jax.nn.relu(jnp.dot(h, mx["fc1"]["w"]) + mx["fc1"]["b"])
+        h = jnp.dot(h, mx["fc2"]["w"]) + mx["fc2"]["b"]
+        x = x + h
+    x = jnp.einsum("bdp,do->bpo", x, params["channel_proj"]["w"]) \
+        + params["channel_proj"]["b"]                     # [B, HW, O]
+    x = jnp.einsum("bpo,pr->bro", x, params["row_proj"]["w"]) \
+        + params["row_proj"]["b"][:, None]                # [B, R, O]
+    return l2_normalize(x.reshape(b, -1), axis=1)
+
+
+def rrm_init(key: jax.Array, dim: int, dtype=jnp.float32) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "ln1": {"scale": jnp.ones((dim,), dtype),
+                "bias": jnp.zeros((dim,), dtype)},
+        "fc1": {"w": jax.random.normal(k1, (dim, dim), dtype) * 0.02,
+                "b": jnp.zeros((dim,), dtype)},
+        "fc2": {"w": jax.random.normal(k2, (dim, dim), dtype) * 0.02,
+                "b": jnp.zeros((dim,), dtype)},
+        "ln2": {"scale": jnp.ones((dim,), dtype),
+                "bias": jnp.zeros((dim,), dtype)},
+    }
+
+
+def rrm_forward(params: Params, features: jnp.ndarray) -> jnp.ndarray:
+    """Residual Retrieval Module (aggregation.py RRM): GAP → LN → residual
+    MLP → LN → L2."""
+    def ln(x, p):
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + 1e-5) * p["scale"] + p["bias"]
+
+    x = jnp.mean(features, axis=(2, 3))
+    x = ln(x, params["ln1"])
+    h = jnp.dot(jax.nn.relu(jnp.dot(x, params["fc1"]["w"])
+                            + params["fc1"]["b"]), params["fc2"]["w"]) \
+        + params["fc2"]["b"]
+    x = ln(x + h, params["ln2"])
+    return l2_normalize(x, axis=1)
 
 
 # ---------------------------------------------------------------------------
