@@ -111,9 +111,20 @@ def _decode_batch(params: Params, cfg: SamArchConfig,
     iou = iou.reshape(-1)
 
     # postprocess_masks (sam.py:144-174): lowres → 1024² → unpad → original.
-    m = bilinear_resize_torch(m, (cfg.image_size, cfg.image_size))
-    m = m[:, :input_hw[0], :input_hw[1]]
-    m = bilinear_resize_torch(m, orig_hw)
+    # The chain (bilinear 256→1024, slice to input, bilinear → original) is
+    # a composition of per-axis linear maps — fused here into ONE exact
+    # [orig, 256] matrix per axis, never materializing the 1024² tensor
+    # (which at 256 prompts × 3 masks is 3.2 GB f32).
+    from revisit_anything_tpu.ops.resize import bilinear_weight_matrix
+    up_h = bilinear_weight_matrix(cfg.image_size, cfg.lowres_size)
+    wh = jnp.asarray(
+        bilinear_weight_matrix(orig_hw[0], input_hw[0]) @ up_h[:input_hw[0]])
+    ww = jnp.asarray(
+        bilinear_weight_matrix(orig_hw[1], input_hw[1]) @ up_h[:input_hw[1]])
+    m = jnp.einsum("oh,nhw->now", wh, m.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST)
+    m = jnp.einsum("pw,now->nop", ww, m,
+                   precision=jax.lax.Precision.HIGHEST)
 
     # Stability score (utils/amg.py:156-176) on the logits.
     thr = cfg.mask_threshold

@@ -1,0 +1,106 @@
+"""Training data pipeline — GSV-Cities-style place sampling (host-side).
+
+The reference trains on GSV-Cities via a Lightning datamodule
+(VLAD-BuFF/dataloaders/GSVCitiesDataloader.py): each batch element is a
+*place* of ``img_per_place`` views; the flattened batch carries place ids
+as labels for the metric-learning loss. Here the loader is a simple
+generator over a directory layout
+
+    root/<city>/<place_id>/<image>.jpg
+
+(or an explicit {place_id: [paths]} mapping), yielding numpy batches ready
+for the jitted train step — no torch DataLoader; host prefetch is a thread.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from revisit_anything_tpu.datasets.images import IMAGE_EXTS
+from revisit_anything_tpu.models.dinov2 import preprocess
+
+
+def discover_places(root: str, min_images: int = 4) -> Dict[str, List[str]]:
+    """city/place_id/image layout → {place_key: [image paths]}."""
+    places: Dict[str, List[str]] = {}
+    for city in sorted(os.listdir(root)):
+        city_dir = os.path.join(root, city)
+        if not os.path.isdir(city_dir):
+            continue
+        for place in sorted(os.listdir(city_dir)):
+            pdir = os.path.join(city_dir, place)
+            if not os.path.isdir(pdir):
+                continue
+            imgs = [os.path.join(pdir, f) for f in sorted(os.listdir(pdir))
+                    if f.lower().endswith(IMAGE_EXTS)]
+            if len(imgs) >= min_images:
+                places[f"{city}/{place}"] = imgs
+    return places
+
+
+class PlacesBatcher:
+    """Yields (images [B, H, W, 3] float32 normalized, labels [B]) with
+    B = places_per_batch * img_per_place (GSVCitiesDataloader semantics:
+    batch_size places, 4 images each, labels = place index)."""
+
+    def __init__(self, places: Dict[str, List[str]],
+                 image_hw: Tuple[int, int] = (224, 224),
+                 places_per_batch: int = 16,
+                 img_per_place: int = 4,
+                 seed: int = 0,
+                 loader=None):
+        self.place_keys = sorted(places)
+        self.places = places
+        self.image_hw = image_hw
+        self.places_per_batch = places_per_batch
+        self.img_per_place = img_per_place
+        self.rng = np.random.default_rng(seed)
+        self._loader = loader or self._load_image
+
+    def _load_image(self, path: str) -> np.ndarray:
+        import cv2
+        from revisit_anything_tpu.pipeline.extract import load_image_rgb
+        img = load_image_rgb(path)
+        return cv2.resize(img, (self.image_hw[1], self.image_hw[0]),
+                          interpolation=cv2.INTER_LINEAR)
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        order = self.rng.permutation(len(self.place_keys))
+        for s in range(0, len(order) - self.places_per_batch + 1,
+                       self.places_per_batch):
+            sel = order[s:s + self.places_per_batch]
+            imgs, labels = [], []
+            for li, pi in enumerate(sel):
+                paths = self.places[self.place_keys[pi]]
+                take = self.rng.choice(len(paths), self.img_per_place,
+                                       replace=len(paths) <
+                                       self.img_per_place)
+                for t in take:
+                    imgs.append(self._loader(paths[t]))
+                    labels.append(li)
+            batch = preprocess(np.stack(imgs), patch_multiple=True)
+            yield batch, np.asarray(labels, np.int32)
+
+
+def prefetch(iterator, depth: int = 2):
+    """Thread prefetch: overlaps host image IO/decode with device steps."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def worker():
+        for item in iterator:
+            q.put(item)
+        q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item
