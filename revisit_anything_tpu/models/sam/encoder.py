@@ -71,12 +71,35 @@ def _rel_pos_gather(rel_pos: jnp.ndarray, q_size: int, k_size: int) -> jnp.ndarr
 
 def _attention(x: jnp.ndarray, blk: Params, cfg: SamArchConfig) -> jnp.ndarray:
     """Windowed/global attention over NHWC tokens with decomposed rel-pos
-    bias (image_encoder.py:185-240, :292-361)."""
+    bias (image_encoder.py:185-240, :292-361).
+
+    Global layers (4096 tokens, square grid) route through the Pallas
+    flash kernel on TPU — scores never touch HBM; small windowed layers
+    stay on the XLA path."""
     b, h, w, d = x.shape
     nh, hd = cfg.encoder_heads, cfg.head_dim
     qkv = _dense(x.reshape(b, h * w, d), blk["qkv"])
     qkv = qkv.reshape(b, h * w, 3, nh, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # [b, hw, nh, hd]
+
+    use_flash = (jax.default_backend() == "tpu" and h == w
+                 and h * w >= 1024)
+    if use_flash:
+        from revisit_anything_tpu.ops.attention import attend
+        rh = _rel_pos_gather(blk["rel_pos_h"], h, h)
+        rw = _rel_pos_gather(blk["rel_pos_w"], w, w)
+        qg = q.reshape(b, h, w, nh, hd)
+        # q-projected bias components [b, nh, N, side]
+        bias_h = jnp.einsum("bhwnd,hkd->bnhwk", qg, rh.astype(q.dtype),
+                            preferred_element_type=jnp.float32
+                            ).astype(x.dtype).reshape(b, nh, h * w, h)
+        bias_w = jnp.einsum("bhwnd,wkd->bnhwk", qg, rw.astype(q.dtype),
+                            preferred_element_type=jnp.float32
+                            ).astype(x.dtype).reshape(b, nh, h * w, w)
+        out = attend(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                     v.transpose(0, 2, 1, 3), bias_h, bias_w, side=h)
+        out = out.transpose(0, 2, 1, 3).reshape(b, h * w, nh * hd)
+        return _dense(out, blk["proj"]).reshape(b, h, w, d)
 
     # In bf16 the [b, nh, N, N] score tensors stay bf16 (halves HBM traffic
     # of the 4096-token global layers); f32 inference keeps f32 scores.

@@ -1,0 +1,177 @@
+"""Pallas attention kernels for the hot global-attention layers.
+
+SAM ViT-H's 4 global layers attend over 64x64 = 4096 tokens; the XLA path
+materializes [heads, 4096, 4096] score tensors in HBM twice per layer (the
+measured encoder bottleneck). This kernel streams q blocks against K/V held
+in VMEM (4096x128 bf16 K+V ≈ 2 MB — fits comfortably), computing scores
+and softmax entirely on-chip. SAM's decomposed relative-position bias
+(bias[q, k] = bias_h[q, kh] + bias_w[q, kw], image_encoder.py:325-361)
+collapses to two small [N, side] tensors that also live in VMEM, applied by
+a reshape — no [N, N] bias tensor exists anywhere.
+
+Use `attend()` — it pads head_dim/sequence to tile multiples, handles the
+no-bias case (DINOv2), and falls back to the pure-XLA path on non-TPU
+backends.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, eh_ref, ew_ref,
+                 o_ref, *, side: int, valid_len: int, scale: float,
+                 use_bias: bool):
+    """One (batch*head, q-block) step: scores [bq, N] in VMEM, softmax,
+    output [bq, D]."""
+    q = q_ref[0]                       # [bq, D]
+    k = k_ref[0]                       # [N, D]
+    v = v_ref[0]                       # [N, D]
+    n = k.shape[0]
+    bq = q.shape[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale      # [bq, N]
+
+    if use_bias:
+        # bias[q, k] = bh[q, k // side] + bw[q, k % side]; expanded to
+        # [bq, N] with two 0/1 expansion matmuls (Mosaic cannot reshape
+        # the lane dim to [side, side]).
+        bh = bh_ref[0].astype(jnp.float32)               # [bq, sideb]
+        bw = bw_ref[0].astype(jnp.float32)
+        s = s + jax.lax.dot_general(
+            bh, eh_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s + jax.lax.dot_general(
+            bw, ew_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    if valid_len < n:
+        kidx = jax.lax.broadcasted_iota(jnp.int32, (bq, n), 1)
+        s = jnp.where(kidx < valid_len, s, _NEG_INF)
+
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    z = jnp.sum(e, axis=1, keepdims=True)
+    p = (e / z).astype(v.dtype)
+    o_ref[0] = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@partial(jax.jit, static_argnames=("side", "block_q", "interpret", "scale",
+                                   "valid_len"))
+def _flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                     bias_h: Optional[jnp.ndarray],
+                     bias_w: Optional[jnp.ndarray],
+                     side: int = 0,
+                     block_q: int = 256,
+                     interpret: bool = False,
+                     scale: float = 1.0,
+                     valid_len: int = 0) -> jnp.ndarray:
+    """q/k/v: [BH, N, D] (D multiple of 128, N multiple of block_q after
+    caller padding). bias_h/bias_w: [BH, N, side] or None."""
+    bh_, n, d = q.shape
+    use_bias = bias_h is not None
+
+    if not use_bias:
+        bias_h = jnp.zeros((bh_, n, 128), q.dtype)
+        bias_w = bias_h
+
+    grid = (bh_, n // block_q)
+    sideb = bias_h.shape[2]
+
+    # 0/1 expansion maps: eh[i, k] = [k // side == i], ew[j, k] = [k % side
+    # == j]; zero rows for the sideb padding.
+    eh = np.zeros((sideb, n), np.float32)
+    ew = np.zeros((sideb, n), np.float32)
+    if use_bias:
+        ks = np.arange(side * side)
+        eh[ks // side, ks] = 1.0
+        ew[ks % side, ks] = 1.0
+
+    kernel = partial(_attn_kernel, side=side if use_bias else 0,
+                     valid_len=valid_len, scale=scale, use_bias=use_bias)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, sideb), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, sideb), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sideb, n), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sideb, n), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh_, n, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v, bias_h, bias_w, jnp.asarray(eh), jnp.asarray(ew))
+
+
+def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+           bias_h: Optional[jnp.ndarray] = None,
+           bias_w: Optional[jnp.ndarray] = None,
+           side: int = 0,
+           block_q: int = 256) -> jnp.ndarray:
+    """Attention over [B, H, N, Dh] with optional decomposed rel-pos bias.
+
+    Args:
+      q, k, v: [B, H, N, Dh].
+      bias_h, bias_w: [B, H, N, side] precomputed q-projected rel-pos bias
+        components (bias[q, k] = bias_h[q, k // side] + bias_w[q, k % side]);
+        requires N == side². None → plain attention (padded N masked).
+      block_q: q rows per kernel step.
+
+    Returns [B, H, N, Dh].
+    """
+    b, h, n, dh = q.shape
+    scale_dim = dh
+    dp = _round_up(dh, 128)
+    np_ = _round_up(n, block_q)
+
+    def pad(x, target_d):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, np_ - n),
+                           (0, target_d - x.shape[-1])))
+
+    interpret = jax.default_backend() != "tpu"
+
+    qf = pad(q, dp).reshape(b * h, np_, dp)
+    kf = pad(k, dp).reshape(b * h, np_, dp)
+    vf = pad(v, dp).reshape(b * h, np_, dp)
+    bhf = bwf = None
+    if bias_h is not None:
+        sideb = _round_up(side, 128)
+        bhf = jnp.pad(bias_h, ((0, 0), (0, 0), (0, np_ - n),
+                               (0, sideb - side))).reshape(b * h, np_, sideb)
+        bwf = jnp.pad(bias_w, ((0, 0), (0, 0), (0, np_ - n),
+                               (0, sideb - side))).reshape(b * h, np_, sideb)
+
+    out = _flash_attention(qf, kf, vf, bhf, bwf, side=side,
+                           block_q=block_q, interpret=interpret,
+                           scale=1.0 / float(np.sqrt(scale_dim)),
+                           valid_len=n)
+    return out.reshape(b, h, np_, dp)[:, :, :n, :dh]

@@ -1,0 +1,123 @@
+"""Analysis utilities: triplets, margins, segment coverage, eval harness.
+
+Mirrors the reference's analysis functions (func_vpr.py:1553-1645:
+create_triplets / calc_margins / calc_margins_global / segAreaCovered) and
+the VLAD-BuFF validation harness (utils/validation.py get_validation_recalls,
+eval.py multi-dataset loop) with the FAISS search replaced by the on-TPU
+kNN.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from revisit_anything_tpu.ops.knn import knn_l2
+from revisit_anything_tpu.retrieval.recall import calc_recall
+
+
+def create_triplets(preds: Sequence[Sequence[int]],
+                    gt: Sequence[Sequence[int]]
+                    ) -> List[Tuple[int, int, int]]:
+    """(query, positive, hardest-negative) triplets from predictions
+    (func_vpr.py:1553-1570): the negative is the top-ranked WRONG
+    prediction; the positive is the first gt hit in the prediction list
+    (or the first gt entry when never hit)."""
+    triplets = []
+    for q, (pred_q, gt_q) in enumerate(zip(preds, gt)):
+        if len(gt_q) == 0:
+            continue
+        gt_set = set(int(g) for g in gt_q)
+        neg = next((int(p) for p in pred_q if int(p) not in gt_set), None)
+        pos = next((int(p) for p in pred_q if int(p) in gt_set),
+                   int(gt_q[0]))
+        if neg is not None:
+            triplets.append((q, pos, neg))
+    return triplets
+
+
+def calc_margins(query_desc: np.ndarray, db_desc: np.ndarray,
+                 triplets: Sequence[Tuple[int, int, int]]) -> np.ndarray:
+    """Per-triplet margin d(q, neg) − d(q, pos) in L2 (func_vpr.py
+    :1572-1608 semantics on whole-image descriptors)."""
+    margins = []
+    for q, pos, neg in triplets:
+        dp = float(np.linalg.norm(query_desc[q] - db_desc[pos]))
+        dn = float(np.linalg.norm(query_desc[q] - db_desc[neg]))
+        margins.append(dn - dp)
+    return np.asarray(margins)
+
+
+def seg_area_covered(masks: np.ndarray) -> float:
+    """Fraction of the image covered by the union of segment masks
+    (func_vpr.py segAreaCovered :1631-1645)."""
+    if len(masks) == 0:
+        return 0.0
+    union = np.any(masks, axis=0)
+    return float(union.mean())
+
+
+def get_validation_recalls(db_desc: np.ndarray,
+                           query_desc: np.ndarray,
+                           gt: Sequence[Sequence[int]],
+                           k_values: Sequence[int] = (1, 5, 10, 15, 20, 25),
+                           dataset_name: str = "",
+                           print_results: bool = True
+                           ) -> Dict[int, float]:
+    """VLAD-BuFF validation recalls (utils/validation.py:7-58): top-k
+    search over whole-image descriptors, Recall@k for each k."""
+    kmax = max(k_values)
+    _, idx = knn_l2(jnp.asarray(query_desc, jnp.float32),
+                    jnp.asarray(db_desc, jnp.float32), min(kmax, len(db_desc)))
+    idx = np.asarray(idx)
+    correct = np.zeros(len(k_values))
+    num_eval = 0
+    for qi, gt_q in enumerate(gt):
+        if len(gt_q) == 0:
+            continue
+        num_eval += 1
+        gt_set = set(int(g) for g in gt_q)
+        hits = [int(p) in gt_set for p in idx[qi]]
+        for ki, k in enumerate(k_values):
+            if any(hits[:k]):
+                correct[ki] += 1
+    recalls = {k: float(c) / max(num_eval, 1)
+               for k, c in zip(k_values, correct)}
+    if print_results:
+        row = " | ".join(f"R@{k}: {v * 100:.2f}" for k, v in recalls.items())
+        print(f"[{dataset_name}] {row}")
+    return recalls
+
+
+def match_grid(query_image: np.ndarray,
+               pred_images: Sequence[np.ndarray],
+               correct: Sequence[bool],
+               border: int = 4) -> np.ndarray:
+    """Qualitative match strip (predictions.py-style): query followed by
+    predictions, green/red borders for correct/incorrect. Returns an RGB
+    uint8 image."""
+    def with_border(img, color):
+        out = np.full((img.shape[0] + 2 * border,
+                       img.shape[1] + 2 * border, 3), color, np.uint8)
+        out[border:-border, border:-border] = img
+        return out
+
+    h = min(im.shape[0] for im in [query_image, *pred_images])
+    def fit(im):
+        if im.shape[0] != h:
+            import cv2
+            w = int(im.shape[1] * h / im.shape[0])
+            im = cv2.resize(im, (w, h))
+        return im
+
+    panels = [with_border(fit(query_image), (255, 255, 0))]
+    for im, ok in zip(pred_images, correct):
+        panels.append(with_border(fit(im),
+                                  (0, 200, 0) if ok else (220, 0, 0)))
+    hmax = max(p.shape[0] for p in panels)
+    padded = [np.pad(p, ((0, hmax - p.shape[0]), (0, 0), (0, 0)))
+              for p in panels]
+    return np.concatenate(padded, axis=1)
