@@ -86,15 +86,16 @@ def main():
         masks = (np.stack([r.segmentation for r in records])
                  if records else np.zeros((1,) + sam_hw, bool))
 
-        # DINOv2 dense features at full resolution
+        # DINOv2 dense features at full resolution (stay on device — the
+        # 9.4 MB readback would dominate through the tunnel)
         x = dn.preprocess(img_uint8[None])
         feats = dn.extract_dense(dino_params, dino_cfg,
                                  jnp.asarray(x, jnp.bfloat16), 31, "value")
         feats = l2_normalize(feats[0].astype(jnp.float32), axis=1)
-        feats_np = np.asarray(feats.T.reshape(DINO_G_DIM, dh, dw))
+        feats_dev = feats.T.reshape(DINO_G_DIM, dh, dw)
 
         # order-3 SuperSegment VLAD → PCA → kNN → Borda
-        vlads = image_segment_vlad(masks, feats_np, centers,
+        vlads = image_segment_vlad(masks, feats_dev, centers,
                                    pool_a, pool_b, order=3)
         proj = np.asarray(pca_apply(jnp.asarray(vlads), pca))
         proj = proj / (np.linalg.norm(proj, axis=1, keepdims=True) + 1e-12)

@@ -86,6 +86,26 @@ def cmd_extract(args):
             extract_dinonv_features_to_h5(paths, keys, out, params, cfg,
                                           ds.size.hw)
             print(f"wrote {out}")
+    elif args.method == "DINOSALAD":
+        # DINO-SALAD backbone extraction (place_rec_DINO_finetuned.py
+        # DINOSALAD branch): channel-normalized 768-d dense features.
+        from revisit_anything_tpu.pipeline.extract import (
+            extract_dinosalad_features_to_h5)
+        from revisit_anything_tpu.training.vladbuff import (
+            load_dinosalad_checkpoint)
+        cfg = dn.VIT_B14
+        if not args.checkpoint:
+            raise SystemExit("--method DINOSALAD requires --checkpoint "
+                             "(dino_salad.ckpt)")
+        params = load_dinosalad_checkpoint(args.checkpoint, cfg)
+        for tag, paths in sets.items():
+            name = (ds.dino_nv_h5_ref if tag == "r"
+                    else ds.dino_nv_h5_query).replace("dinoNV", "dinoSALAD")
+            out = os.path.join(args.workdir, name)
+            keys = [os.path.basename(p) for p in paths]
+            extract_dinosalad_features_to_h5(paths, keys, out, params, cfg,
+                                             ds.size.hw)
+            print(f"wrote {out}")
     elif args.method == "DINO":
         cfg = dn.CONFIGS[args.dino_model]
         if args.checkpoint:
@@ -248,7 +268,7 @@ def main(argv=None):
     p = sub.add_parser("extract", help="SAM masks / DINO features → h5")
     _add_common(p)
     p.add_argument("--method", required=True,
-                   choices=["SAM", "DINO", "DINONV"])
+                   choices=["SAM", "DINO", "DINONV", "DINOSALAD"])
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--sam-variant", default="vit_h",
                    choices=["vit_h", "vit_l", "vit_b"])

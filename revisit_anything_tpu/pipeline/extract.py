@@ -156,3 +156,36 @@ def extract_dinonv_features_to_h5(image_paths: Sequence[str],
             if progress:
                 print(f"[dinoNV] {s + len(paths)}/{len(image_paths)}",
                       flush=True)
+
+
+def extract_dinosalad_features_to_h5(image_paths: Sequence[str],
+                                     image_keys: Sequence[str],
+                                     out_h5_path: str,
+                                     salad_params,
+                                     cfg: "dn.DinoV2Config",
+                                     target_hw: Tuple[int, int],
+                                     batch_size: int = 8,
+                                     progress: bool = True) -> None:
+    """DINO-SALAD dense backbone features (channel-L2-normalized,
+    process_dino_salad_ft_to_h5 func_vpr.py:1824-1852) → *_dinoSALAD_*.h5."""
+    from revisit_anything_tpu.training.vladbuff import (
+        extract_dinosalad_features)
+    timer = stage_timer()
+    with h5py.File(out_h5_path, "w") as f:
+        for s in range(0, len(image_paths), batch_size):
+            paths = image_paths[s:s + batch_size]
+            keys = image_keys[s:s + batch_size]
+            imgs = np.stack([
+                _resize_cv2_bilinear(load_image_rgb(p),
+                                     (target_hw[1], target_hw[0]))
+                for p in paths])
+            x = dn.preprocess(imgs)
+            with timer.stage("dinosalad.forward"):
+                feats = extract_dinosalad_features(salad_params, cfg,
+                                                   jnp.asarray(x))
+                feats_np = np.asarray(feats, dtype=np.float32)
+            for i, key in enumerate(keys):
+                write_dino_features(f, key, feats_np[i:i + 1])
+            if progress:
+                print(f"[dinoSALAD] {s + len(paths)}/{len(image_paths)}",
+                      flush=True)

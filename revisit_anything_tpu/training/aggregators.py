@@ -294,26 +294,34 @@ def salad_init(key: jax.Array, dim: int, num_clusters: int = 64,
     }
 
 
-def _sinkhorn_log(scores: jnp.ndarray, iters: int = 3) -> jnp.ndarray:
-    """Log-domain Sinkhorn with dustbin row (salad.py:8-40 semantics,
-    uniform marginals)."""
-    b, cp1, p = scores.shape
-    log_mu = jnp.full((cp1,), -jnp.log(p))
-    log_mu = log_mu.at[-1].set(jnp.log((cp1 - 1) / cp1))  # dustbin mass
-    log_nu = jnp.full((p,), -jnp.log(p))
-
-    u = jnp.zeros((b, cp1))
-    v = jnp.zeros((b, p))
+def _log_optimal_transport(scores: jnp.ndarray, dustbin: jnp.ndarray,
+                           iters: int = 3) -> jnp.ndarray:
+    """SuperGlue log-space optimal transport (salad.py:8-40): dustbin row
+    appended, marginals mu = [1/(m+n)]*m + (n-m)/(m+n), nu = [1/(m+n)]*n,
+    final Z - norm."""
+    b, m, n = scores.shape
+    bins = jnp.broadcast_to(dustbin, (b, 1, n)).astype(scores.dtype)
+    couplings = jnp.concatenate([scores, bins], axis=1)   # [B, m+1, n]
+    norm = -jnp.log(float(m + n))
+    log_mu = jnp.concatenate([jnp.full((m,), norm),
+                              jnp.asarray([np.log(n - m) + norm])])
+    log_nu = jnp.full((n,), norm)
+    u = jnp.zeros((b, m + 1))
+    v = jnp.zeros((b, n))
     for _ in range(iters):
-        u = log_mu[None] - jax.nn.logsumexp(scores + v[:, None, :], axis=2)
-        v = log_nu[None] - jax.nn.logsumexp(scores + u[:, :, None], axis=1)
-    return scores + u[:, :, None] + v[:, None, :]
+        u = log_mu[None] - jax.nn.logsumexp(couplings + v[:, None, :],
+                                            axis=2)
+        v = log_nu[None] - jax.nn.logsumexp(couplings + u[:, :, None],
+                                            axis=1)
+    return couplings + u[:, :, None] + v[:, None, :] - norm
 
 
 def salad_forward(params: Params, features: jnp.ndarray,
                   token: Optional[jnp.ndarray] = None,
                   sinkhorn_iters: int = 3) -> jnp.ndarray:
-    """[B, D, H, W] (+ optional [B, D] global token) → SALAD descriptor."""
+    """[B, D, H, W] (+ optional [B, D] global token) → SALAD descriptor
+    [B, token_dim + cluster_dim*num_clusters], matching salad.py:112-168
+    including the (cluster_dim, num_clusters) flatten order."""
     b, d = features.shape[:2]
     x = features.reshape(b, d, -1).transpose(0, 2, 1)    # [B, P, D]
 
@@ -324,16 +332,17 @@ def salad_forward(params: Params, features: jnp.ndarray,
 
     scores = mlp(x, params["score_w1"], params["score_w2"])  # [B, P, C]
     scores = scores.transpose(0, 2, 1)                       # [B, C, P]
-    feats = mlp(x, params["feat_w1"], params["feat_w2"])     # [B, P, cd]
+    feats = mlp(x, params["feat_w1"], params["feat_w2"])     # [B, P, l]
 
-    dust = jnp.broadcast_to(params["dustbin"], (b, 1, scores.shape[2]))
-    scores = jnp.concatenate([scores, dust], axis=1)         # [B, C+1, P]
-    log_p = _sinkhorn_log(scores, sinkhorn_iters)
-    p_assign = jnp.exp(log_p)[:, :-1, :]                     # drop dustbin
+    log_p = _log_optimal_transport(scores, params["dustbin"],
+                                   sinkhorn_iters)
+    p_assign = jnp.exp(log_p)[:, :-1, :]                     # [B, C, P]
 
-    agg = jnp.einsum("bcp,bpd->bcd", p_assign, feats,
+    # v[b, l, m] = Σ_p f[b, p, l] · p[b, m, p]; normalize over l per
+    # cluster; flatten in (l, m) order like torch flatten(1).
+    agg = jnp.einsum("bpl,bmp->blm", feats, p_assign,
                      preferred_element_type=jnp.float32)
-    agg = l2_normalize(agg, axis=2).reshape(b, -1)
+    agg = l2_normalize(agg, axis=1).reshape(b, -1)
 
     if token is None:
         token = jnp.mean(x, axis=1)

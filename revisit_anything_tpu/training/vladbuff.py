@@ -106,6 +106,72 @@ def global_descriptor(params: Params, cfg: dn.DinoV2Config,
     return desc
 
 
+def convert_dinosalad_checkpoint(state_dict: Dict[str, np.ndarray],
+                                 cfg: dn.DinoV2Config = dn.VIT_B14
+                                 ) -> Params:
+    """DINO-SALAD checkpoint (loadDINOSALAD, func_vpr.py:1770-1795) →
+    {"backbone", "aggregator"} with our salad param layout. Aggregator
+    names: token_features.{0,2} (Linear), cluster_features.{0,3} /
+    score.{0,3} (1x1 Conv), dust_bin."""
+    bb_sd = {k[len("backbone.model."):]: v for k, v in state_dict.items()
+             if k.startswith("backbone.model.")}
+    backbone = dn.convert_dinov2_hub_state_dict(bb_sd, cfg)
+
+    g = lambda k: np.asarray(state_dict[k], dtype=np.float32)
+
+    def linear(prefix):
+        return {"w": jnp.asarray(g(prefix + ".weight").T),
+                "b": jnp.asarray(g(prefix + ".bias"))}
+
+    def conv1x1(prefix):
+        w = g(prefix + ".weight")[:, :, 0, 0]        # [out, in]
+        return {"w": jnp.asarray(w.T), "b": jnp.asarray(g(prefix + ".bias"))}
+
+    agg = {
+        "score_w1": conv1x1("aggregator.score.0"),
+        "score_w2": conv1x1("aggregator.score.3"),
+        "feat_w1": conv1x1("aggregator.cluster_features.0"),
+        "feat_w2": conv1x1("aggregator.cluster_features.3"),
+        "tok_w1": linear("aggregator.token_features.0"),
+        "tok_w2": linear("aggregator.token_features.2"),
+        "dustbin": jnp.asarray(g("aggregator.dust_bin")),
+    }
+    return {"backbone": backbone, "aggregator": agg}
+
+
+def load_dinosalad_checkpoint(path: str,
+                              cfg: dn.DinoV2Config = dn.VIT_B14) -> Params:
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    return convert_dinosalad_checkpoint(
+        {k: v.numpy() for k, v in sd.items()}, cfg)
+
+
+def extract_dinosalad_features(params: Params, cfg: dn.DinoV2Config,
+                               images: jnp.ndarray) -> jnp.ndarray:
+    """Dense backbone features for the dinoSALAD h5 path, L2-normalized
+    over channels (process_single_DINO_SALAD, func_vpr.py:1843-1852)."""
+    feats = extract_dinonv_features(params, cfg, images)
+    return l2_normalize(feats, axis=1)
+
+
+def salad_global_descriptor(params: Params, cfg: dn.DinoV2Config,
+                            images: jnp.ndarray) -> jnp.ndarray:
+    """Whole-image DINO-SALAD descriptor: backbone (patch features + cls
+    token) → SALAD aggregation."""
+    from revisit_anything_tpu.training.aggregators import salad_forward
+    tokens = dn.forward_tokens(params["backbone"], cfg, images,
+                               final_norm=True)
+    cls_tok = tokens[:, 0]
+    patches = tokens[:, 1 + cfg.num_register_tokens:]
+    b, n, d = patches.shape
+    gh = images.shape[1] // cfg.patch_size
+    gw = images.shape[2] // cfg.patch_size
+    feats = patches.reshape(b, gh, gw, d).transpose(0, 3, 1, 2)
+    return salad_forward(params["aggregator"], feats, token=cls_tok)
+
+
 def fit_wpca(descriptors: jnp.ndarray, num_components: int,
              eps: float = 1e-12) -> Dict[str, jnp.ndarray]:
     """Whitened PCA baked as a linear layer y = W x + b
