@@ -261,6 +261,108 @@ def cmd_evaluate(args):
         print(f"results saved to {out_dir}")
 
 
+def cmd_train(args):
+    """VPR metric-learning training (the VLAD-BuFF train.py equivalent):
+    GSV-Cities-style places → DINOv2 backbone + NetVLAD-AntiBurst →
+    MultiSimilarity loss, AdamW, orbax checkpoints."""
+    import jax
+    from revisit_anything_tpu.models import dinov2 as dn
+    from revisit_anything_tpu.training import (VPRTrainConfig,
+                                               create_train_state,
+                                               train_step)
+    from revisit_anything_tpu.training.checkpoint import (
+        latest_checkpoint, restore_train_state, save_train_state)
+    from revisit_anything_tpu.training.data import (PlacesBatcher,
+                                                    discover_places,
+                                                    prefetch)
+
+    backbone = dn.CONFIGS[args.backbone]
+    cfg = VPRTrainConfig(backbone=backbone,
+                         num_trainable_blocks=args.num_trainable_blocks,
+                         clusters=args.clusters,
+                         antiburst=not args.no_antiburst,
+                         lr=args.lr, total_steps=args.steps,
+                         warmup_steps=max(1, args.steps // 20),
+                         imgs_per_place=args.img_per_place)
+    state = create_train_state(cfg, jax.random.PRNGKey(args.seed))
+    params, opt_state, step = state.params, state.opt_state, state.step
+
+    ckpt = latest_checkpoint(args.ckpt_dir)
+    if ckpt and args.resume:
+        params, opt_state, step0 = restore_train_state(ckpt, params,
+                                                       opt_state)
+        step = step + step0
+        print(f"resumed from {ckpt} at step {step0}")
+
+    places = discover_places(args.train_root,
+                             min_images=args.img_per_place)
+    print(f"{len(places)} places")
+    batcher = PlacesBatcher(places, image_hw=tuple(args.image_size),
+                            places_per_batch=args.batch_places,
+                            img_per_place=args.img_per_place,
+                            seed=args.seed)
+    done = False
+    while not done:
+        for images, labels in prefetch(iter(batcher)):
+            params, opt_state, step, loss = train_step(
+                params, opt_state, step, cfg, images, labels)
+            s = int(step)
+            if s % args.log_every == 0:
+                print(f"step {s}: loss {float(loss):.4f}", flush=True)
+            if s % args.ckpt_every == 0 or s >= args.steps:
+                path = save_train_state(args.ckpt_dir, params, opt_state, s)
+                print(f"checkpoint: {path}")
+            if s >= args.steps:
+                done = True
+                break
+
+
+def cmd_evaluate_global(args):
+    """Whole-image descriptor benchmark (the VLAD-BuFF eval.py equivalent):
+    VLAD-BuFF / DINO-SALAD global descriptors + validation recalls."""
+    import jax.numpy as jnp
+    from revisit_anything_tpu.config import get_dataset
+    from revisit_anything_tpu.datasets import get_gt
+    from revisit_anything_tpu.datasets.images import list_dataset_images
+    from revisit_anything_tpu.models import dinov2 as dn
+    from revisit_anything_tpu.pipeline.extract import (_resize_cv2_bilinear,
+                                                       load_image_rgb)
+    from revisit_anything_tpu.retrieval.analysis import (
+        get_validation_recalls)
+    from revisit_anything_tpu.training.vladbuff import (
+        global_descriptor, load_dinosalad_checkpoint,
+        load_vladbuff_checkpoint, salad_global_descriptor)
+
+    ds = get_dataset(args.dataset)
+    refs, queries = list_dataset_images(ds, args.data_root)
+    gt = get_gt(args.dataset, args.data_root, refs, queries)
+    if gt is None:
+        raise SystemExit("no ground truth for this dataset")
+
+    if args.model == "vladbuff":
+        params = load_vladbuff_checkpoint(args.checkpoint)
+        desc_fn = global_descriptor
+    else:
+        params = load_dinosalad_checkpoint(args.checkpoint)
+        desc_fn = salad_global_descriptor
+
+    def descriptors(paths):
+        out = []
+        for s in range(0, len(paths), args.batch_size):
+            imgs = np.stack([
+                _resize_cv2_bilinear(load_image_rgb(p),
+                                     (ds.size.width, ds.size.height))
+                for p in paths[s:s + args.batch_size]])
+            x = dn.preprocess(imgs)
+            out.append(np.asarray(desc_fn(params, dn.VIT_B14,
+                                          jnp.asarray(x))))
+        return np.concatenate(out)
+
+    db = descriptors(refs)
+    q = descriptors(queries)
+    get_validation_recalls(db, q, gt, dataset_name=args.dataset)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="revisit_anything_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -306,6 +408,39 @@ def main(argv=None):
     p.add_argument("--save-results", action="store_true")
     p.add_argument("--cache-root", default="./cache")
     p.set_defaults(func=cmd_evaluate)
+
+    p = sub.add_parser("train", help="VPR metric-learning training "
+                                     "(VLAD-BuFF train.py equivalent)")
+    p.add_argument("--train-root", required=True,
+                   help="city/place_id/image directory layout")
+    p.add_argument("--ckpt-dir", default="./ckpts")
+    p.add_argument("--backbone", default="dinov2_vitb14",
+                   choices=list(__import__(
+                       "revisit_anything_tpu.models.dinov2",
+                       fromlist=["CONFIGS"]).CONFIGS))
+    p.add_argument("--num-trainable-blocks", type=int, default=4)
+    p.add_argument("--clusters", type=int, default=64)
+    p.add_argument("--no-antiburst", action="store_true")
+    p.add_argument("--lr", type=float, default=6e-5)
+    p.add_argument("--steps", type=int, default=20000)
+    p.add_argument("--batch-places", type=int, default=16)
+    p.add_argument("--img-per-place", type=int, default=4)
+    p.add_argument("--image-size", type=int, nargs=2, default=[224, 224])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--ckpt-every", type=int, default=1000)
+    p.add_argument("--resume", action="store_true")
+    p.set_defaults(func=cmd_train)
+
+    p = sub.add_parser("evaluate-global",
+                       help="whole-image descriptor recalls "
+                            "(VLAD-BuFF eval.py equivalent)")
+    _add_common(p)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--model", default="vladbuff",
+                   choices=["vladbuff", "dinosalad"])
+    p.add_argument("--batch-size", type=int, default=8)
+    p.set_defaults(func=cmd_evaluate_global)
 
     args = parser.parse_args(argv)
     args.func(args)
