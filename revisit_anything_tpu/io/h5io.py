@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import re
-from typing import Dict, List, Optional, Sequence
+from typing import List, Sequence
 
 import h5py
 import numpy as np

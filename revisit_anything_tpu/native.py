@@ -14,7 +14,7 @@ import os
 import subprocess
 import sys
 import threading
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

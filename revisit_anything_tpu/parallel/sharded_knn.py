@@ -16,7 +16,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from revisit_anything_tpu.ops.knn import _knn_scores, _pad_rows
 
@@ -39,8 +39,7 @@ def sharded_knn_l2(query: np.ndarray, db: np.ndarray, k: int,
     db_p = np.zeros((shard_rows * n_devices, db.shape[1]), np.float32)
     db_p[:nd] = db
     tile = min(db_tile, max(128, shard_rows))
-    pad_tile = (-shard_rows) % tile
-    # per-shard padding handled inside the mapped fn via norms=inf
+    # per-shard padding is handled inside the mapped fn via norms=inf
 
     query_j = jnp.asarray(query, jnp.float32)
 

@@ -8,14 +8,13 @@ reference's h5 schemas so artifacts interoperate both ways.
 
 from __future__ import annotations
 
-from typing import Iterable, List, Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import h5py
 import numpy as np
 
 import jax.numpy as jnp
 
-from revisit_anything_tpu.config import DatasetConfig
 from revisit_anything_tpu.io.h5io import (write_dino_features,
                                           write_image_masks)
 from revisit_anything_tpu.models import dinov2 as dn

@@ -9,7 +9,7 @@ jitted kmeans++/randomized-SVD kernels in revisit_anything_tpu.ops.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence
 
 import h5py
 import numpy as np

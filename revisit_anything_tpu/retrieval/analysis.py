@@ -9,14 +9,13 @@ kNN.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
 import jax.numpy as jnp
 
 from revisit_anything_tpu.ops.knn import knn_l2
-from revisit_anything_tpu.retrieval.recall import calc_recall
 
 
 def create_triplets(preds: Sequence[Sequence[int]],

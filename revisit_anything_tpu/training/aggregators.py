@@ -10,8 +10,7 @@ sigmoid-sum-power (getWeights, aggregation.py:148-162).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ writes the backbone's 768-d dense features to ``*_dinoNV_*.h5``
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

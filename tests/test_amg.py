@@ -122,3 +122,18 @@ def test_strict_thresholds_filter_everything(rng, small_sam):
     strict = AmgConfig(points_per_side=4, points_per_batch=16,
                        pred_iou_thresh=1e9)
     assert generate_masks(small_sam, SMALL, img, strict) == []
+
+
+def test_device_preprocess_matches_pil_upscale(rng):
+    """For upscaled inputs the device preprocess is parity-exact with the
+    PIL path (PIL bilinear == half-pixel bilinear when upscaling)."""
+    import jax.numpy as jnp
+    from revisit_anything_tpu.models.sam.amg import (_preprocess_device,
+                                                     preprocess_image)
+    img = rng.integers(0, 255, (60, 100, 3), dtype=np.uint8)
+    host, input_hw = preprocess_image(img, SMALL)
+    dev = np.asarray(_preprocess_device(jnp.asarray(img), SMALL, input_hw))
+    # PIL rounds resized pixels to uint8 before normalization; the device
+    # path stays float — differences are bounded by ~1 uint8 quantization
+    # step (1/57.375 in normalized units).
+    np.testing.assert_allclose(dev, host, atol=1.6 / 57.12)
