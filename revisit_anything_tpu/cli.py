@@ -48,6 +48,12 @@ def cmd_extract(args):
     os.makedirs(args.workdir, exist_ok=True)
     sets = {"r": refs, "q": queries}
 
+    def _skip(out_path):
+        if os.path.exists(out_path) and not args.force:
+            print(f"exists, skipping (use --force to redo): {out_path}")
+            return True
+        return False
+
     if args.method == "SAM":
         cfg = SAM_REGISTRY[args.sam_variant]
         if args.checkpoint:
@@ -62,6 +68,8 @@ def cmd_extract(args):
                                ds.masks_h5_ref if tag == "r"
                                else ds.masks_h5_query)
             keys = [os.path.basename(p) for p in paths]
+            if _skip(out):
+                continue
             extract_sam_masks(paths, keys, out, params, cfg,
                               ds.sam_size.hw)
             print(f"wrote {out}")
@@ -83,6 +91,8 @@ def cmd_extract(args):
                                ds.dino_nv_h5_ref if tag == "r"
                                else ds.dino_nv_h5_query)
             keys = [os.path.basename(p) for p in paths]
+            if _skip(out):
+                continue
             extract_dinonv_features_to_h5(paths, keys, out, params, cfg,
                                           ds.size.hw)
             print(f"wrote {out}")
@@ -103,6 +113,8 @@ def cmd_extract(args):
                     else ds.dino_nv_h5_query).replace("dinoNV", "dinoSALAD")
             out = os.path.join(args.workdir, name)
             keys = [os.path.basename(p) for p in paths]
+            if _skip(out):
+                continue
             extract_dinosalad_features_to_h5(paths, keys, out, params, cfg,
                                              ds.size.hw)
             print(f"wrote {out}")
@@ -119,6 +131,8 @@ def cmd_extract(args):
                                ds.dino_h5_ref if tag == "r"
                                else ds.dino_h5_query)
             keys = [os.path.basename(p) for p in paths]
+            if _skip(out):
+                continue
             extract_dino_features(paths, keys, out, params, cfg,
                                   ds.size.hw, layer=args.layer,
                                   facet=args.facet)
@@ -371,6 +385,8 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--method", required=True,
                    choices=["SAM", "DINO", "DINONV", "DINOSALAD"])
+    p.add_argument("--force", action="store_true",
+                   help="regenerate artifacts even if they exist")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--sam-variant", default="vit_h",
                    choices=["vit_h", "vit_l", "vit_b"])

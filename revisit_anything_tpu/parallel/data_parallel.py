@@ -1,0 +1,41 @@
+"""Data-parallel model inference over the mesh.
+
+The extraction stages (DINO dense features, SAM encoding, segment VLADs)
+are embarrassingly parallel per image — the dominant scale-out axis
+(SURVEY §2.7). ``data_parallel_apply`` shards the batch dim over the mesh's
+data axis with replicated params; XLA partitions the forward automatically
+(no collectives needed for the forward itself).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def data_parallel_apply(fn: Callable, params, batch: np.ndarray,
+                        mesh: Mesh, axis: str = "data",
+                        pad_value=0.0) -> np.ndarray:
+    """Run ``fn(params, batch)`` with the batch sharded over ``axis``.
+
+    The batch is padded to a multiple of the axis size (padded outputs are
+    dropped). ``fn`` must be jit-compatible with a leading batch dim.
+    """
+    n = batch.shape[0]
+    d = mesh.shape[axis]
+    pad = (-n) % d
+    if pad:
+        widths = [(0, pad)] + [(0, 0)] * (batch.ndim - 1)
+        batch = np.pad(batch, widths, constant_values=pad_value)
+
+    batch_sharding = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    batch_dev = jax.device_put(batch, batch_sharding)
+    params_dev = jax.device_put(params, repl)
+
+    out = jax.jit(fn, in_shardings=(repl, batch_sharding),
+                  out_shardings=batch_sharding)(params_dev, batch_dev)
+    return np.asarray(out)[:n]

@@ -43,3 +43,22 @@ def test_sharded_small_db(rng, mesh):
     sq, idx = sharded_knn_l2(q, db, 10, mesh)
     assert idx.shape == (3, 10)
     assert idx.max() < 20
+
+
+def test_data_parallel_apply_matches_single(rng, mesh):
+    import jax
+    from revisit_anything_tpu.models import dinov2 as dn
+    from revisit_anything_tpu.parallel.data_parallel import (
+        data_parallel_apply)
+    cfg = dn.DinoV2Config(embed_dim=32, depth=2, num_heads=2, ffn="mlp",
+                          pretrain_grid=(4, 4))
+    params = dn.init_params(cfg, jax.random.PRNGKey(0))
+    imgs = rng.standard_normal((11, 56, 56, 3)).astype(np.float32)  # pads to 16
+
+    def fn(p, x):
+        return dn.extract_dense(p, cfg, x, layer=1, facet="value")
+
+    sharded = data_parallel_apply(fn, params, imgs, mesh)
+    single = np.asarray(fn(params, imgs))
+    assert sharded.shape == single.shape
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
