@@ -211,6 +211,12 @@ def cmd_pca(args):
 
 
 def cmd_evaluate(args):
+    from revisit_anything_tpu.utils.profiling import trace
+    with trace(args.trace_dir):
+        _cmd_evaluate(args)
+
+
+def _cmd_evaluate(args):
     from revisit_anything_tpu.config import get_dataset, get_experiment
     from revisit_anything_tpu.datasets import get_gt
     from revisit_anything_tpu.datasets.images import list_dataset_images
@@ -423,6 +429,8 @@ def main(argv=None):
                    choices=["domain", "map"])
     p.add_argument("--save-results", action="store_true")
     p.add_argument("--cache-root", default="./cache")
+    p.add_argument("--trace-dir", default=None,
+                   help="capture a jax.profiler trace of the evaluation")
     p.set_defaults(func=cmd_evaluate)
 
     p = sub.add_parser("train", help="VPR metric-learning training "

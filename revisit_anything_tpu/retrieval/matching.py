@@ -147,5 +147,5 @@ def weighted_borda_predict(sims: jnp.ndarray,
         norm.reshape(-1), flat_bins,
         num_segments=num_query_images * num_ref_images)
     scores = scores.reshape(num_query_images, num_ref_images)
-    _, top = jax.lax.top_k(scores, n)
+    _, top = jax.lax.top_k(scores, min(n, num_ref_images))
     return top
