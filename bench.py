@@ -114,12 +114,16 @@ def main():
     print(f"[bench] warmup done in {time.perf_counter() - t0:.1f}s, "
           f"{n_masks} masks", file=sys.stderr, flush=True)
 
-    n_iters = 5
+    # Throughput: two in-flight queries — host phases (image decode, PIL,
+    # record assembly, adjacency) of one query overlap device compute of
+    # the other. Device work still serializes on the single chip.
+    from concurrent.futures import ThreadPoolExecutor
+    n_iters = 8
     imgs = [rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
             for _ in range(n_iters)]
     t0 = time.perf_counter()
-    for im in imgs:
-        one_query(im)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(one_query, imgs))
     dt = time.perf_counter() - t0
     qps = n_iters / dt
 
