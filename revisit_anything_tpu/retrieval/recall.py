@@ -56,16 +56,29 @@ def top_k_recall(db_desc: jnp.ndarray,
                  query_desc: jnp.ndarray,
                  gt: Sequence[Sequence[int]],
                  k: int = 5,
-                 metric: str = "l2"
+                 metric: str = "l2",
+                 return_one_percent: bool = False
                  ) -> Tuple[List[float], np.ndarray]:
     """Image-level Recall@1..k via on-TPU kNN over whole-image descriptors
     (the AnyLoc evaluation path — utilities.py:390-469 / func_vpr.py:833-883).
 
-    Returns (recalls, indices [Nq, k])."""
+    Returns (recalls, indices [Nq, k]); with return_one_percent also the
+    1%-recall (hit within the top max(n_db/100, 1) — capped at k like the
+    reference, which intersects only the k retrieved neighbors)."""
     if metric == "l2":
         _, idx = knn_l2(query_desc, db_desc, k)
     else:
         _, idx = knn_inner_product(query_desc, db_desc, k)
     idx = np.asarray(idx)
     recalls = calc_recall([row.tolist() for row in idx], gt, k)
-    return recalls, idx
+    if not return_one_percent:
+        return recalls, idx
+    threshold = min(max(int(round(len(np.asarray(db_desc)) / 100.0)), 1), k)
+    hits, num_eval = 0, 0
+    for qi, gt_q in enumerate(gt):
+        if len(gt_q) == 0:
+            continue
+        num_eval += 1
+        if set(idx[qi][:threshold].tolist()) & set(int(g) for g in gt_q):
+            hits += 1
+    return recalls, idx, hits / max(num_eval, 1)

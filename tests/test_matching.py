@@ -88,3 +88,15 @@ def test_end_to_end_voting_recovers_planted_signal(rng):
     preds = get_matches_host(matches, sims, seg_ranges, im_inds_ref, n=1)
     got = [int(p[0]) for p in preds]
     assert got == [(q + 2) % n_r for q in range(n_q)]
+
+
+def test_top_k_recall_one_percent(rng):
+    from revisit_anything_tpu.retrieval.recall import top_k_recall
+    db = rng.standard_normal((300, 16)).astype(np.float32)
+    q = db[[5, 10]] + 0.001
+    gt = [[5], [999]]
+    recalls, idx, pct = top_k_recall(db, q, gt, k=5,
+                                     return_one_percent=True)
+    # threshold = 3 (300/100); query0 hit at rank 1 → counted; query1 never
+    assert pct == 0.5
+    assert recalls[0] == 0.5
