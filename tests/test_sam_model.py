@@ -132,3 +132,32 @@ def test_singlemask_output_shape(rng):
                               multimask=False)
     assert masks.shape == (3, 1, 32, 32)
     assert iou.shape == (3, 1)
+
+
+def test_decoder_export_roundtrip(rng, tmp_path):
+    """jax.export decoder serialization (the ONNX-export equivalent)."""
+    from revisit_anything_tpu.models.sam import init_sam_params
+    from revisit_anything_tpu.models.sam.export import (export_decoder,
+                                                        load_decoder,
+                                                        make_decode_fn)
+    cfg = SamArchConfig(
+        encoder_dim=DIM, encoder_depth=1, encoder_heads=4,
+        global_attn_indexes=(), image_size=IMG, patch_size=16,
+        window_size=4, prompt_dim=PD, decoder_heads=4,
+        decoder_mlp_dim=128, iou_head_hidden=PD)
+    import jax
+    import jax.numpy as jnp
+    params = init_sam_params(cfg, jax.random.PRNGKey(0))
+    path = str(tmp_path / "decoder.stablehlo")
+    export_decoder(params, cfg, path, num_prompts=4)
+
+    emb = jnp.asarray(rng.standard_normal(
+        (cfg.grid, cfg.grid, PD)).astype(np.float32))
+    pts = jnp.asarray((rng.random((4, 2)) * IMG).astype(np.float32))
+    masks_ref, iou_ref = make_decode_fn(params, cfg, 4)(emb, pts)
+    restored = load_decoder(path)
+    masks, iou = restored(emb, pts)
+    np.testing.assert_allclose(np.asarray(masks), np.asarray(masks_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(iou), np.asarray(iou_ref),
+                               atol=1e-6)

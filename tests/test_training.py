@@ -165,3 +165,28 @@ def test_sharded_train_step(rng):
     assert np.isfinite(float(loss))
     p, o, s, loss2 = step_fn(p, o, s, imgs, labels)
     assert np.isfinite(float(loss2))
+
+
+def test_sharded_step_matches_unsharded(rng):
+    """dp x tp sharding must not change the training math (up to float
+    reduction order)."""
+    from revisit_anything_tpu.parallel import make_mesh
+    mesh = make_mesh((4, 2), ("data", "model"))
+    state = create_train_state(TINY, jax.random.PRNGKey(0))
+    imgs = rng.standard_normal((8, 56, 56, 3)).astype(np.float32)
+    labels = np.repeat(np.arange(2), 4)
+
+    # unsharded reference step (fresh copy of state)
+    s2 = create_train_state(TINY, jax.random.PRNGKey(0))
+    p_ref, o_ref, _, loss_ref = train_step(
+        s2.params, s2.opt_state, s2.step, TINY, imgs, labels)
+
+    step_fn, params_s, opt_s = make_sharded_train_step(
+        mesh, TINY, state.params, state.opt_state)
+    p_sh, o_sh, _, loss_sh = step_fn(params_s, opt_s, state.step,
+                                     imgs, labels)
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-4)
+    # updated parameters agree across the mesh partitioning
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_sh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4)
