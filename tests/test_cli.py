@@ -114,3 +114,30 @@ def test_cli_anyloc_branch(toy_env, capsys):
 def test_cli_unknown_dataset():
     with pytest.raises(KeyError):
         cli.main(["extract", "--dataset", "nope", "--method", "DINO"])
+
+
+def test_cli_pca_then_pca_evaluate(toy_env, capsys):
+    env = toy_env
+    cli.main(["extract", *_common(env), "--method", "DINO",
+              "--dino-model", "dinov2_vits14", "--layer", "3"])
+    cli.main(["vocab", *_common(env), "--clusters", "8",
+              "--cache-root", env["cache"], "--domain", "urban"])
+    cli.main(["pca", *_common(env), "--experiment",
+              "exp0_global_SegLoc_VLAD_PCA_o3", "--vocab-vlad", "domain",
+              "--cache-root", env["cache"], "--dim", "16"])
+    out = capsys.readouterr().out
+    assert "wrote" in out
+    cli.main(["evaluate", *_common(env), "--experiment",
+              "exp0_global_SegLoc_VLAD_PCA_o3", "--vocab-vlad", "domain",
+              "--cache-root", env["cache"]])
+    assert "Recall@1..5" in capsys.readouterr().out
+
+
+def test_cli_extract_skips_existing(toy_env, capsys):
+    env = toy_env
+    args = ["extract", *_common(env), "--method", "DINO",
+            "--dino-model", "dinov2_vits14", "--layer", "3"]
+    cli.main(args)
+    capsys.readouterr()
+    cli.main(args)
+    assert "skipping" in capsys.readouterr().out
