@@ -45,3 +45,18 @@ def test_identity_resize(rng):
     np.testing.assert_array_equal(np.asarray(nearest_resize(x, (16, 24))), x)
     np.testing.assert_array_equal(
         np.asarray(bilinear_resize_align_corners(x, (16, 24))), x)
+
+
+def test_sincos_pos_embed_matches_reference_semantics():
+    """Oracle check of the MAE-style sincos embedding (utilities.py:291-390)."""
+    from revisit_anything_tpu.ops.posembed import (
+        get_1d_sincos_pos_embed_from_grid, get_2d_sincos_pos_embed)
+    pos = np.arange(5, dtype=np.float64)
+    emb = get_1d_sincos_pos_embed_from_grid(8, pos)
+    omega = 1.0 / 10000 ** (np.arange(4) / 4.0)
+    np.testing.assert_allclose(emb[3, :4], np.sin(3 * omega), atol=1e-12)
+    np.testing.assert_allclose(emb[3, 4:], np.cos(3 * omega), atol=1e-12)
+
+    full = get_2d_sincos_pos_embed(16, 4, cls_token=True)
+    assert full.shape == (17, 16)
+    np.testing.assert_array_equal(full[0], 0.0)
