@@ -56,12 +56,17 @@ def run_segloc_retrieval(db_bank: SegmentBank,
                          knn_topk: int = KNN_TOPK,
                          borda_topk: int = BORDA_TOPK,
                          recall_topk: int = RECALL_TOPK,
-                         map_calculate: bool = False) -> RetrievalResult:
+                         map_calculate: bool = False,
+                         device_voting: bool = False) -> RetrievalResult:
     """SegLoc retrieval: kNN of query segments over db segments + weighted
     Borda voting over db image bins (recall_segloc, place_rec_main.py:44-96).
 
     With PCA, descriptors are row-normalized before the L2 search
     (place_rec_main.py:55-57); raw VLADs are already unit-norm.
+
+    device_voting=True runs the Borda accumulation as one on-device
+    segment_sum + top_k instead of the per-query host loop — identical
+    predictions up to equal-score tie ordering.
     """
     timer = stage_timer()
     db = db_bank.descriptors
@@ -81,9 +86,21 @@ def run_segloc_retrieval(db_bank: SegmentBank,
     with timer.stage("retrieval.vote"):
         sims = 2.0 - sq_l2[:, :borda_topk]
         m50 = matches[:, :borda_topk]
-        preds = get_matches_host(m50, sims, query_bank.seg_ranges,
-                                 db_bank.image_indices, n=recall_topk,
-                                 method="max_seg_topk_wt_borda_Im")
+        if device_voting:
+            from revisit_anything_tpu.retrieval.matching import (
+                weighted_borda_predict)
+            n_q = int(query_bank.image_indices.max()) + 1
+            n_r = int(db_bank.image_indices.max()) + 1
+            preds_arr = np.asarray(weighted_borda_predict(
+                jnp.asarray(sims), jnp.asarray(m50),
+                jnp.asarray(query_bank.image_indices),
+                jnp.asarray(db_bank.image_indices),
+                n_q, n_r, n=recall_topk))
+            preds = [row for row in preds_arr]
+        else:
+            preds = get_matches_host(m50, sims, query_bank.seg_ranges,
+                                     db_bank.image_indices, n=recall_topk,
+                                     method="max_seg_topk_wt_borda_Im")
     recalls = calc_recall(preds, gt, recall_topk)
     map_value = calculate_map(preds, gt) if map_calculate else None
     return RetrievalResult(recalls, preds, matches, sq_l2, map_value)

@@ -132,3 +132,20 @@ def test_order_zero_runs(artifacts):
                                  desired_hw=(H, W), num_clusters=8,
                                  progress=False)
     assert len(bank.descriptors) == len(bank.image_indices)
+
+
+def test_device_voting_matches_host(artifacts):
+    files, targets = artifacts
+    db_masks, db_dino, db_keys = files["db"]
+    q_masks, q_dino, q_keys = files["q"]
+    centers = fit_vocabulary_from_h5(db_dino, db_keys, num_clusters=8)
+    kw = dict(order=3, mask_hw=(H // 2, W // 2), desired_hw=(H, W),
+              num_clusters=8, progress=False)
+    db_bank = compute_segment_vlads(db_masks, db_dino, db_keys, centers, **kw)
+    q_bank = compute_segment_vlads(q_masks, q_dino, q_keys, centers, **kw)
+    gt = [[t] for t in targets]
+    host = run_segloc_retrieval(db_bank, q_bank, gt)
+    dev = run_segloc_retrieval(db_bank, q_bank, gt, device_voting=True)
+    assert host.recalls == dev.recalls
+    for a, b in zip(host.predictions, dev.predictions):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
