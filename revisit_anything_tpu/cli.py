@@ -73,6 +73,8 @@ def cmd_extract(args):
             extract_sam_masks(paths, keys, out, params, cfg,
                               ds.sam_size.hw)
             print(f"wrote {out}")
+        from revisit_anything_tpu.utils.profiling import stage_timer
+        print(stage_timer().report())
     elif args.method == "DINONV":
         # SegVLAD-FineT backbone extraction (place_rec_DINO_finetuned.py):
         # DINOv2-B + NetVLAD checkpoint, 768-d dense features, full res.

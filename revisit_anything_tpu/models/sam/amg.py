@@ -203,6 +203,18 @@ def _select_and_pack(masks, iou, stab, boxes, valid, amg: AmgConfig,
     return packed, order, n_kept
 
 
+def _preprocess_any(image_rgb: np.ndarray, cfg: SamArchConfig):
+    """Device preprocess for upscaled inputs (uint8 upload), PIL host path
+    for downscaling. Returns ([1, S, S, 3] device array, input_hw)."""
+    h, w = image_rgb.shape[:2]
+    input_hw = resize_longest_side(h, w, cfg.image_size)
+    if input_hw[0] >= h and input_hw[1] >= w:
+        return _preprocess_device(jnp.asarray(image_rgb), cfg,
+                                  input_hw), input_hw
+    batched, input_hw = preprocess_image(image_rgb, cfg)
+    return jnp.asarray(batched), input_hw
+
+
 def generate_masks(params: Params, cfg: SamArchConfig,
                    image_rgb: np.ndarray,
                    amg: AmgConfig = AmgConfig(),
@@ -214,16 +226,37 @@ def generate_masks(params: Params, cfg: SamArchConfig,
     the device→host transfer (post-NMS mask counts are far below it in
     practice; hit only by pathological inputs).
     """
-    h, w = image_rgb.shape[:2]
-    input_hw = resize_longest_side(h, w, cfg.image_size)
-    if input_hw[0] >= h and input_hw[1] >= w:
-        # upscaling: device-side preprocess (uint8 upload, exact parity)
-        batched = _preprocess_device(jnp.asarray(image_rgb), cfg, input_hw)
-    else:
-        # downscaling: PIL's antialiased filter on host for parity
-        batched, input_hw = preprocess_image(image_rgb, cfg)
-        batched = jnp.asarray(batched)
+    batched, input_hw = _preprocess_any(image_rgb, cfg)
     embedding = encode_image(params, cfg, batched)[0]
+    return _generate_from_embedding(params, cfg, embedding, input_hw,
+                                    image_rgb.shape[:2], amg, max_masks)
+
+
+def generate_masks_batch(params: Params, cfg: SamArchConfig,
+                         images_rgb: List[np.ndarray],
+                         amg: AmgConfig = AmgConfig(),
+                         max_masks: int = 512) -> List[List[MaskRecord]]:
+    """AMG over a batch of same-shape images: ONE encoder dispatch for the
+    whole batch (amortizes weight HBM traffic and host↔device latency —
+    the extraction stage's throughput mode), then per-image decoding."""
+    assert len({im.shape for im in images_rgb}) == 1, "same-shape batch"
+    pre = [_preprocess_any(im, cfg) for im in images_rgb]
+    batched = jnp.concatenate([p[0] for p in pre], axis=0)
+    embeddings = encode_image(params, cfg, batched)
+    return [
+        _generate_from_embedding(params, cfg, embeddings[i], pre[i][1],
+                                 images_rgb[i].shape[:2], amg, max_masks)
+        for i in range(len(images_rgb))
+    ]
+
+
+def _generate_from_embedding(params: Params, cfg: SamArchConfig,
+                             embedding: jnp.ndarray,
+                             input_hw: Tuple[int, int],
+                             orig_hw: Tuple[int, int],
+                             amg: AmgConfig,
+                             max_masks: int) -> List[MaskRecord]:
+    h, w = orig_hw
     image_pe = dense_positional_embedding(params, cfg)[0]
 
     # 32x32 grid in original-image coords → 1024-frame coords

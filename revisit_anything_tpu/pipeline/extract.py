@@ -58,26 +58,38 @@ def extract_sam_masks(image_paths: Sequence[str],
                       sam_cfg: SamArchConfig,
                       target_hw: Tuple[int, int],
                       amg: AmgConfig = AmgConfig(),
-                      progress: bool = True) -> None:
+                      progress: bool = True,
+                      encode_batch: int = 1) -> None:
     """Run the automatic mask generator over images; write the reference's
-    mask h5 schema (process_SAM_to_h5, func_vpr.py:664-679)."""
+    mask h5 schema (process_SAM_to_h5, func_vpr.py:664-679). Images are
+    encoded ``encode_batch`` at a time (one ViT-H dispatch per batch;
+    per-prompt decoding dominates AMG, so >1 helps only when the decoder
+    is not the bottleneck — measured neutral-to-slower through the
+    tunnel, default 1)."""
+    from revisit_anything_tpu.models.sam.amg import generate_masks_batch
     timer = stage_timer()
     with h5py.File(out_h5_path, "w") as f:
-        for path, key in zip(image_paths, image_keys):
+        for s in range(0, len(image_paths), encode_batch):
+            paths = image_paths[s:s + encode_batch]
+            keys = image_keys[s:s + encode_batch]
             with timer.stage("sam.load"):
-                img = load_image_rgb(path)
-                img = _resize_cv2_bilinear(img, (target_hw[1], target_hw[0]))
+                imgs = [_resize_cv2_bilinear(load_image_rgb(p),
+                                             (target_hw[1], target_hw[0]))
+                        for p in paths]
             with timer.stage("sam.generate"):
-                records = generate_masks(sam_params, sam_cfg, img, amg)
-                if not records:
-                    # Zero-mask fallback (func_vpr.py:721-736): a full-frame
-                    # mask + a single-random-pixel mask keep the downstream
-                    # segment table non-empty for degenerate images.
-                    records = _fallback_records(target_hw)
+                per_image = generate_masks_batch(sam_params, sam_cfg,
+                                                 imgs, amg)
             with timer.stage("sam.write"):
-                write_image_masks(f, key, records)
-            if progress:
-                print(f"[sam] {key}: {len(records)} masks", flush=True)
+                for key, records in zip(keys, per_image):
+                    if not records:
+                        # Zero-mask fallback (func_vpr.py:721-736): a
+                        # full-frame mask + a single-random-pixel mask keep
+                        # the downstream segment table non-empty.
+                        records = _fallback_records(target_hw)
+                    write_image_masks(f, key, records)
+                    if progress:
+                        print(f"[sam] {key}: {len(records)} masks",
+                              flush=True)
 
 
 def extract_dino_features(image_paths: Sequence[str],

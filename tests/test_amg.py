@@ -137,3 +137,18 @@ def test_device_preprocess_matches_pil_upscale(rng):
     # path stays float — differences are bounded by ~1 uint8 quantization
     # step (1/57.375 in normalized units).
     np.testing.assert_allclose(dev, host, atol=1.6 / 57.12)
+
+
+def test_generate_masks_batch_matches_single(rng, small_sam):
+    from revisit_anything_tpu.models.sam.amg import generate_masks_batch
+    imgs = [rng.integers(0, 255, (60, 100, 3), dtype=np.uint8)
+            for _ in range(3)]
+    batched = generate_masks_batch(small_sam, SMALL, imgs, permissive_cfg())
+    singles = [generate_masks(small_sam, SMALL, im, permissive_cfg())
+               for im in imgs]
+    assert len(batched) == 3
+    for b, s in zip(batched, singles):
+        assert len(b) == len(s)
+        for rb, rs in zip(b, s):
+            np.testing.assert_array_equal(rb.segmentation, rs.segmentation)
+            assert rb.predicted_iou == rs.predicted_iou
