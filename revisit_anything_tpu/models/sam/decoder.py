@@ -33,7 +33,10 @@ def _layer_norm(x, p, eps=1e-6):
 
 
 def _dense(x, p):
-    return jnp.dot(x, p["w"], preferred_element_type=jnp.float32).astype(
+    # bf16 activations keep bf16 outputs (MXU still accumulates f32
+    # internally); halves the HBM traffic of the per-prompt src branch.
+    pet = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    return jnp.dot(x, p["w"], preferred_element_type=pet).astype(
         x.dtype) + p["b"]
 
 
