@@ -275,9 +275,17 @@ def _cmd_evaluate(args):
                                f"{args.experiment}_{args.dataset}")
         os.makedirs(out_dir, exist_ok=True)
         with open(os.path.join(out_dir, "results.pkl"), "wb") as f:
-            pickle.dump({"recalls": res.recalls, "sims": res.sims,
-                         "matches": res.matches,
-                         "predictions": res.predictions}, f)
+            payload = {"recalls": res.recalls, "sims": res.sims,
+                       "matches": res.matches,
+                       "predictions": res.predictions}
+            if args.save_descriptors and exp.global_method == "SegLoc":
+                # the reference's segFtVLAD1/2 pickles (place_rec_main.py
+                # :292-305,:357-370)
+                payload["segFtVLAD1"] = banks["r"][0].descriptors
+                payload["segFtVLAD2"] = banks["q"][0].descriptors
+                payload["imInds1"] = banks["r"][0].image_indices
+                payload["imInds2"] = banks["q"][0].image_indices
+            pickle.dump(payload, f)
         with open(os.path.join(out_dir, "recalls.json"), "w") as f:
             json.dump({"recalls": res.recalls}, f)
         print(f"results saved to {out_dir}")
@@ -433,6 +441,9 @@ def main(argv=None):
     p.add_argument("--cache-root", default="./cache")
     p.add_argument("--trace-dir", default=None,
                    help="capture a jax.profiler trace of the evaluation")
+    p.add_argument("--save-descriptors", action="store_true",
+                   help="include segment descriptors in results.pkl "
+                        "(the reference's segFtVLAD pickles)")
     p.set_defaults(func=cmd_evaluate)
 
     p = sub.add_parser("train", help="VPR metric-learning training "

@@ -127,3 +127,14 @@ def read_all_masks_bool(h5: h5py.File, image_key: str) -> np.ndarray:
     if not recs:
         return np.zeros((0, 1, 1), dtype=bool)
     return np.stack([r.segmentation for r in recs])
+
+
+def count_masks(h5: h5py.File) -> int:
+    """Total mask count across all images (countNumMasksInDataset,
+    func_vpr.py:788-798)."""
+    total = 0
+    for key in h5.keys():
+        grp = h5[key]
+        if "masks" in grp:
+            total += len(grp["masks"].keys())
+    return total

@@ -55,7 +55,7 @@ def image_segment_vlad(masks: np.ndarray,
                        pool_a: np.ndarray,
                        pool_b: np.ndarray,
                        order: int,
-                       num_clusters: int = NUM_CLUSTERS) -> np.ndarray:
+                       num_clusters: int = None) -> np.ndarray:
     """Segment VLADs for one image; pads the mask count to a bucket so the
     jitted kernel re-compiles only per bucket.
 
@@ -66,6 +66,7 @@ def image_segment_vlad(masks: np.ndarray,
       pool_a/pool_b: pooling matrices from mask_pool_matrices.
       order: SuperSegment order (0 → no adjacency).
     """
+    num_clusters = num_clusters or centers.shape[0]
     m = len(masks)
     if m == 0:
         return np.zeros((0, num_clusters * feats.shape[0]), np.float32)
@@ -98,9 +99,11 @@ def compute_segment_vlads(masks_h5_path: str,
                           order: int,
                           mask_hw: Tuple[int, int],
                           desired_hw: Tuple[int, int],
-                          num_clusters: int = NUM_CLUSTERS,
+                          num_clusters: int = None,
                           progress: bool = True) -> SegmentBank:
-    """The reference's per-image SegLoc loop (place_rec_main.py:244-342)."""
+    """The reference's per-image SegLoc loop (place_rec_main.py:244-342).
+    num_clusters defaults to the vocabulary size."""
+    num_clusters = num_clusters or centers.shape[0]
     timer = stage_timer()
     pool_a, pool_b = mask_pool_matrices(mask_hw, desired_hw)
     descs, im_inds = [], []
@@ -129,7 +132,7 @@ def global_vlads_from_h5(dino_h5_path: str,
                          image_keys: Sequence[str],
                          centers: np.ndarray,
                          desired_hw: Tuple[int, int],
-                         num_clusters: int = NUM_CLUSTERS) -> np.ndarray:
+                         num_clusters: int = None) -> np.ndarray:
     """AnyLoc whole-image VLADs (func_vpr.py aggFt :886-956): features are
     bilinearly upsampled (align_corners=True) to full resolution before
     aggregation in the reference — equivalent on the patch grid to
@@ -145,6 +148,7 @@ def global_vlads_from_h5(dino_h5_path: str,
     from revisit_anything_tpu.ops.resize import bilinear_resize_align_corners
     from revisit_anything_tpu.ops.vlad import global_vlad
 
+    num_clusters = num_clusters or centers.shape[0]
     out = []
     with h5py.File(dino_h5_path, "r") as f:
         for key in image_keys:

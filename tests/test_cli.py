@@ -141,3 +141,22 @@ def test_cli_extract_skips_existing(toy_env, capsys):
     capsys.readouterr()
     cli.main(args)
     assert "skipping" in capsys.readouterr().out
+
+
+def test_cli_save_descriptors(toy_env, capsys):
+    env = toy_env
+    cli.main(["extract", *_common(env), "--method", "DINO",
+              "--dino-model", "dinov2_vits14", "--layer", "3"])
+    cli.main(["vocab", *_common(env), "--clusters", "8",
+              "--cache-root", env["cache"], "--domain", "urban"])
+    cli.main(["evaluate", *_common(env), "--experiment",
+              "exp7_global_SegLoc_VLAD_o3", "--vocab-vlad", "domain",
+              "--cache-root", env["cache"], "--save-results",
+              "--save-descriptors"])
+    import pickle
+    results = os.path.join(env["workdir"], "results", "global",
+                           "exp7_global_SegLoc_VLAD_o3_AmsterTime")
+    with open(os.path.join(results, "results.pkl"), "rb") as f:
+        payload = pickle.load(f)
+    assert "segFtVLAD1" in payload and "imInds2" in payload
+    assert payload["segFtVLAD1"].shape[1] == 8 * 384
