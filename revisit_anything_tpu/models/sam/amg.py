@@ -127,7 +127,8 @@ def _decode_batch(params: Params, cfg: SamArchConfig,
                           jnp.ones((bsz, 1), jnp.int32), pad=True)
     dense = no_mask_dense_embedding(params, cfg, bsz)
     lowres, iou = decode_masks(params, cfg, image_embedding, image_pe,
-                               sparse, dense, multimask=True)
+                               sparse, dense, multimask=True,
+                               dense_shared=True)
     m = lowres.reshape(-1, cfg.lowres_size, cfg.lowres_size)
     iou = iou.reshape(-1)
 

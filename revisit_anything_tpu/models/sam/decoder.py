@@ -59,9 +59,38 @@ def _attn(attn_p: Params, q, k, v, num_heads: int):
     return _dense(out.reshape(b, nq, d), attn_p["out"])
 
 
-def _run_two_way(params_dec: Params, tokens, src, src_pe, cfg: SamArchConfig):
+def _attn_kv_shared(attn_p, q, k1, v1, num_heads: int, batch: int):
+    """Attention where k/v come from ONE shared sequence [1, M, D]: their
+    projections are computed once and broadcast over the prompt batch —
+    the layer-1 image branch is identical across AMG prompts (same image
+    embedding + the same no-mask dense prompt), so projecting it per
+    prompt is pure waste."""
+    q = _dense(q, attn_p["q"])
+    k = _dense(k1, attn_p["k"])
+    v = _dense(v1, attn_p["v"])
+    b, nq, d = q.shape
+    hd = d // num_heads
+    qh = q.reshape(b, nq, num_heads, hd)
+    kh = jnp.broadcast_to(k.reshape(1, k.shape[1], num_heads, hd),
+                          (b, k.shape[1], num_heads, hd))
+    vh = jnp.broadcast_to(v.reshape(1, v.shape[1], num_heads, hd),
+                          (b, v.shape[1], num_heads, hd))
+    logits = jnp.einsum("bnhd,bmhd->bhnm", qh, kh,
+                        preferred_element_type=jnp.float32) / (hd ** 0.5)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhnm,bmhd->bnhd", probs, vh,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return _dense(out.reshape(b, nq, d), attn_p["out"])
+
+
+def _run_two_way(params_dec: Params, tokens, src, src_pe,
+                 cfg: SamArchConfig, shared_src=None):
     """TwoWayTransformer.forward: alternating token-self / token→image /
-    mlp / image→token attention, depth 2, then final token→image."""
+    mlp / image→token attention, depth 2, then final token→image.
+
+    ``shared_src``: [1, M, D] image branch when it is identical across the
+    prompt batch (AMG); layer-1 projections of it run once instead of per
+    prompt. Results are identical — the ops are linear per sequence."""
     nh = cfg.decoder_heads
     queries, keys = tokens, src
     for i, layer in enumerate(params_dec["layers"]):
@@ -77,8 +106,13 @@ def _run_two_way(params_dec: Params, tokens, src, src_pe, cfg: SamArchConfig):
         queries = _layer_norm(queries, layer["norm1"], cfg.eps)
 
         q = queries + tokens
-        k = keys + src_pe
-        attn_out = _attn(layer["t2i"], q, k, keys, nh)
+        if i == 0 and shared_src is not None:
+            k1 = shared_src + src_pe[:1]
+            attn_out = _attn_kv_shared(layer["t2i"], q, k1, shared_src,
+                                       nh, q.shape[0])
+        else:
+            k = keys + src_pe
+            attn_out = _attn(layer["t2i"], q, k, keys, nh)
         queries = queries + attn_out
         queries = _layer_norm(queries, layer["norm2"], cfg.eps)
 
@@ -88,9 +122,32 @@ def _run_two_way(params_dec: Params, tokens, src, src_pe, cfg: SamArchConfig):
         queries = _layer_norm(queries, layer["norm3"], cfg.eps)
 
         q = queries + tokens
-        k = keys + src_pe
-        attn_out = _attn(layer["i2t"], k, q, queries, nh)
-        keys = keys + attn_out
+        if i == 0 and shared_src is not None:
+            # i2t query side is the shared image branch; project once.
+            iq = _dense(shared_src + src_pe[:1], layer["i2t"]["q"])
+            b = q.shape[0]
+            d_in = iq.shape[-1]
+            hd = d_in // nh
+            iqh = jnp.broadcast_to(
+                iq.reshape(1, iq.shape[1], nh, hd),
+                (b, iq.shape[1], nh, hd))
+            kk = _dense(q, layer["i2t"]["k"]).reshape(b, q.shape[1], nh, hd)
+            vv = _dense(queries, layer["i2t"]["v"]).reshape(
+                b, q.shape[1], nh, hd)
+            logits = jnp.einsum("bnhd,bmhd->bhnm", iqh, kk,
+                                preferred_element_type=jnp.float32) \
+                / (hd ** 0.5)
+            probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+            out = jnp.einsum("bhnm,bmhd->bnhd", probs, vv,
+                             preferred_element_type=jnp.float32
+                             ).astype(q.dtype)
+            attn_out = _dense(out.reshape(b, iq.shape[1], d_in),
+                              layer["i2t"]["out"])
+            keys = src + attn_out
+        else:
+            k = keys + src_pe
+            attn_out = _attn(layer["i2t"], k, q, queries, nh)
+            keys = keys + attn_out
         keys = _layer_norm(keys, layer["norm4"], cfg.eps)
 
     q = queries + tokens
@@ -134,13 +191,14 @@ def _mlp(x, layers, final_act=None):
     return x
 
 
-@partial(jax.jit, static_argnames=("cfg", "multimask"))
+@partial(jax.jit, static_argnames=("cfg", "multimask", "dense_shared"))
 def decode_masks(params: Params, cfg: SamArchConfig,
                  image_embedding: jnp.ndarray,
                  image_pe: jnp.ndarray,
                  sparse_prompts: jnp.ndarray,
                  dense_prompts: jnp.ndarray,
-                 multimask: bool = True
+                 multimask: bool = True,
+                 dense_shared: bool = False
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Decode masks for a batch of prompts against ONE image embedding.
 
@@ -169,7 +227,15 @@ def decode_masks(params: Params, cfg: SamArchConfig,
     src_pe = jnp.broadcast_to(image_pe.reshape(1, g * g, d),
                               (np_, g * g, d)).astype(src.dtype)
 
-    queries, keys = _run_two_way(dec, tokens, src, src_pe, cfg)
+    # AMG uses the identical no-mask dense prompt for every point, so the
+    # layer-1 image branch is shared across prompts — project it once.
+    shared_src = None
+    if dense_shared:
+        shared_src = (image_embedding[None]
+                      + dense_prompts[:1]).reshape(1, g * g, d)
+
+    queries, keys = _run_two_way(dec, tokens, src, src_pe, cfg,
+                                 shared_src=shared_src)
 
     iou_token_out = queries[:, 0]
     mask_tokens_out = queries[:, 1:1 + cfg.num_mask_tokens]

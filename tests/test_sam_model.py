@@ -161,3 +161,21 @@ def test_decoder_export_roundtrip(rng, tmp_path):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(iou), np.asarray(iou_ref),
                                atol=1e-6)
+
+
+def test_dense_shared_matches_unshared(rng):
+    """decode_masks(dense_shared=True) must equal the general path when all
+    dense prompts are identical (the AMG case)."""
+    model, cfg, params = make_pair(depth=1)
+    imgs = rng.standard_normal((1, IMG, IMG, 3)).astype(np.float32)
+    emb = encode_image(params, cfg, imgs)[0]
+    pts = (rng.random((5, 1, 2)) * IMG).astype(np.float32)
+    sparse = embed_points(params, cfg, pts, np.ones((5, 1)), pad=True)
+    dense = no_mask_dense_embedding(params, cfg, 5)
+    pe = dense_positional_embedding(params, cfg)[0]
+    m1, i1 = decode_masks(params, cfg, emb, pe, sparse, dense,
+                          multimask=True, dense_shared=False)
+    m2, i2 = decode_masks(params, cfg, emb, pe, sparse, dense,
+                          multimask=True, dense_shared=True)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(i1), np.asarray(i2), atol=2e-5)
