@@ -151,13 +151,15 @@ def cmd_vocab(args):
     import h5py
 
     ds = get_dataset(args.dataset)
-    dino_h5 = os.path.join(args.workdir, ds.dino_h5_ref)
+    dino_name = ds.dino_nv_h5_ref if args.finetuned else ds.dino_h5_ref
+    dino_h5 = os.path.join(args.workdir, dino_name)
     with h5py.File(dino_h5, "r") as f:
         keys = list_image_keys(f)
     centers = fit_vocabulary_from_h5(dino_h5, keys,
                                      num_clusters=args.clusters)
     vocab_id = args.domain or ds.map_vlad_cluster
-    out = WorkdirConfig(cache_root=args.cache_root).vocab_path(vocab_id)
+    out = WorkdirConfig(cache_root=args.cache_root).vocab_path(
+        vocab_id, finetuned=args.finetuned)
     save_cluster_centers(out, centers)
     print(f"wrote {out} {centers.shape}")
 
@@ -415,6 +417,8 @@ def main(argv=None):
 
     p = sub.add_parser("vocab", help="fit VLAD vocabulary (cosine kmeans)")
     _add_common(p)
+    p.add_argument("--finetuned", action="store_true",
+                   help="fit on dinoNV features (NVFinetuned vocab id)")
     p.add_argument("--clusters", type=int, default=32)
     p.add_argument("--domain", default=None)
     p.add_argument("--cache-root", default="./cache")

@@ -72,3 +72,77 @@ def multi_similarity_loss(embeddings: jnp.ndarray,
     active = jnp.any(pos_mask, axis=1) | jnp.any(neg_mask, axis=1)
     denom = jnp.maximum(jnp.sum(active), 1)
     return jnp.sum(jnp.where(active, per_anchor, 0.0)) / denom
+
+
+@partial(jax.jit, static_argnames=("pos_margin", "neg_margin"))
+def contrastive_loss(embeddings: jnp.ndarray, labels: jnp.ndarray,
+                     pos_margin: float = 0.0,
+                     neg_margin: float = 1.0) -> jnp.ndarray:
+    """Contrastive loss over L2 distances (losses.py ContrastiveLoss
+    config: pos_margin 0, neg_margin 1): positives pay max(d - pos_m, 0),
+    negatives max(neg_m - d, 0); mean over non-zero pairs."""
+    d2 = (jnp.sum(embeddings ** 2, axis=1)[:, None]
+          + jnp.sum(embeddings ** 2, axis=1)[None, :]
+          - 2 * jnp.dot(embeddings, embeddings.T,
+                        preferred_element_type=jnp.float32))
+    dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
+    pos_mask, neg_mask = _pair_masks(labels)
+    pos_term = jnp.where(pos_mask,
+                         jnp.maximum(dist - pos_margin, 0.0), 0.0)
+    neg_term = jnp.where(neg_mask,
+                         jnp.maximum(neg_margin - dist, 0.0), 0.0)
+    nonzero = jnp.sum((pos_term > 0) | (neg_term > 0))
+    return jnp.sum(pos_term + neg_term) / jnp.maximum(nonzero, 1)
+
+
+@partial(jax.jit, static_argnames=("margin",))
+def triplet_margin_loss(embeddings: jnp.ndarray, labels: jnp.ndarray,
+                        margin: float = 0.1) -> jnp.ndarray:
+    """Batch-all triplet margin loss over L2 distances
+    (losses.py TripletMarginLoss: margin 0.1, all triplets), averaged over
+    violating triplets."""
+    d2 = (jnp.sum(embeddings ** 2, axis=1)[:, None]
+          + jnp.sum(embeddings ** 2, axis=1)[None, :]
+          - 2 * jnp.dot(embeddings, embeddings.T,
+                        preferred_element_type=jnp.float32))
+    dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
+    pos_mask, neg_mask = _pair_masks(labels)
+    # loss[a, p, n] = max(d_ap - d_an + margin, 0) over valid triplets
+    viol = dist[:, :, None] - dist[:, None, :] + margin
+    valid = pos_mask[:, :, None] & neg_mask[:, None, :]
+    viol = jnp.where(valid, jnp.maximum(viol, 0.0), 0.0)
+    nonzero = jnp.sum(viol > 0)
+    return jnp.sum(viol) / jnp.maximum(nonzero, 1)
+
+
+@partial(jax.jit, static_argnames=("temperature",))
+def ntxent_loss(embeddings: jnp.ndarray, labels: jnp.ndarray,
+                temperature: float = 0.07) -> jnp.ndarray:
+    """NT-Xent / InfoNCE over cosine similarities (losses.py NTXentLoss,
+    temperature 0.07): per positive pair, -log softmax against that
+    anchor's negatives."""
+    emb = l2_normalize(embeddings, axis=1)
+    sims = jnp.dot(emb, emb.T,
+                   preferred_element_type=jnp.float32) / temperature
+    pos_mask, neg_mask = _pair_masks(labels)
+    neg_exp = jnp.sum(jnp.where(neg_mask, jnp.exp(sims), 0.0), axis=1)
+    # loss per positive pair (a, p): -log exp(s_ap)/(exp(s_ap)+Σ_neg(a))
+    denom = jnp.exp(sims) + neg_exp[:, None]
+    per_pair = jnp.where(pos_mask, -(sims - jnp.log(denom)), 0.0)
+    n_pos = jnp.maximum(jnp.sum(pos_mask), 1)
+    return jnp.sum(per_pair) / n_pos
+
+
+def get_loss(name: str):
+    """Loss factory mirroring VLAD-BuFF utils/losses.py get_loss names."""
+    table = {
+        "MultiSimilarityLoss": multi_similarity_loss,
+        "ContrastiveLoss": contrastive_loss,
+        "TripletMarginLoss": triplet_margin_loss,
+        "NTXentLoss": ntxent_loss,
+    }
+    try:
+        return table[name]
+    except KeyError:
+        raise NotImplementedError(
+            f"loss {name!r} not implemented; available: {sorted(table)}")

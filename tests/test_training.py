@@ -190,3 +190,45 @@ def test_sharded_step_matches_unsharded(rng):
     for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_sh)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4)
+
+
+def oracle_triplet_all(emb, labels, margin=0.1):
+    d = np.sqrt(np.maximum(
+        ((emb[:, None] - emb[None]) ** 2).sum(-1), 1e-12))
+    total, count = 0.0, 0
+    n = len(labels)
+    for a in range(n):
+        for p in range(n):
+            if p == a or labels[p] != labels[a]:
+                continue
+            for ng in range(n):
+                if labels[ng] == labels[a]:
+                    continue
+                v = d[a, p] - d[a, ng] + margin
+                if v > 0:
+                    total += v
+                    count += 1
+    return total / max(count, 1)
+
+
+def test_triplet_loss_matches_oracle(rng):
+    from revisit_anything_tpu.training.losses import triplet_margin_loss
+    emb = rng.standard_normal((8, 8)).astype(np.float32)
+    labels = np.repeat(np.arange(2), 4)
+    ours = float(triplet_margin_loss(emb, labels, margin=0.2))
+    ref = oracle_triplet_all(emb.astype(np.float64), labels, 0.2)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+def test_contrastive_and_ntxent_behave(rng):
+    from revisit_anything_tpu.training.losses import (contrastive_loss,
+                                                      get_loss, ntxent_loss)
+    labels = np.repeat(np.arange(3), 3)
+    sep = np.eye(3, 12, dtype=np.float32)[np.repeat(np.arange(3), 3)] * 5
+    rnd = rng.standard_normal((9, 12)).astype(np.float32)
+    for loss in (contrastive_loss, ntxent_loss):
+        assert float(loss(sep, labels)) < float(loss(rnd, labels))
+    assert get_loss("NTXentLoss") is ntxent_loss
+    import pytest
+    with pytest.raises(NotImplementedError):
+        get_loss("FancyLoss")
