@@ -372,10 +372,10 @@ def cmd_evaluate_global(args):
         raise SystemExit("no ground truth for this dataset")
 
     if args.model == "vladbuff":
-        params = load_vladbuff_checkpoint(args.checkpoint)
+        params = load_vladbuff_checkpoint(args.checkpoint, dn.VIT_B14)
         desc_fn = global_descriptor
     else:
-        params = load_dinosalad_checkpoint(args.checkpoint)
+        params = load_dinosalad_checkpoint(args.checkpoint, dn.VIT_B14)
         desc_fn = salad_global_descriptor
 
     def descriptors(paths):

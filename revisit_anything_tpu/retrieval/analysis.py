@@ -74,7 +74,7 @@ def get_validation_recalls(db_desc: np.ndarray,
     idx = np.asarray(idx)
     correct = np.zeros(len(k_values))
     num_eval = 0
-    for qi, gt_q in enumerate(gt):
+    for qi, gt_q in enumerate(gt[:len(idx)]):
         if len(gt_q) == 0:
             continue
         num_eval += 1

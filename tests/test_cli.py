@@ -160,3 +160,28 @@ def test_cli_save_descriptors(toy_env, capsys):
         payload = pickle.load(f)
     assert "segFtVLAD1" in payload and "imInds2" in payload
     assert payload["segFtVLAD1"].shape[1] == 8 * 384
+
+
+def test_cli_evaluate_global(toy_env, capsys, monkeypatch, rng, tmp_path):
+    import torch
+    from revisit_anything_tpu.models import dinov2 as dn
+    from tests.test_vladbuff import synth_hub_state_dict
+    tiny = dn.DinoV2Config(embed_dim=32, depth=2, num_heads=2, ffn="mlp",
+                           pretrain_grid=(4, 4))
+    monkeypatch.setattr(dn, "VIT_B14", tiny)
+
+    sd = {f"backbone.model.{k}": v
+          for k, v in synth_hub_state_dict(tiny, rng).items()}
+    C, D = 4, tiny.embed_dim
+    sd["aggregator.conv.weight"] = torch.from_numpy(
+        rng.standard_normal((C, D, 1, 1)).astype(np.float32))
+    sd["aggregator.centroids"] = torch.from_numpy(
+        rng.standard_normal((C, D)).astype(np.float32))
+    ckpt = str(tmp_path / "vb.ckpt")
+    torch.save({"state_dict": sd}, ckpt)
+
+    env = toy_env
+    cli.main(["evaluate-global", *_common(env), "--checkpoint", ckpt,
+              "--model", "vladbuff", "--batch-size", "4"])
+    out = capsys.readouterr().out
+    assert "R@1" in out
