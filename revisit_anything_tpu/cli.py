@@ -195,6 +195,15 @@ def _load_centers(args, ds):
     return load_cluster_centers(path)
 
 
+def _pca_paths(args, exp):
+    """(reference pkl path, our npz path) for the experiment's PCA model —
+    ONE naming rule shared by cmd_pca and cmd_evaluate."""
+    suffix = (exp.pca_model_pkl if args.vocab_vlad == "domain"
+              else exp.pca_model_pkl_map) or f"_pca_order{exp.order}.pkl"
+    pkl = os.path.join(args.workdir, f"{args.dataset}{suffix}")
+    return pkl, pkl + ".npz"
+
+
 def cmd_pca(args):
     from revisit_anything_tpu.config import get_dataset, get_experiment
     from revisit_anything_tpu.ops.pca import save_pca_npz
@@ -205,11 +214,7 @@ def cmd_pca(args):
     centers = _load_centers(args, ds)
     banks = _load_banks(args, exp, ds, centers)
     params = fit_pca_from_vlads(banks["r"][0], num_components=args.dim)
-    suffix = (exp.pca_model_pkl if args.vocab_vlad == "domain"
-              else exp.pca_model_pkl_map) or f"_pca_order{exp.order}.npz"
-    out = os.path.join(args.workdir, f"{args.dataset}{suffix}.npz"
-                       if not suffix.endswith(".npz") else
-                       f"{args.dataset}{suffix}")
+    _, out = _pca_paths(args, exp)
     save_pca_npz(out, params)
     print(f"wrote {out}")
 
@@ -259,10 +264,7 @@ def _cmd_evaluate(args):
         banks = _load_banks(args, exp, ds, centers)
         pca = None
         if exp.pca:
-            suffix = (exp.pca_model_pkl if args.vocab_vlad == "domain"
-                      else exp.pca_model_pkl_map)
-            pkl = os.path.join(args.workdir, f"{args.dataset}{suffix}")
-            npz = pkl + ".npz"
+            pkl, npz = _pca_paths(args, exp)
             pca = (load_pca_npz(npz) if os.path.exists(npz)
                    else load_sklearn_pca_pickle(pkl))
         if gt is None:

@@ -46,7 +46,7 @@ def utm_from_paths(paths: Sequence[str]) -> np.ndarray:
 
 
 def _baidu_gt(data_root: str, dist_thresh: float = 10.0) -> List[np.ndarray]:
-    base = os.path.join(data_root, "baidu_datasets")
+    base = os.path.join(data_root, "baidu")
     def poses(sub):
         files = natsorted_keys(os.listdir(os.path.join(base, sub)))
         return np.stack([parse_camera_pose(os.path.join(base, sub, f))
@@ -56,7 +56,7 @@ def _baidu_gt(data_root: str, dist_thresh: float = 10.0) -> List[np.ndarray]:
 
 
 def _vpair_gt(data_root: str) -> List[np.ndarray]:
-    gt = np.load(os.path.join(data_root, "vpair", "vpair_gt.npy"),
+    gt = np.load(os.path.join(data_root, "VPAir", "vpair_gt.npy"),
                  allow_pickle=True)
     return [np.asarray(entry[1]) for entry in gt]
 

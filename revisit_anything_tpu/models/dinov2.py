@@ -67,7 +67,7 @@ class DinoV2Config:
 VIT_G14 = DinoV2Config(embed_dim=1536, depth=40, num_heads=24, ffn="swiglu")
 VIT_L14 = DinoV2Config(embed_dim=1024, depth=24, num_heads=16)
 VIT_B14 = DinoV2Config(embed_dim=768, depth=12, num_heads=12)
-VIT_S14 = DinoV2Config(embed_dim=384, depth=6, num_heads=6)
+VIT_S14 = DinoV2Config(embed_dim=384, depth=12, num_heads=6)
 
 CONFIGS = {"dinov2_vitg14": VIT_G14, "dinov2_vitl14": VIT_L14,
            "dinov2_vitb14": VIT_B14, "dinov2_vits14": VIT_S14}

@@ -32,8 +32,12 @@ MASK_BUCKETS = (8, 16, 32, 64, 96, 128, 192, 256, 384, 512)
 
 
 def _bucket(n: int) -> int:
-    i = bisect.bisect_left(MASK_BUCKETS, max(n, 1))
-    return MASK_BUCKETS[min(i, len(MASK_BUCKETS) - 1)]
+    n = max(n, 1)
+    if n > MASK_BUCKETS[-1]:
+        # beyond the largest bucket: round up to a multiple of 128 so huge
+        # mask sets (reference artifacts have no 512 cap) still aggregate
+        return -(-n // 128) * 128
+    return MASK_BUCKETS[bisect.bisect_left(MASK_BUCKETS, n)]
 
 
 @dataclasses.dataclass
@@ -86,7 +90,10 @@ def image_segment_vlad(masks: np.ndarray,
         adj = jnp.asarray(ap)
 
     d, dh, dw = feats.shape
-    desc = jnp.asarray(feats.reshape(d, dh * dw).T)   # [P, D] (normalized)
+    # L2-normalize over channels like the reference does on EVERY load
+    # (func_vpr.py:1085) — the main dino h5s store normalized features
+    # (idempotent) but the dinoNV finetuned h5s store raw ones.
+    desc = l2_normalize(jnp.asarray(feats.reshape(d, dh * dw).T), axis=1)
     vlads = segment_vlad(desc, jnp.asarray(centers), patch_masks, adj,
                          num_clusters=num_clusters)
     return np.asarray(vlads[:m])

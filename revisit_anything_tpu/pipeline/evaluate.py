@@ -73,8 +73,9 @@ def run_segloc_retrieval(db_bank: SegmentBank,
     q = query_bank.descriptors
     if pca is not None:
         with timer.stage("retrieval.pca"):
-            db = np.asarray(pca_apply(jnp.asarray(db), pca))
-            q = np.asarray(pca_apply(jnp.asarray(q), pca))
+            # streamed: million-segment 49152-d banks don't fit HBM at once
+            db = apply_pca_in_batches(db_bank, pca).descriptors
+            q = apply_pca_in_batches(query_bank, pca).descriptors
         db = _normalize_rows(db)
         q = _normalize_rows(q)
 

@@ -36,7 +36,7 @@ def test_parse_camera_pose(tmp_path):
 
 
 def test_baidu_gt_pipeline(tmp_path):
-    base = tmp_path / "baidu_datasets"
+    base = tmp_path / "baidu"
     for sub, positions in (
             ("training_gt", [[0, 0, 0], [5, 0, 0], [100, 0, 0]]),
             ("query_gt", [[1, 0, 0], [99, 0, 0]])):
@@ -68,7 +68,7 @@ def test_sfxl_gt():
 
 
 def test_vpair_gt(tmp_path):
-    d = tmp_path / "vpair"
+    d = tmp_path / "VPAir"
     d.mkdir()
     data = np.array([(0, [1, 2]), (1, [3])], dtype=object)
     np.save(d / "vpair_gt.npy", data, allow_pickle=True)
