@@ -343,6 +343,10 @@ def cmd_train(args):
             s = int(step)
             if s % args.log_every == 0:
                 print(f"step {s}: loss {float(loss):.4f}", flush=True)
+                if args.log_file:
+                    with open(args.log_file, "a") as lf:
+                        lf.write(json.dumps({"step": s,
+                                             "loss": float(loss)}) + "\n")
             if s % args.ckpt_every == 0 or s >= args.steps:
                 path = save_train_state(args.ckpt_dir, params, opt_state, s)
                 print(f"checkpoint: {path}")
@@ -471,6 +475,9 @@ def main(argv=None):
     p.add_argument("--image-size", type=int, nargs=2, default=[224, 224])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--log-file", default=None,
+                   help="append JSONL {step, loss} records (the wandb-"
+                        "equivalent metric stream; no egress here)")
     p.add_argument("--ckpt-every", type=int, default=1000)
     p.add_argument("--resume", action="store_true")
     p.set_defaults(func=cmd_train)
