@@ -183,6 +183,57 @@ def _upscale(src_map: jnp.ndarray, dec: Params, cfg: SamArchConfig):
     return x                                            # [B, 4g, 4g, d/8]
 
 
+def _upscale_masks_blocks(src_flat: jnp.ndarray, hyper: jnp.ndarray,
+                          dec: Params, cfg: SamArchConfig) -> jnp.ndarray:
+    """Upscaler + hypernetwork mask heads in block layout — NO activation
+    transposes.
+
+    Both transposed convs have kernel == stride == 2, so there is zero
+    spatial mixing: output pixel (4i+2a1+a2, 4j+2b1+b2) depends only on
+    input pixel (i, j). The whole chain therefore runs on [Np, g², *]
+    tensors with the 2x2 block structure kept in the channel axis; only
+    the final (small, f32) mask tensor is interleaved back to spatial
+    layout. Bit-equivalent to _upscale + the mask einsum.
+
+    Args:
+      src_flat: [Np, g², D].
+      hyper: [Np, M, D/8] hypernetwork weights.
+    Returns masks [Np, M, 4g, 4g] f32.
+    """
+    np_, gg, d = src_flat.shape
+    g = cfg.grid
+    m = hyper.shape[1]
+    c1 = d // 4          # up1 out channels
+    c2 = d // 8          # up2 out channels
+
+    # convt1: [Np, g², D] @ [D, 4·c1] → blocks (a1, b1, c1)
+    y = jnp.dot(src_flat, dec["up1_w"],
+                preferred_element_type=jnp.float32).astype(src_flat.dtype)
+    y = y.reshape(np_, gg, 4, c1) + dec["up1_b"]
+    # channel LN per (position, a1b1 block)
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.var(y, axis=-1, keepdims=True)
+    y = (y - mu) * jax.lax.rsqrt(var + cfg.eps) * dec["up_ln"]["scale"] \
+        + dec["up_ln"]["bias"]
+    y = jax.nn.gelu(y, approximate=False)
+
+    # convt2 within each a1b1 block: [.., c1] @ [c1, 4·c2]
+    y = jnp.einsum("npqc,cd->npqd", y, dec["up2_w"],
+                   preferred_element_type=jnp.float32).astype(y.dtype)
+    y = y.reshape(np_, gg, 4, 4, c2) + dec["up2_b"]
+    y = jax.nn.gelu(y, approximate=False)
+
+    # hypernetwork: [Np, g², 4, 4, c2] x [Np, M, c2] → [Np, M, g², 4, 4]
+    masks = jnp.einsum("npqrc,nmc->nmpqr", y, hyper.astype(y.dtype),
+                       preferred_element_type=jnp.float32)
+
+    # interleave blocks to spatial: row = 4i + 2a1 + a2, col = 4j+2b1+b2
+    masks = masks.reshape(np_, m, g, g, 2, 2, 2, 2)
+    #            (n, m, i, j, a1, b1, a2, b2) → (n, m, i, a1, a2, j, b1, b2)
+    masks = masks.transpose(0, 1, 2, 4, 6, 3, 5, 7)
+    return masks.reshape(np_, m, 4 * g, 4 * g)
+
+
 def _mlp(x, layers, final_act=None):
     for i, p in enumerate(layers):
         x = _dense(x, p)
@@ -240,16 +291,10 @@ def decode_masks(params: Params, cfg: SamArchConfig,
     iou_token_out = queries[:, 0]
     mask_tokens_out = queries[:, 1:1 + cfg.num_mask_tokens]
 
-    src_map = keys.reshape(np_, g, g, d)
-    upscaled = _upscale(src_map, dec, cfg)              # [Np, 4g, 4g, d/8]
-    up_flat = upscaled.reshape(np_, (4 * g) * (4 * g), -1)
-
     hyper = jnp.stack(
         [_mlp(mask_tokens_out[:, i], dec["hyper_mlps"][i])
          for i in range(cfg.num_mask_tokens)], axis=1)   # [Np, M, d/8]
-    masks = jnp.einsum("pmc,pnc->pmn", hyper, up_flat,
-                       preferred_element_type=jnp.float32)
-    masks = masks.reshape(np_, cfg.num_mask_tokens, 4 * g, 4 * g)
+    masks = _upscale_masks_blocks(keys, hyper, dec, cfg)
 
     iou_pred = _mlp(iou_token_out, dec["iou_head"])
 
