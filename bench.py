@@ -77,6 +77,18 @@ def main():
     amg = AmgConfig(points_per_batch=256,
                     pred_iou_thresh=-1e9, stability_score_thresh=0.0)
 
+    from revisit_anything_tpu.models.sam.amg import _pack_bits  # noqa
+    from revisit_anything_tpu.ops.adjacency import delaunay_adjacency
+    from revisit_anything_tpu.ops.masks import (mask_centroids,
+                                                pool_masks_to_patch_grid)
+    from revisit_anything_tpu.pipeline.aggregate import _bucket
+    from revisit_anything_tpu.pipeline.query import (pca_tuple,
+                                                     query_topk_images)
+
+    pca_args = pca_tuple(pca)
+    pool_a_dev = jnp.asarray(pool_a)
+    pool_b_dev = jnp.asarray(pool_b)
+
     def one_query(img_uint8):
         # SAM masks at half resolution (place_rec_SAM_DINO.py:51-63)
         import cv2
@@ -91,20 +103,26 @@ def main():
         x = dn.preprocess(img_uint8[None])
         feats = dn.extract_dense(dino_params, dino_cfg,
                                  jnp.asarray(x, jnp.bfloat16), 31, "value")
-        feats = l2_normalize(feats[0].astype(jnp.float32), axis=1)
-        feats_dev = feats.T.reshape(DINO_G_DIM, dh, dw)
+        desc = l2_normalize(feats[0].astype(jnp.float32), axis=1)  # [P, D]
 
-        # order-3 SuperSegment VLAD → PCA → kNN → Borda
-        vlads = image_segment_vlad(masks, feats_dev, centers,
-                                   pool_a, pool_b, order=3)
-        proj = np.asarray(pca_apply(jnp.asarray(vlads), pca))
-        proj = proj / (np.linalg.norm(proj, axis=1, keepdims=True) + 1e-12)
-        sq, idx = knn_l2(jnp.asarray(proj), db_dev, 200)
-        sims = 2.0 - jnp.asarray(sq)[:, :50]
-        preds = weighted_borda_predict(
-            sims, jnp.asarray(idx)[:, :50],
-            jnp.zeros((len(vlads),), jnp.int32), db_img_ids,
-            1, n_db_segs // 50, n=5)
+        # host: pad masks to a bucket + Delaunay adjacency (Qhull)
+        m = len(masks)
+        mb = _bucket(m)
+        padded = np.zeros((mb,) + masks.shape[1:], bool)
+        padded[:m] = masks
+        adj = np.zeros((mb, mb), bool)
+        adj[:m, :m] = delaunay_adjacency(mask_centroids(masks), 3)
+
+        # fused device pipeline: pool → VLAD → PCA → kNN → Borda,
+        # ONE dispatch + one tiny readback
+        patch_masks = pool_masks_to_patch_grid(
+            jnp.asarray(padded), pool_a_dev, pool_b_dev)
+        preds = query_topk_images(
+            desc, patch_masks, jnp.asarray(adj), jnp.asarray(centers),
+            *pca_args[:3], db_dev, db_img_ids,
+            num_clusters=NUM_CLUSTERS, num_ref_images=n_db_segs // 50,
+            knn_topk=200, borda_topk=50, top_images=5,
+            whiten=pca_args[3])
         return np.asarray(preds), len(records)
 
     img = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)

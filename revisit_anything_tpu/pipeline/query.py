@@ -1,0 +1,115 @@
+"""Fused online-query path: one device dispatch from dense features to
+top-k database images.
+
+The staged pipeline (aggregate → PCA → kNN → vote) round-trips the host
+between stages — fine for offline batch evaluation, but each round trip
+costs a full dispatch+readback latency when serving single queries. This
+fuses segment-VLAD aggregation, PCA projection, row normalization, the
+kNN search and weighted-Borda voting into ONE jit; only the final top-k
+image ids (tiny) leave the device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from revisit_anything_tpu.config import BORDA_TOPK, KNN_TOPK, RECALL_TOPK
+from revisit_anything_tpu.ops.knn import _knn_scores, _pad_rows
+from revisit_anything_tpu.ops.vlad import (expand_super_masks,
+                                           hard_assignment, l2_normalize)
+
+
+@partial(jax.jit, static_argnames=("num_clusters", "knn_topk", "borda_topk",
+                                   "top_images", "num_ref_images",
+                                   "db_tile", "whiten"))
+def query_topk_images(desc: jnp.ndarray,
+                      patch_masks: jnp.ndarray,
+                      adjacency: Optional[jnp.ndarray],
+                      centers: jnp.ndarray,
+                      pca_mean: jnp.ndarray,
+                      pca_components: jnp.ndarray,
+                      pca_variance: jnp.ndarray,
+                      db: jnp.ndarray,
+                      db_image_ids: jnp.ndarray,
+                      num_clusters: int,
+                      num_ref_images: int,
+                      knn_topk: int = KNN_TOPK,
+                      borda_topk: int = BORDA_TOPK,
+                      top_images: int = RECALL_TOPK,
+                      db_tile: int = 8192,
+                      whiten: bool = True) -> jnp.ndarray:
+    """One query image → top database image ids, fully on device.
+
+    Args:
+      desc: [P, D] L2-normalized dense patch descriptors.
+      patch_masks: [M, P] bool (padded rows all-false).
+      adjacency: [M, M] bool order-K adjacency (padded false) or None.
+      centers: [C, D] VLAD vocabulary.
+      pca_*: whitened-PCA parameters (projektion to the retrieval dim).
+      db: [Nd, dim] PCA-projected, row-normalized database segments.
+      db_image_ids: [Nd] database image id per segment.
+
+    Returns [top_images] database image ids, best first.
+    """
+    desc = desc.astype(jnp.float32)
+    labels = hard_assignment(desc, centers)
+    residuals = desc - centers.astype(jnp.float32)[labels]
+    super_mask = expand_super_masks(patch_masks, adjacency).astype(
+        jnp.float32)
+    onehot = jax.nn.one_hot(labels, num_clusters, dtype=jnp.float32)
+
+    def per_cluster(c, _):
+        r_c = residuals * onehot[:, c][:, None]
+        v = jnp.dot(super_mask, r_c, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        return c + 1, v
+
+    _, vlads = jax.lax.scan(per_cluster, 0, None, length=num_clusters)
+    vlads = l2_normalize(vlads, axis=-1)
+    flat = jnp.transpose(vlads, (1, 0, 2)).reshape(patch_masks.shape[0], -1)
+    flat = l2_normalize(flat, axis=-1)
+
+    proj = jnp.dot(flat - pca_mean, pca_components.T,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    if whiten:
+        proj = proj / jnp.sqrt(pca_variance)
+    proj = l2_normalize(proj, axis=-1)
+
+    # valid segments: any true patch (padded mask rows vote zero)
+    valid = jnp.any(patch_masks, axis=1)
+
+    nd = db.shape[0]
+    k = min(knn_topk, nd)
+    tile = min(db_tile, max(128, nd))
+    db_p = _pad_rows(db, tile, 0.0)
+    norms = jnp.sum(db_p * db_p, axis=1)
+    if db_p.shape[0] > nd:
+        pad_mask = jnp.arange(db_p.shape[0]) >= nd
+        norms = jnp.where(pad_mask, jnp.inf, norms)
+    scores, idx = _knn_scores(proj, db_p, norms, k, tile)
+    q_norms = jnp.sum(proj * proj, axis=1, keepdims=True)
+    sq_l2 = q_norms - 2.0 * scores
+
+    kk = min(borda_topk, k)
+    sims = 2.0 - sq_l2[:, :kk]
+    s_min = jnp.min(sims)
+    s_max = jnp.max(sims)
+    norm_s = (sims - s_min) / jnp.maximum(s_max - s_min, 1e-30)
+    norm_s = norm_s * valid[:, None]
+    ref_ids = db_image_ids[idx[:, :kk]]
+    votes = jax.ops.segment_sum(norm_s.reshape(-1), ref_ids.reshape(-1),
+                                num_segments=num_ref_images)
+    _, top = jax.lax.top_k(votes, min(top_images, num_ref_images))
+    return top
+
+
+def pca_tuple(pca) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, bool]:
+    """PCAParams → (mean, components, variance, whiten) for the fused query."""
+    return (pca.mean, pca.components, pca.explained_variance,
+            bool(pca.whiten))
