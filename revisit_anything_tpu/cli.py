@@ -401,6 +401,115 @@ def cmd_evaluate_global(args):
     get_validation_recalls(db, q, gt, dataset_name=args.dataset)
 
 
+def cmd_build_index(args):
+    """Build a serving index: PCA-projected, row-normalized database
+    segment descriptors + image ids + the vocabulary/PCA parameters, in
+    one npz consumed by `query`."""
+    from revisit_anything_tpu.config import get_dataset, get_experiment
+    from revisit_anything_tpu.ops.pca import load_pca_npz, load_sklearn_pca_pickle
+    from revisit_anything_tpu.pipeline.evaluate import (_normalize_rows,
+                                                        apply_pca_in_batches)
+
+    ds = get_dataset(args.dataset)
+    exp = get_experiment(args.experiment)
+    centers = _load_centers(args, ds)
+    banks = _load_banks(args, exp, ds, centers)
+    bank = banks["r"][0]
+    pkl, npz = _pca_paths(args, exp)
+    pca = (load_pca_npz(npz) if os.path.exists(npz)
+           else load_sklearn_pca_pickle(pkl))
+    db = _normalize_rows(apply_pca_in_batches(bank, pca).descriptors)
+    np.savez_compressed(
+        args.output,
+        db=db.astype(np.float32),
+        db_image_ids=bank.image_indices,
+        image_keys=np.asarray(banks["r"][1]),
+        centers=centers,
+        pca_mean=np.asarray(pca.mean),
+        pca_components=np.asarray(pca.components),
+        pca_variance=np.asarray(pca.explained_variance),
+        pca_whiten=np.asarray(bool(pca.whiten)),
+        order=np.asarray(exp.order),
+        mask_h=np.asarray(ds.sam_size.height),
+        mask_w=np.asarray(ds.sam_size.width),
+        dino_h=np.asarray(ds.size.height),
+        dino_w=np.asarray(ds.size.width))
+    print(f"wrote {args.output}: {db.shape[0]} segments / "
+          f"{int(bank.image_indices.max()) + 1} images")
+
+
+def cmd_query(args):
+    """Online query: one image against a prebuilt index — SAM masks +
+    DINO features + the fused single-dispatch retrieval tail."""
+    import jax
+    import jax.numpy as jnp
+    from revisit_anything_tpu.models import dinov2 as dn
+    from revisit_anything_tpu.models.sam import (SAM_REGISTRY,
+                                                 init_sam_params,
+                                                 load_sam_checkpoint)
+    from revisit_anything_tpu.models.sam.amg import generate_masks
+    from revisit_anything_tpu.ops.adjacency import delaunay_adjacency
+    from revisit_anything_tpu.ops.masks import (mask_centroids,
+                                                mask_pool_matrices,
+                                                pool_masks_to_patch_grid)
+    from revisit_anything_tpu.ops.vlad import l2_normalize
+    from revisit_anything_tpu.pipeline.aggregate import _bucket
+    from revisit_anything_tpu.pipeline.extract import (_resize_cv2_bilinear,
+                                                       load_image_rgb)
+    from revisit_anything_tpu.pipeline.query import query_topk_images
+
+    z = np.load(args.index)
+    sam_cfg = SAM_REGISTRY[args.sam_variant]
+    dino_cfg = dn.CONFIGS[args.dino_model]
+    sam_params = (load_sam_checkpoint(args.sam_checkpoint, sam_cfg)
+                  if args.sam_checkpoint
+                  else init_sam_params(sam_cfg, jax.random.PRNGKey(0)))
+    dino_params = (dn.load_checkpoint(args.dino_checkpoint, dino_cfg)
+                   if args.dino_checkpoint
+                   else dn.init_params(dino_cfg, jax.random.PRNGKey(1)))
+
+    dino_hw = (int(z["dino_h"]), int(z["dino_w"]))
+    mask_hw = (int(z["mask_h"]), int(z["mask_w"]))
+    dh, dw = dino_hw[0] // 14, dino_hw[1] // 14
+    pool_a, pool_b = mask_pool_matrices(mask_hw, dino_hw)
+    n_images = int(z["db_image_ids"].max()) + 1
+
+    img = load_image_rgb(args.image)
+    sam_img = _resize_cv2_bilinear(img, (mask_hw[1], mask_hw[0]))
+    records = generate_masks(sam_params, sam_cfg, sam_img)
+    masks = (np.stack([r.segmentation for r in records])
+             if records else np.zeros((1,) + mask_hw, bool))
+
+    dino_img = _resize_cv2_bilinear(img, (dino_hw[1], dino_hw[0]))
+    x = dn.preprocess(dino_img[None])
+    feats = dn.extract_dense(dino_params, dino_cfg, jnp.asarray(x),
+                             args.layer, "value")
+    desc = l2_normalize(feats[0].astype(jnp.float32), axis=1)
+
+    m = len(masks)
+    mb = _bucket(m)
+    padded = np.zeros((mb,) + masks.shape[1:], bool)
+    padded[:m] = masks
+    adj = np.zeros((mb, mb), bool)
+    if int(z["order"]):
+        adj[:m, :m] = delaunay_adjacency(mask_centroids(masks),
+                                         int(z["order"]))
+    patch_masks = pool_masks_to_patch_grid(jnp.asarray(padded),
+                                           jnp.asarray(pool_a),
+                                           jnp.asarray(pool_b))
+    top = np.asarray(query_topk_images(
+        desc, patch_masks, jnp.asarray(adj), jnp.asarray(z["centers"]),
+        jnp.asarray(z["pca_mean"]), jnp.asarray(z["pca_components"]),
+        jnp.asarray(z["pca_variance"]), jnp.asarray(z["db"]),
+        jnp.asarray(z["db_image_ids"]),
+        num_clusters=int(z["centers"].shape[0]), num_ref_images=n_images,
+        top_images=args.topk, whiten=bool(z["pca_whiten"])))
+    keys = z["image_keys"]
+    print(json.dumps({"query": args.image,
+                      "matches": [str(keys[i]) for i in top],
+                      "image_ids": top.tolist()}))
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="revisit_anything_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -455,6 +564,30 @@ def main(argv=None):
                    help="include segment descriptors in results.pkl "
                         "(the reference's segFtVLAD pickles)")
     p.set_defaults(func=cmd_evaluate)
+
+    p = sub.add_parser("build-index", help="build a serving index npz from "
+                                           "the reference-side artifacts")
+    _add_common(p)
+    p.add_argument("--experiment", required=True)
+    p.add_argument("--vocab-vlad", default="domain",
+                   choices=["domain", "map"])
+    p.add_argument("--finetuned", action="store_true")
+    p.add_argument("--cache-root", default="./cache")
+    p.add_argument("--output", required=True)
+    p.set_defaults(func=cmd_build_index)
+
+    p = sub.add_parser("query", help="online query: one image vs a "
+                                     "prebuilt index (fused device path)")
+    p.add_argument("--index", required=True)
+    p.add_argument("--image", required=True)
+    p.add_argument("--topk", type=int, default=5)
+    p.add_argument("--sam-variant", default="vit_h",
+                   choices=["vit_h", "vit_l", "vit_b"])
+    p.add_argument("--sam-checkpoint", default=None)
+    p.add_argument("--dino-model", default="dinov2_vitg14")
+    p.add_argument("--dino-checkpoint", default=None)
+    p.add_argument("--layer", type=int, default=31)
+    p.set_defaults(func=cmd_query)
 
     p = sub.add_parser("train", help="VPR metric-learning training "
                                      "(VLAD-BuFF train.py equivalent)")

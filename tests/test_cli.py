@@ -185,3 +185,39 @@ def test_cli_evaluate_global(toy_env, capsys, monkeypatch, rng, tmp_path):
               "--model", "vladbuff", "--batch-size", "4"])
     out = capsys.readouterr().out
     assert "R@1" in out
+
+
+def test_cli_build_index_and_query(toy_env, capsys, monkeypatch, tmp_path):
+    env = toy_env
+    cli.main(["extract", *_common(env), "--method", "DINO",
+              "--dino-model", "dinov2_vits14", "--layer", "3"])
+    cli.main(["vocab", *_common(env), "--clusters", "8",
+              "--cache-root", env["cache"], "--domain", "urban"])
+    cli.main(["pca", *_common(env), "--experiment",
+              "exp0_global_SegLoc_VLAD_PCA_o3", "--vocab-vlad", "domain",
+              "--cache-root", env["cache"], "--dim", "16"])
+    index = str(tmp_path / "index.npz")
+    cli.main(["build-index", *_common(env), "--experiment",
+              "exp0_global_SegLoc_VLAD_PCA_o3", "--vocab-vlad", "domain",
+              "--cache-root", env["cache"], "--output", index])
+    assert os.path.exists(index)
+    capsys.readouterr()
+
+    # query with a tiny SAM + the same tiny DINO config
+    from revisit_anything_tpu.config import DATASETS
+    from revisit_anything_tpu.models.sam import SAM_REGISTRY, SamArchConfig
+    small_sam = SamArchConfig(encoder_dim=64, encoder_depth=2,
+                              encoder_heads=4, global_attn_indexes=(1,),
+                              image_size=128, patch_size=16, window_size=4,
+                              prompt_dim=32, decoder_heads=4,
+                              decoder_mlp_dim=128, iou_head_hidden=32)
+    monkeypatch.setitem(SAM_REGISTRY, "vit_b", small_sam)
+    q_img = os.path.join(env["data_root"], "AmsterTime", "old",
+                         "im_00.png")
+    import json
+    cli.main(["query", "--index", index, "--image", q_img,
+              "--sam-variant", "vit_b", "--dino-model", "dinov2_vits14",
+              "--layer", "3", "--topk", "3"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["matches"]) == 3
+    assert all(m.endswith(".png") for m in out["matches"])
