@@ -1,2 +1,4 @@
-from revisit_anything_tpu.parallel.mesh import make_mesh, batch_sharding
+from revisit_anything_tpu.parallel.mesh import (make_mesh, batch_sharding,
+                                                replicated, pad_to_multiple)
 from revisit_anything_tpu.parallel.sharded_knn import sharded_knn_l2
+from revisit_anything_tpu.parallel.data_parallel import data_parallel_apply
