@@ -1,7 +1,8 @@
 """End-to-end SegVLAD query throughput benchmark (one TPU chip).
 
-Measures the full per-query compute path of the production pipeline at the
-17places configuration (480x640, SAM at half res — BASELINE.md):
+Measures the full per-query compute path of the production SERVING pipeline
+(pipeline/serve.py) at the 17places configuration (480x640, SAM at half
+res — BASELINE.md):
   SAM ViT-H automatic mask generation (32x32 grid, multimask)
   + DINOv2 ViT-g/14 layer-31 value dense features
   + order-3 SuperSegment VLAD aggregation (49152-d)
@@ -11,13 +12,28 @@ Measures the full per-query compute path of the production pipeline at the
 with random weights (checkpoints are not downloadable here; FLOPs and
 memory traffic are identical to real weights).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Mask-count realism: the serving path is shape-static — every query runs
+the pool/VLAD/PCA/kNN/Borda tail at the full max_masks=128 rows regardless
+of how many masks survive NMS (padding rows are all-false and vote zero).
+Random weights therefore do NOT understate the device compute; they only
+shrink the host Delaunay input (tens of microseconds) and the NMS survivor
+count inside an already-fixed-shape kernel. The AMG quality thresholds are
+disabled so the NMS still sees all 3072 candidates, matching the worst case.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", plus
+per-stage device ms / GFLOP / MFU and end-to-end MFU}.
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md).
 We use 0.45 queries/s as the baseline estimate for the same path on the
 reference's single-GPU stack (SAM ViT-H AMG dominating at ~2s/image on a
 V100-class card, per widely reported SAM timings), so vs_baseline is
 value / 0.45.
+
+MFU: per-stage FLOPs come from XLA's compiled cost analysis
+(jit(...).lower().compile().cost_analysis()), peak from BENCH_PEAK_FLOPS
+(default 197e12 — TPU v5e bf16). Stage times are sync-measured minus the
+measured host↔device round-trip latency (the axon tunnel RTT dominates
+single-op timings).
 """
 
 import json
@@ -28,6 +44,18 @@ import time
 import numpy as np
 
 BASELINE_QPS = 0.45
+PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))
+
+
+def _flops(jitted, *args, **kwargs):
+    try:
+        comp = jitted.lower(*args, **kwargs).compile()
+        ca = comp.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
 
 
 def main():
@@ -37,19 +65,18 @@ def main():
     from revisit_anything_tpu.config import (DINO_G_DIM, NUM_CLUSTERS,
                                              PCA_DIM, get_dataset)
     from revisit_anything_tpu.models import dinov2 as dn
-    from revisit_anything_tpu.models.sam import (SAM_VIT_H, init_sam_params)
-    from revisit_anything_tpu.models.sam.amg import AmgConfig, generate_masks
-    from revisit_anything_tpu.ops import (knn_l2, l2_normalize,
-                                          mask_pool_matrices)
-    from revisit_anything_tpu.ops.pca import PCAParams, pca_apply
-    from revisit_anything_tpu.pipeline.aggregate import image_segment_vlad
-    from revisit_anything_tpu.retrieval.matching import weighted_borda_predict
+    from revisit_anything_tpu.models.sam import SAM_VIT_H, init_sam_params
+    from revisit_anything_tpu.models.sam.amg import AmgConfig, _decode_batch
+    from revisit_anything_tpu.models.sam.encoder import encode_image
+    from revisit_anything_tpu.pipeline.query import query_topk_images
+    from revisit_anything_tpu.pipeline.serve import (
+        SegVLADServer, ServingIndex, _dino_desc_device, _sam_preprocess_fused,
+        _select_masks_centroids)
 
     rng = np.random.default_rng(0)
     ds = get_dataset("17places")
     H, W = ds.size.hw                       # 480, 640 (DINO res)
     sam_hw = ds.sam_size.hw                 # 240, 320
-    dh, dw = ds.size.patch_grid
 
     print("[bench] init models...", file=sys.stderr, flush=True)
     sam_params = init_sam_params(SAM_VIT_H, jax.random.PRNGKey(0),
@@ -58,98 +85,137 @@ def main():
     dino_params = dn.init_params(dino_cfg, jax.random.PRNGKey(1),
                                  dtype=jnp.bfloat16)
 
-    centers = rng.standard_normal((NUM_CLUSTERS, DINO_G_DIM)).astype(
-        np.float32)
-    pool_a, pool_b = mask_pool_matrices(sam_hw, (H, W))
-    pca = PCAParams(
-        mean=jnp.zeros((NUM_CLUSTERS * DINO_G_DIM,), jnp.float32),
-        components=jnp.asarray(rng.standard_normal(
-            (PCA_DIM, NUM_CLUSTERS * DINO_G_DIM)).astype(np.float32) * 0.01),
-        explained_variance=jnp.ones((PCA_DIM,), jnp.float32),
-        whiten=True)
-
     n_db_segs = 100_000
     db = rng.standard_normal((n_db_segs, PCA_DIM)).astype(np.float32)
     db /= np.linalg.norm(db, axis=1, keepdims=True)
-    db_dev = jnp.asarray(db)
-    db_img_ids = jnp.asarray(np.repeat(np.arange(n_db_segs // 50), 50))
+    index = ServingIndex(
+        centers=rng.standard_normal(
+            (NUM_CLUSTERS, DINO_G_DIM)).astype(np.float32),
+        pca_mean=np.zeros((NUM_CLUSTERS * DINO_G_DIM,), np.float32),
+        pca_components=(rng.standard_normal(
+            (PCA_DIM, NUM_CLUSTERS * DINO_G_DIM)).astype(np.float32) * 0.01),
+        pca_variance=np.ones((PCA_DIM,), np.float32),
+        pca_whiten=True, db=db,
+        db_image_ids=np.repeat(np.arange(n_db_segs // 50), 50),
+        num_ref_images=n_db_segs // 50, order=3)
 
     amg = AmgConfig(points_per_batch=256,
                     pred_iou_thresh=-1e9, stability_score_thresh=0.0)
-
-    from revisit_anything_tpu.models.sam.amg import _pack_bits  # noqa
-    from revisit_anything_tpu.ops.adjacency import delaunay_adjacency
-    from revisit_anything_tpu.ops.masks import (mask_centroids,
-                                                pool_masks_to_patch_grid)
-    from revisit_anything_tpu.pipeline.aggregate import _bucket
-    from revisit_anything_tpu.pipeline.query import (pca_tuple,
-                                                     query_topk_images)
-
-    pca_args = pca_tuple(pca)
-    pool_a_dev = jnp.asarray(pool_a)
-    pool_b_dev = jnp.asarray(pool_b)
-
-    def one_query(img_uint8):
-        # SAM masks at half resolution (place_rec_SAM_DINO.py:51-63)
-        import cv2
-        sam_img = cv2.resize(img_uint8, (sam_hw[1], sam_hw[0]),
-                             interpolation=cv2.INTER_LINEAR)
-        records = generate_masks(sam_params, SAM_VIT_H, sam_img, amg)
-        masks = (np.stack([r.segmentation for r in records])
-                 if records else np.zeros((1,) + sam_hw, bool))
-
-        # DINOv2 dense features at full resolution (stay on device — the
-        # 9.4 MB readback would dominate through the tunnel)
-        x = dn.preprocess(img_uint8[None])
-        feats = dn.extract_dense(dino_params, dino_cfg,
-                                 jnp.asarray(x, jnp.bfloat16), 31, "value")
-        desc = l2_normalize(feats[0].astype(jnp.float32), axis=1)  # [P, D]
-
-        # host: pad masks to a bucket + Delaunay adjacency (Qhull)
-        m = len(masks)
-        mb = _bucket(m)
-        padded = np.zeros((mb,) + masks.shape[1:], bool)
-        padded[:m] = masks
-        adj = np.zeros((mb, mb), bool)
-        adj[:m, :m] = delaunay_adjacency(mask_centroids(masks), 3)
-
-        # fused device pipeline: pool → VLAD → PCA → kNN → Borda,
-        # ONE dispatch + one tiny readback
-        patch_masks = pool_masks_to_patch_grid(
-            jnp.asarray(padded), pool_a_dev, pool_b_dev)
-        preds = query_topk_images(
-            desc, patch_masks, jnp.asarray(adj), jnp.asarray(centers),
-            *pca_args[:3], db_dev, db_img_ids,
-            num_clusters=NUM_CLUSTERS, num_ref_images=n_db_segs // 50,
-            knn_topk=200, borda_topk=50, top_images=5,
-            whiten=pca_args[3])
-        return np.asarray(preds), len(records)
+    server = SegVLADServer(
+        sam_params=sam_params, sam_cfg=SAM_VIT_H,
+        dino_params=dino_params, dino_cfg=dino_cfg, index=index,
+        full_hw=(H, W), sam_hw=sam_hw, amg=amg)
 
     img = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
     print("[bench] warmup (compiles)...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
-    preds, n_masks = one_query(img)
-    print(f"[bench] warmup done in {time.perf_counter() - t0:.1f}s, "
-          f"{n_masks} masks", file=sys.stderr, flush=True)
+    server.query(img)
+    print(f"[bench] warmup done in {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr, flush=True)
 
-    # Throughput: two in-flight queries — host phases (image decode, PIL,
-    # record assembly, adjacency) of one query overlap device compute of
-    # the other. Device work still serializes on the single chip.
-    from concurrent.futures import ThreadPoolExecutor
-    n_iters = 8
+    # ---- throughput (pipelined; device work serializes on the chip) ----
+    n_iters = 16
     imgs = [rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
             for _ in range(n_iters)]
     t0 = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        list(pool.map(one_query, imgs))
+    server.query_many(imgs, workers=4)
     dt = time.perf_counter() - t0
     qps = n_iters / dt
+
+    # ---- per-stage device time (sync-measured minus RTT) and FLOPs ----
+    trivial = jax.jit(lambda x: x + 1.0)
+    xtriv = jnp.zeros((8, 8))
+    float(jnp.ravel(trivial(xtriv))[0])
+
+    def rtt():
+        t0 = time.perf_counter()
+        float(jnp.ravel(trivial(xtriv))[0])
+        return time.perf_counter() - t0
+
+    rtt_s = float(np.median([rtt() for _ in range(7)]))
+
+    def timed(fn, n=5):
+        fn()
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            r = fn()
+            float(jnp.ravel(r)[0]) if hasattr(r, "ravel") else None
+            ts.append(time.perf_counter() - t0)
+        return max(float(np.median(ts)) - rtt_s, 0.0)
+
+    img_dev = jax.device_put(img)
+    pre = _sam_preprocess_fused(img_dev, server._rh, server._rw,
+                                SAM_VIT_H, SAM_VIT_H.image_size)
+    emb = encode_image(sam_params, SAM_VIT_H, pre)[0]
+    pts0 = server._pts_dev[:server._bsz]
+
+    def decode_once():
+        return _decode_batch(sam_params, SAM_VIT_H, emb, server._image_pe,
+                             pts0, server.input_hw, sam_hw, amg)[1]
+
+    masks_dev, stats = server._amg_device(img_dev)
+    adj, _ = server._adjacency(np.asarray(stats))
+    adj_dev = jnp.asarray(adj)
+    desc = _dino_desc_device(dino_params, dino_cfg, img_dev, 31, "value",
+                             server._crop)
+    desc = jax.block_until_ready(desc)
+
+    def query_tail():
+        pm = server._pool(masks_dev, server._pool_a, server._pool_b)
+        return query_topk_images(
+            desc, pm, adj_dev, server._centers, server._pca_mean,
+            server._pca_comps, server._pca_var, server._db, server._db_ids,
+            num_clusters=NUM_CLUSTERS,
+            num_ref_images=index.num_ref_images,
+            knn_topk=200, borda_topk=50, top_images=5, whiten=True)
+
+    n_batches = server._pts_dev.shape[0] // server._bsz
+    stages = {
+        "sam_encode": (
+            timed(lambda: encode_image(sam_params, SAM_VIT_H, pre)),
+            _flops(encode_image, sam_params, SAM_VIT_H, pre)),
+        "sam_decode_all": (
+            timed(decode_once) * n_batches,
+            _flops(_decode_batch, sam_params, SAM_VIT_H, emb,
+                   server._image_pe, pts0, server.input_hw, sam_hw,
+                   amg) * n_batches),
+        "dino_extract": (
+            timed(lambda: _dino_desc_device(dino_params, dino_cfg, img_dev,
+                                            31, "value", server._crop)),
+            _flops(_dino_desc_device, dino_params, dino_cfg, img_dev,
+                   31, "value", server._crop)),
+        "query_tail": (timed(query_tail), 0.0),
+    }
+    # query tail FLOPs: pool + fused retrieval
+    pm = server._pool(masks_dev, server._pool_a, server._pool_b)
+    stages["query_tail"] = (
+        stages["query_tail"][0],
+        _flops(server._pool, masks_dev, server._pool_a, server._pool_b)
+        + _flops(query_topk_images, desc, pm, adj_dev, server._centers,
+                 server._pca_mean, server._pca_comps, server._pca_var,
+                 server._db, server._db_ids, num_clusters=NUM_CLUSTERS,
+                 num_ref_images=index.num_ref_images, knn_topk=200,
+                 borda_topk=50, top_images=5, whiten=True))
+
+    stage_report = {}
+    total_flops = 0.0
+    for name, (secs, flops) in stages.items():
+        total_flops += flops
+        stage_report[name] = {
+            "ms": round(1000 * secs, 2),
+            "gflop": round(flops / 1e9, 1),
+            "mfu": round(flops / max(secs, 1e-9) / PEAK_FLOPS, 4),
+        }
 
     print(json.dumps({
         "metric": "segvlad_e2e_query_throughput",
         "value": round(qps, 4),
         "unit": "queries/sec/chip",
         "vs_baseline": round(qps / BASELINE_QPS, 3),
+        "e2e_mfu": round(total_flops * qps / PEAK_FLOPS, 4),
+        "rtt_ms": round(1000 * rtt_s, 1),
+        "stages": stage_report,
     }))
 
 

@@ -142,10 +142,13 @@ def _init_params(cfg: DinoV2Config, key: jax.Array,
 
 
 def _layer_norm(x, p, eps):
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    xn = (x - mu) * jax.lax.rsqrt(var + eps)
-    return xn * p["scale"] + p["bias"]
+    # f32-compute LN from bf16 storage (~3x faster than bf16-compute on
+    # v5e, measured) then back to the input dtype.
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    xn = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (xn * p["scale"] + p["bias"]).astype(x.dtype)
 
 
 def _dense(x, p):
@@ -158,6 +161,18 @@ def _attention(x, blk, cfg: DinoV2Config):
     qkv = _dense(x, blk["qkv"])                      # [B, N, 3D]
     qkv = qkv.reshape(b, n, 3, cfg.num_heads, cfg.head_dim)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+    if jax.default_backend() == "tpu" and n >= 1024:
+        # Long sequences (ViT-g at VPR resolutions: ~1500 tokens) go
+        # through the Pallas flash kernel — the XLA path writes
+        # [B, H, N, N] f32 scores to HBM twice per block (~7 GB over 32
+        # blocks at 1530 tokens; the measured DINO bottleneck).
+        from revisit_anything_tpu.ops.attention import attend
+        out = attend(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                     v.transpose(0, 2, 1, 3))
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
+        return _dense(out, blk["proj"])
+
     scale = 1.0 / math.sqrt(cfg.head_dim)
     logits = jnp.einsum("bnhd,bmhd->bhnm", q, k,
                         preferred_element_type=jnp.float32) * scale

@@ -126,26 +126,34 @@ def _decode_batch(params: Params, cfg: SamArchConfig,
     sparse = embed_points(params, cfg, points_1024[:, None, :],
                           jnp.ones((bsz, 1), jnp.int32), pad=True)
     dense = no_mask_dense_embedding(params, cfg, bsz)
-    lowres, iou = decode_masks(params, cfg, image_embedding, image_pe,
-                               sparse, dense, multimask=True,
-                               dense_shared=True)
-    m = lowres.reshape(-1, cfg.lowres_size, cfg.lowres_size)
+    lowres_blk, iou = decode_masks(params, cfg, image_embedding, image_pe,
+                                   sparse, dense, multimask=True,
+                                   dense_shared=True, block_layout=True)
     iou = iou.reshape(-1)
 
     # postprocess_masks (sam.py:144-174): lowres → 1024² → unpad → original.
     # The chain (bilinear 256→1024, slice to input, bilinear → original) is
     # a composition of per-axis linear maps — fused here into ONE exact
     # [orig, 256] matrix per axis, never materializing the 1024² tensor
-    # (which at 256 prompts × 3 masks is 3.2 GB f32).
+    # (which at 256 prompts × 3 masks is 3.2 GB f32). The decoder's 2x2
+    # block layout is folded in as well (spatial row = 4i + 2a1 + a2, so
+    # wh.reshape(orig, g, 2, 2) indexes [o, i, a1, a2] directly): the
+    # spatial 256² lowres tensor and its layout copies never exist.
     from revisit_anything_tpu.ops.resize import bilinear_weight_matrix
     up_h = bilinear_weight_matrix(cfg.image_size, cfg.lowres_size)
-    wh = jnp.asarray(
-        bilinear_weight_matrix(orig_hw[0], input_hw[0]) @ up_h[:input_hw[0]])
-    ww = jnp.asarray(
-        bilinear_weight_matrix(orig_hw[1], input_hw[1]) @ up_h[:input_hw[1]])
-    m = jnp.einsum("oh,nhw->now", wh, m.astype(jnp.float32),
+    wh = (bilinear_weight_matrix(orig_hw[0], input_hw[0])
+          @ up_h[:input_hw[0]])
+    ww = (bilinear_weight_matrix(orig_hw[1], input_hw[1])
+          @ up_h[:input_hw[1]])
+    g = cfg.grid
+    wh_blk = jnp.asarray(wh.reshape(orig_hw[0], g, 2, 2))
+    ww_blk = jnp.asarray(ww.reshape(orig_hw[1], g, 2, 2))
+    # lowres_blk [Np, 3, g², 4(q=2a1+b1), 4(r=2a2+b2)] →
+    # [N, i, j, a1, b1, a2, b2] (contiguous reshape, no data movement)
+    m = lowres_blk.reshape(-1, g, g, 2, 2, 2, 2).astype(jnp.float32)
+    m = jnp.einsum("oiac,nijabcd->nojbd", wh_blk, m,
                    precision=jax.lax.Precision.HIGHEST)
-    m = jnp.einsum("pw,now->nop", ww, m,
+    m = jnp.einsum("pjbd,nojbd->nop", ww_blk, m,
                    precision=jax.lax.Precision.HIGHEST)
 
     # Stability score (utils/amg.py:156-176) on the logits.

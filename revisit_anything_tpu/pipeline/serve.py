@@ -1,0 +1,308 @@
+"""Online serving: raw query image → top-k database images.
+
+The offline pipeline (pipeline/extract.py → aggregate.py → evaluate.py)
+round-trips artifacts through the host between stages — right for batch
+evaluation, wrong for serving single queries over a narrow host↔device
+transport. This server keeps the whole query on device:
+
+- ONE uint8 image upload per query (~0.5-1 MB); SAM's half-res resize +
+  1024-frame resize + normalization AND DINO's crop/normalize both run on
+  device from that single upload (the resizes compose into one exact
+  per-axis bilinear matrix — ops/resize.py);
+- masks never leave the device: AMG filtering/NMS/top-K selection keeps the
+  winning masks resident, and only their centroids (a few KB) come back to
+  the host for the Qhull Delaunay adjacency (bit-compatible with the
+  reference, ops/adjacency.py);
+- the retrieval tail (mask→patch pooling, segment VLAD, PCA, kNN, weighted
+  Borda) is the fused single-dispatch pipeline/query.py kernel.
+
+Per query that is: one ~1 MB upload, two tiny syncs (centroids, top-k ids),
+and a ~16 KB adjacency upload. Everything else pipelines asynchronously;
+``query_many`` overlaps the host phases of in-flight queries.
+
+The device work is shape-static at ``max_masks`` rows regardless of how
+many masks survive (padding rows are all-false and vote zero), so latency
+is data-independent and there is exactly one compiled program.
+
+Reference behavior covered: place_rec_SAM_DINO.py extraction semantics
+(SAM at half res, DINO at full res), place_rec_main.py:186-375 per-query
+path, with identical math.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from revisit_anything_tpu.config import (BORDA_TOPK, KNN_TOPK, NUM_CLUSTERS,
+                                         PCA_DIM, RECALL_TOPK)
+from revisit_anything_tpu.models import dinov2 as dn
+from revisit_anything_tpu.models.sam.amg import (AmgConfig, _decode_batch,
+                                                 build_point_grid,
+                                                 resize_longest_side)
+from revisit_anything_tpu.models.sam.config import (SAM_PIXEL_MEAN,
+                                                    SAM_PIXEL_STD,
+                                                    SamArchConfig)
+from revisit_anything_tpu.models.sam.encoder import encode_image
+from revisit_anything_tpu.models.sam.prompt import dense_positional_embedding
+from revisit_anything_tpu.ops.adjacency import delaunay_adjacency
+from revisit_anything_tpu.ops.masks import mask_pool_matrices
+from revisit_anything_tpu.ops.nms import nms_keep_mask
+from revisit_anything_tpu.ops.resize import bilinear_weight_matrix
+from revisit_anything_tpu.pipeline.query import query_topk_images
+
+
+@partial(jax.jit, static_argnames=("cfg", "pad_to"))
+def _sam_preprocess_fused(img_u8: jnp.ndarray, rh: jnp.ndarray,
+                          rw: jnp.ndarray, cfg: SamArchConfig,
+                          pad_to: int) -> jnp.ndarray:
+    """uint8 [H, W, 3] → [1, S, S, 3] normalized SAM input in one jit.
+
+    ``rh``/``rw`` are the PRE-COMPOSED per-axis bilinear matrices mapping
+    original rows/cols directly to the 1024-frame (full→half-res cv2 resize
+    and half→1024 ResizeLongestSide collapse into one matrix each — both
+    are half-pixel bilinear maps, so their product is exact).
+    """
+    x = img_u8.astype(jnp.float32)
+    x = jnp.einsum("oh,hwc->owc", rh, x,
+                   precision=jax.lax.Precision.HIGHEST)
+    x = jnp.einsum("pw,owc->opc", rw, x,
+                   precision=jax.lax.Precision.HIGHEST)
+    x = (x - jnp.asarray(SAM_PIXEL_MEAN)) / jnp.asarray(SAM_PIXEL_STD)
+    nh, nw = x.shape[0], x.shape[1]
+    return jnp.pad(x, ((0, pad_to - nh), (0, pad_to - nw), (0, 0)))[None]
+
+
+@partial(jax.jit, static_argnames=("amg", "kmax"))
+def _select_masks_centroids(masks: jnp.ndarray, iou: jnp.ndarray,
+                            stab: jnp.ndarray, boxes: jnp.ndarray,
+                            valid: jnp.ndarray, amg: AmgConfig, kmax: int):
+    """Filter + NMS + top-``kmax`` gather, keeping masks ON DEVICE.
+
+    Returns (masks [kmax, h, w] bool — IoU-desc NMS-keep order, padding
+    rows all-false; stats [2*kmax+1] f32 — centroid (x, y) pairs then
+    n_kept, packed into one array so the host needs a single readback).
+    """
+    keep = (valid
+            & (iou > amg.pred_iou_thresh)
+            & (stab >= amg.stability_score_thresh))
+    scores = jnp.where(keep, iou, -jnp.inf)
+    nms_keep = nms_keep_mask(boxes, scores, amg.box_nms_thresh)
+    final_scores = jnp.where(nms_keep & keep, iou, -jnp.inf)
+    order = jnp.argsort(-final_scores)[:kmax]
+    n_kept = jnp.minimum(jnp.sum(final_scores > -jnp.inf), kmax)
+
+    sel = masks[order]
+    row_valid = jnp.arange(kmax) < n_kept
+    sel = sel & row_valid[:, None, None]
+
+    h, w = sel.shape[1], sel.shape[2]
+    m = sel.astype(jnp.float32)
+    total = jnp.sum(m, axis=(1, 2))
+    cy = jnp.einsum("khw,h->k", m, jnp.arange(h, dtype=jnp.float32))
+    cx = jnp.einsum("khw,w->k", m, jnp.arange(w, dtype=jnp.float32))
+    denom = jnp.maximum(total, 1.0)
+    cents = jnp.stack([cx / denom, cy / denom], axis=1)   # (x, y) like
+    stats = jnp.concatenate(                              # mask_centroids
+        [cents.reshape(-1), n_kept[None].astype(jnp.float32)])
+    return sel, stats
+
+
+@partial(jax.jit, static_argnames=("cfg", "layer", "facet", "crop"))
+def _dino_desc_device(params, cfg: dn.DinoV2Config, img_u8: jnp.ndarray,
+                      layer: int, facet: str,
+                      crop: Tuple[int, int, int, int]) -> jnp.ndarray:
+    """uint8 [H, W, 3] → L2-normalized dense descriptors [P, D] f32,
+    with dn.preprocess (ImageNet normalize + center crop to patch
+    multiples) fused on device."""
+    top, left, hn, wn = crop
+    x = img_u8.astype(jnp.float32) / 255.0
+    x = (x - jnp.asarray(dn.IMAGENET_MEAN)) / jnp.asarray(dn.IMAGENET_STD)
+    x = x[top:top + hn, left:left + wn][None].astype(jnp.bfloat16)
+    feats = dn.extract_dense(params, cfg, x, layer, facet)
+    d = feats[0].astype(jnp.float32)
+    return d / jnp.maximum(jnp.linalg.norm(d, axis=1, keepdims=True), 1e-12)
+
+
+@dataclasses.dataclass
+class ServingIndex:
+    """Prebuilt retrieval state (the build-index CLI artifact)."""
+    centers: np.ndarray            # [C, D] VLAD vocabulary
+    pca_mean: np.ndarray           # [C*D]
+    pca_components: np.ndarray     # [pca_dim, C*D]
+    pca_variance: np.ndarray       # [pca_dim]
+    pca_whiten: bool
+    db: np.ndarray                 # [Nd, pca_dim] normalized db segments
+    db_image_ids: np.ndarray       # [Nd]
+    num_ref_images: int
+    order: int = 3
+
+    @classmethod
+    def from_npz(cls, path: str) -> "ServingIndex":
+        z = np.load(path)
+        return cls(centers=z["centers"], pca_mean=z["pca_mean"],
+                   pca_components=z["pca_components"],
+                   pca_variance=z["pca_variance"],
+                   pca_whiten=bool(z["pca_whiten"]), db=z["db"],
+                   db_image_ids=z["db_image_ids"],
+                   num_ref_images=int(z["db_image_ids"].max()) + 1,
+                   order=int(z["order"]))
+
+
+class SegVLADServer:
+    """Persistent online-query server for one (models, index) pair.
+
+    Args:
+      full_hw: the dataset 'desired' resolution — queries must arrive at
+        this size (resize arbitrary inputs on the host first).
+      sam_hw: SAM extraction resolution (half of full_hw for every
+        reference dataset except AmsterTime — config.py).
+      max_masks: static device mask capacity; masks beyond it (post-NMS,
+        IoU-desc) are dropped. Reference post-NMS counts are far below 128.
+    """
+
+    def __init__(self, *, sam_params, sam_cfg: SamArchConfig,
+                 dino_params, dino_cfg: dn.DinoV2Config,
+                 index: ServingIndex,
+                 full_hw: Tuple[int, int], sam_hw: Tuple[int, int],
+                 amg: Optional[AmgConfig] = None,
+                 dino_layer: int = 31, dino_facet: str = "value",
+                 max_masks: int = 128,
+                 knn_topk: int = KNN_TOPK, borda_topk: int = BORDA_TOPK,
+                 top_images: int = RECALL_TOPK):
+        self.sam_params = sam_params
+        self.sam_cfg = sam_cfg
+        self.dino_params = dino_params
+        self.dino_cfg = dino_cfg
+        self.amg = amg or AmgConfig()
+        self.full_hw = tuple(full_hw)
+        self.sam_hw = tuple(sam_hw)
+        self.dino_layer = dino_layer
+        self.dino_facet = dino_facet
+        self.kmax = max_masks
+        self.knn_topk = knn_topk
+        self.borda_topk = borda_topk
+        self.top_images = top_images
+        self.order = index.order
+        self.num_clusters = index.centers.shape[0]
+        self.num_ref_images = index.num_ref_images
+
+        fh, fw = self.full_hw
+        sh, sw = self.sam_hw
+        self.input_hw = resize_longest_side(sh, sw, sam_cfg.image_size)
+
+        # Composed resize matrices: full res → SAM half res → 1024 frame.
+        down_h = bilinear_weight_matrix(sh, fh)
+        down_w = bilinear_weight_matrix(sw, fw)
+        up_h = bilinear_weight_matrix(self.input_hw[0], sh)
+        up_w = bilinear_weight_matrix(self.input_hw[1], sw)
+        self._rh = jnp.asarray(up_h @ down_h)
+        self._rw = jnp.asarray(up_w @ down_w)
+
+        # DINO center crop to patch multiples (dn.preprocess semantics).
+        hn, wn = (fh // 14) * 14, (fw // 14) * 14
+        self._crop = ((fh - hn) // 2, (fw - wn) // 2, hn, wn)
+
+        # AMG point grid in the 1024 frame (apply_coords scaling).
+        grid = build_point_grid(self.amg.points_per_side)
+        pts_orig = grid * np.array([sw, sh], np.float32)
+        scale = np.array([self.input_hw[1] / sw, self.input_hw[0] / sh],
+                         np.float32)
+        pts = (pts_orig * scale).astype(np.float32)
+        bsz = self.amg.points_per_batch
+        pad = (-len(pts)) % bsz
+        self._n_pts = len(pts)
+        if pad:
+            pts = np.concatenate([pts, np.zeros((pad, 2), np.float32)])
+        self._pts_dev = jnp.asarray(pts)
+        self._valid_dev = jnp.asarray(
+            np.repeat(np.concatenate([np.ones(self._n_pts, bool),
+                                      np.zeros(pad, bool)]), 3))
+        self._bsz = bsz
+
+        pool_a, pool_b = mask_pool_matrices(self.sam_hw, self.full_hw)
+        self._pool_a = jnp.asarray(pool_a)
+        self._pool_b = jnp.asarray(pool_b)
+
+        # Device-resident retrieval state.
+        self._centers = jnp.asarray(index.centers.astype(np.float32))
+        self._pca_mean = jnp.asarray(index.pca_mean.astype(np.float32))
+        self._pca_comps = jnp.asarray(index.pca_components.astype(np.float32))
+        self._pca_var = jnp.asarray(index.pca_variance.astype(np.float32))
+        self._whiten = bool(index.pca_whiten)
+        self._db = jnp.asarray(index.db.astype(np.float32))
+        self._db_ids = jnp.asarray(index.db_image_ids.astype(np.int32))
+
+        self._image_pe = dense_positional_embedding(sam_params, sam_cfg)[0]
+
+        from revisit_anything_tpu.ops.masks import pool_masks_to_patch_grid
+        self._pool = pool_masks_to_patch_grid
+
+    # ----- device stages (all async dispatches) -----
+
+    def _amg_device(self, img_dev):
+        """Image → (device masks [kmax, sh, sw], stats array)."""
+        batched = _sam_preprocess_fused(img_dev, self._rh, self._rw,
+                                        self.sam_cfg,
+                                        self.sam_cfg.image_size)
+        emb = encode_image(self.sam_params, self.sam_cfg, batched)[0]
+        dm, di, dst, dbx = [], [], [], []
+        for s in range(0, self._pts_dev.shape[0], self._bsz):
+            mb, io, st, bx = _decode_batch(
+                self.sam_params, self.sam_cfg, emb, self._image_pe,
+                self._pts_dev[s:s + self._bsz], self.input_hw, self.sam_hw,
+                self.amg)
+            dm.append(mb); di.append(io); dst.append(st); dbx.append(bx)
+        return _select_masks_centroids(
+            jnp.concatenate(dm), jnp.concatenate(di), jnp.concatenate(dst),
+            jnp.concatenate(dbx), self._valid_dev, self.amg, self.kmax)
+
+    def _adjacency(self, stats_np: np.ndarray) -> Tuple[np.ndarray, int]:
+        n = int(stats_np[-1])
+        adj = np.zeros((self.kmax, self.kmax), dtype=bool)
+        if n > 0 and self.order > 0:
+            cents = stats_np[:2 * self.kmax].reshape(self.kmax, 2)[:n]
+            adj[:n, :n] = delaunay_adjacency(cents.astype(np.float64),
+                                             self.order)
+        elif n > 0:
+            adj[:n, :n] = np.eye(n, dtype=bool)
+        return adj, n
+
+    # ----- public API -----
+
+    def query(self, img_uint8: np.ndarray) -> np.ndarray:
+        """One query image (uint8 RGB at full_hw) → top image ids."""
+        assert img_uint8.shape[:2] == self.full_hw, (
+            f"expected {self.full_hw}, got {img_uint8.shape[:2]} — resize "
+            "on the host first")
+        img_dev = jax.device_put(img_uint8)               # single upload
+        masks_dev, stats = self._amg_device(img_dev)       # async
+        desc = _dino_desc_device(self.dino_params, self.dino_cfg, img_dev,
+                                 self.dino_layer, self.dino_facet,
+                                 self._crop)               # async
+        stats_np = np.asarray(stats)                       # SYNC 1 (tiny)
+        adj, _ = self._adjacency(stats_np)
+
+        patch_masks = self._pool(masks_dev, self._pool_a, self._pool_b)
+        top = query_topk_images(
+            desc, patch_masks, jnp.asarray(adj), self._centers,
+            self._pca_mean, self._pca_comps, self._pca_var,
+            self._db, self._db_ids,
+            num_clusters=self.num_clusters,
+            num_ref_images=self.num_ref_images,
+            knn_topk=self.knn_topk, borda_topk=self.borda_topk,
+            top_images=self.top_images, whiten=self._whiten)
+        return np.asarray(top)                             # SYNC 2 (tiny)
+
+    def query_many(self, imgs: Sequence[np.ndarray],
+                   workers: int = 4) -> List[np.ndarray]:
+        """Pipelined queries: host phases (Delaunay, sync waits) of one
+        query overlap device compute of the others."""
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            return list(pool.map(self.query, imgs))

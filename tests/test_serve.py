@@ -1,0 +1,164 @@
+"""Serving-path tests: SegVLADServer vs the staged pipeline (small random
+models on the CPU backend)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from revisit_anything_tpu.models import dinov2 as dn
+from revisit_anything_tpu.models.sam import SamArchConfig, init_sam_params
+from revisit_anything_tpu.models.sam.amg import AmgConfig, generate_masks
+from revisit_anything_tpu.ops.adjacency import delaunay_adjacency
+from revisit_anything_tpu.ops.masks import mask_centroids
+from revisit_anything_tpu.pipeline.serve import SegVLADServer, ServingIndex
+
+SAM_SMALL = SamArchConfig(encoder_dim=64, encoder_depth=2, encoder_heads=4,
+                          global_attn_indexes=(1,), image_size=128,
+                          patch_size=16, window_size=4, prompt_dim=32,
+                          decoder_heads=4, decoder_mlp_dim=128,
+                          iou_head_hidden=32)
+DINO_SMALL = dn.DinoV2Config(embed_dim=64, depth=2, num_heads=4,
+                             ffn="mlp", pretrain_grid=(8, 8))
+
+H, W = 112, 112
+
+
+@pytest.fixture(scope="module")
+def models():
+    sam_params = init_sam_params(SAM_SMALL, jax.random.PRNGKey(0))
+    dino_params = dn.init_params(DINO_SMALL, jax.random.PRNGKey(1))
+    return sam_params, dino_params
+
+
+def _index(rng, n_segs=200, n_images=20, clusters=8, dim=64, pca_dim=16):
+    db = rng.standard_normal((n_segs, pca_dim)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    return ServingIndex(
+        centers=rng.standard_normal((clusters, dim)).astype(np.float32),
+        pca_mean=np.zeros((clusters * dim,), np.float32),
+        pca_components=rng.standard_normal(
+            (pca_dim, clusters * dim)).astype(np.float32) * 0.1,
+        pca_variance=np.ones((pca_dim,), np.float32),
+        pca_whiten=True, db=db,
+        db_image_ids=np.repeat(np.arange(n_images), n_segs // n_images),
+        num_ref_images=n_images, order=3)
+
+
+@pytest.fixture(scope="module")
+def server(models):
+    sam_params, dino_params = models
+    rng = np.random.default_rng(3)
+    amg = AmgConfig(points_per_side=6, points_per_batch=36,
+                    pred_iou_thresh=-1e9, stability_score_thresh=0.0)
+    return SegVLADServer(
+        sam_params=sam_params, sam_cfg=SAM_SMALL,
+        dino_params=dino_params, dino_cfg=DINO_SMALL,
+        index=_index(rng), full_hw=(H, W), sam_hw=(H // 2, W // 2),
+        amg=amg, dino_layer=1, max_masks=32, top_images=5)
+
+
+def _image(rng):
+    img = rng.integers(60, 200, (H, W, 3), dtype=np.uint8)
+    for _ in range(4):
+        cy, cx = rng.integers(10, H - 10), rng.integers(10, W - 10)
+        r = rng.integers(6, 20)
+        yy, xx = np.ogrid[:H, :W]
+        img[(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = rng.integers(0, 255, 3)
+    return img
+
+
+def test_query_runs_and_is_deterministic(server):
+    rng = np.random.default_rng(0)
+    img = _image(rng)
+    top1 = server.query(img)
+    top2 = server.query(img)
+    assert top1.shape == (5,)
+    np.testing.assert_array_equal(top1, top2)
+
+
+def test_query_many_matches_single(server):
+    rng = np.random.default_rng(1)
+    imgs = [_image(rng) for _ in range(3)]
+    singles = [server.query(im) for im in imgs]
+    batched = server.query_many(imgs, workers=3)
+    for a, b in zip(singles, batched):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_device_amg_matches_generate_masks(models):
+    """With full_hw == sam_hw (identity down-resize) the device AMG must
+    produce exactly the masks of the staged generate_masks path, and the
+    device centroids must match host mask_centroids."""
+    sam_params, dino_params = models
+    rng = np.random.default_rng(7)
+    amg = AmgConfig(points_per_side=6, points_per_batch=36,
+                    pred_iou_thresh=-1e9, stability_score_thresh=0.0)
+    srv = SegVLADServer(
+        sam_params=sam_params, sam_cfg=SAM_SMALL,
+        dino_params=dino_params, dino_cfg=DINO_SMALL,
+        index=_index(rng), full_hw=(H, W), sam_hw=(H, W),
+        amg=amg, dino_layer=1, max_masks=32)
+
+    img = _image(rng)
+    masks_dev, stats = srv._amg_device(jax.device_put(img))
+    stats_np = np.asarray(stats)
+    n = int(stats_np[-1])
+
+    records = generate_masks(sam_params, SAM_SMALL, img, amg, max_masks=32)
+    assert n == len(records)
+    dev = np.asarray(masks_dev)[:n]
+    ref = np.stack([r.segmentation for r in records])
+    np.testing.assert_array_equal(dev, ref)
+    # padding rows all-false
+    assert not np.asarray(masks_dev)[n:].any()
+
+    cents_dev = stats_np[:2 * srv.kmax].reshape(srv.kmax, 2)[:n]
+    cents_host = mask_centroids(ref)
+    np.testing.assert_allclose(cents_dev, cents_host, atol=1e-3)
+
+
+def test_serving_matches_staged_query(models):
+    """Full serve.query equals the same math run through the staged ops
+    (pool → VLAD → PCA → kNN → Borda) with the same inputs."""
+    from revisit_anything_tpu.ops.masks import (mask_pool_matrices,
+                                                pool_masks_to_patch_grid)
+    from revisit_anything_tpu.pipeline.query import query_topk_images
+    from revisit_anything_tpu.pipeline.serve import _dino_desc_device
+
+    sam_params, dino_params = models
+    rng = np.random.default_rng(11)
+    idx = _index(rng)
+    amg = AmgConfig(points_per_side=6, points_per_batch=36,
+                    pred_iou_thresh=-1e9, stability_score_thresh=0.0)
+    srv = SegVLADServer(
+        sam_params=sam_params, sam_cfg=SAM_SMALL,
+        dino_params=dino_params, dino_cfg=DINO_SMALL,
+        index=idx, full_hw=(H, W), sam_hw=(H // 2, W // 2),
+        amg=amg, dino_layer=1, max_masks=32)
+
+    img = _image(rng)
+    top_served = srv.query(img)
+
+    # staged re-computation from the same device AMG output
+    masks_dev, stats = srv._amg_device(jax.device_put(img))
+    stats_np = np.asarray(stats)
+    n = int(stats_np[-1])
+    masks = np.asarray(masks_dev)[:n]
+    adj = np.zeros((srv.kmax, srv.kmax), bool)
+    adj[:n, :n] = delaunay_adjacency(mask_centroids(masks), 3)
+
+    desc = _dino_desc_device(dino_params, DINO_SMALL, jnp.asarray(img),
+                             1, "value", srv._crop)
+    pool_a, pool_b = mask_pool_matrices((H // 2, W // 2), (H, W))
+    pm = pool_masks_to_patch_grid(masks_dev, jnp.asarray(pool_a),
+                                  jnp.asarray(pool_b))
+    top_staged = np.asarray(query_topk_images(
+        desc, pm, jnp.asarray(adj), jnp.asarray(idx.centers),
+        jnp.asarray(idx.pca_mean), jnp.asarray(idx.pca_components),
+        jnp.asarray(idx.pca_variance), jnp.asarray(idx.db),
+        jnp.asarray(idx.db_image_ids.astype(np.int32)),
+        num_clusters=8, num_ref_images=idx.num_ref_images,
+        top_images=5, whiten=True))
+    np.testing.assert_array_equal(top_served, top_staged)
