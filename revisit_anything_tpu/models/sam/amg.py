@@ -150,10 +150,11 @@ def _decode_batch(params: Params, cfg: SamArchConfig,
     ww_blk = jnp.asarray(ww.reshape(orig_hw[1], g, 2, 2))
     # lowres_blk [Np, 3, g², 4(q=2a1+b1), 4(r=2a2+b2)] →
     # [N, i, j, a1, b1, a2, b2] (contiguous reshape, no data movement)
-    m = lowres_blk.reshape(-1, g, g, 2, 2, 2, 2).astype(jnp.float32)
-    m = jnp.einsum("oiac,nijabcd->nojbd", wh_blk, m,
-                   precision=jax.lax.Precision.HIGHEST)
-    m = jnp.einsum("pjbd,nojbd->nop", ww_blk, m,
+    m = lowres_blk.reshape(-1, g, g, 2, 2, 2, 2)
+    m = jnp.einsum("oiac,nijabcd->nojbd", wh_blk.astype(m.dtype), m,
+                   preferred_element_type=jnp.float32)
+    m = jnp.einsum("pjbd,nojbd->nop", ww_blk.astype(jnp.float32),
+                   m.astype(jnp.float32),
                    precision=jax.lax.Precision.HIGHEST)
 
     # Stability score (utils/amg.py:156-176) on the logits.

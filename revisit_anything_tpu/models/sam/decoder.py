@@ -325,6 +325,11 @@ def _upscale_masks_blocks(src_flat: jnp.ndarray, hyper: jnp.ndarray,
                        preferred_element_type=jnp.float32)
 
     if not interleave:
+        # Block-path (AMG) mask logits stay in the activation dtype: they
+        # are products of bf16 inputs, so a bf16 store costs one extra
+        # rounding but halves ~2 GB of HBM traffic per 256-prompt batch
+        # (the downstream bilinear upscale re-accumulates in f32).
+        masks = masks.astype(y.dtype)
         # Block layout [Np, M, g², 4, 4]: position = (i·g + j), q = 2a1+b1,
         # r = 2a2+b2 with spatial row = 4i+2a1+a2, col = 4j+2b1+b2.
         # Consumers that immediately resize (the AMG postprocess) fold the
