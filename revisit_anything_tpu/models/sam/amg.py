@@ -245,14 +245,28 @@ def generate_masks(params: Params, cfg: SamArchConfig,
 def generate_masks_batch(params: Params, cfg: SamArchConfig,
                          images_rgb: List[np.ndarray],
                          amg: AmgConfig = AmgConfig(),
-                         max_masks: int = 512) -> List[List[MaskRecord]]:
+                         max_masks: int = 512,
+                         mesh=None) -> List[List[MaskRecord]]:
     """AMG over a batch of same-shape images: ONE encoder dispatch for the
     whole batch (amortizes weight HBM traffic and host↔device latency —
-    the extraction stage's throughput mode), then per-image decoding."""
+    the extraction stage's throughput mode), then per-image decoding.
+
+    ``mesh``: shard the encoder batch over the mesh's data axis (multi-
+    device extraction; prompt decoding stays per image on the default
+    device)."""
     assert len({im.shape for im in images_rgb}) == 1, "same-shape batch"
     pre = [_preprocess_any(im, cfg) for im in images_rgb]
     batched = jnp.concatenate([p[0] for p in pre], axis=0)
-    embeddings = encode_image(params, cfg, batched)
+    if mesh is not None and mesh.devices.size > 1:
+        from revisit_anything_tpu.parallel import data_parallel_apply
+
+        def enc(p, xb):
+            return encode_image(p, cfg, xb)
+
+        embeddings = jnp.asarray(data_parallel_apply(
+            enc, params, np.asarray(batched), mesh))
+    else:
+        embeddings = encode_image(params, cfg, batched)
     return [
         _generate_from_embedding(params, cfg, embeddings[i], pre[i][1],
                                  images_rgb[i].shape[:2], amg, max_masks)

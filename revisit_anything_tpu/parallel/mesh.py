@@ -29,6 +29,26 @@ def make_mesh(shape: Optional[Tuple[int, ...]] = None,
     return Mesh(np.asarray(devices).reshape(shape), axis_names)
 
 
+def auto_data_mesh(min_devices: int = 2) -> Optional[Mesh]:
+    """1-D data mesh over all local devices, or None on a single device.
+
+    The production entry points (extract/evaluate/serve) call this to
+    scale out automatically when run on a multi-chip host — the reference
+    has no such layer at all (single CUDA device, SURVEY §2.7)."""
+    devices = jax.devices()
+    if len(devices) < min_devices:
+        return None
+    return Mesh(np.asarray(devices), ("data",))
+
+
+def resolve_mesh(mesh) -> Optional[Mesh]:
+    """Normalize a mesh argument: "auto" → auto_data_mesh(), None → None,
+    Mesh → itself."""
+    if mesh == "auto":
+        return auto_data_mesh()
+    return mesh
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Sharding that splits the leading (batch) dim over ``axis``."""
     return NamedSharding(mesh, P(axis))

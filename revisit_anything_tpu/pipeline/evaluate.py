@@ -57,16 +57,21 @@ def run_segloc_retrieval(db_bank: SegmentBank,
                          borda_topk: int = BORDA_TOPK,
                          recall_topk: int = RECALL_TOPK,
                          map_calculate: bool = False,
-                         device_voting: bool = False) -> RetrievalResult:
+                         device_voting: bool = True,
+                         mesh="auto") -> RetrievalResult:
     """SegLoc retrieval: kNN of query segments over db segments + weighted
     Borda voting over db image bins (recall_segloc, place_rec_main.py:44-96).
 
     With PCA, descriptors are row-normalized before the L2 search
     (place_rec_main.py:55-57); raw VLADs are already unit-norm.
 
-    device_voting=True runs the Borda accumulation as one on-device
-    segment_sum + top_k instead of the per-query host loop — identical
-    predictions up to equal-score tie ordering.
+    device_voting=True (default) runs the Borda accumulation as one
+    on-device segment_sum + top_k instead of the per-query host loop —
+    identical predictions up to equal-score tie ordering.
+
+    mesh: "auto" shards the kNN database over all local devices when more
+    than one is visible (sharded_knn_l2); pass an explicit Mesh, or None
+    to force the single-device path.
     """
     timer = stage_timer()
     db = db_bank.descriptors
@@ -79,8 +84,16 @@ def run_segloc_retrieval(db_bank: SegmentBank,
         db = _normalize_rows(db)
         q = _normalize_rows(q)
 
+    from revisit_anything_tpu.parallel import resolve_mesh, sharded_knn_l2
+    mesh = resolve_mesh(mesh)
     with timer.stage("retrieval.knn"):
-        sq_l2, matches = knn_l2(jnp.asarray(q), jnp.asarray(db), knn_topk)
+        if mesh is not None and mesh.devices.size > 1:
+            sq_l2, matches = sharded_knn_l2(
+                np.asarray(q, np.float32), np.asarray(db, np.float32),
+                knn_topk, mesh)
+        else:
+            sq_l2, matches = knn_l2(jnp.asarray(q), jnp.asarray(db),
+                                    knn_topk)
         sq_l2 = np.asarray(sq_l2)
         matches = np.asarray(matches)
 

@@ -59,14 +59,21 @@ def extract_sam_masks(image_paths: Sequence[str],
                       target_hw: Tuple[int, int],
                       amg: AmgConfig = AmgConfig(),
                       progress: bool = True,
-                      encode_batch: int = 1) -> None:
+                      encode_batch: int = 0,
+                      mesh="auto") -> None:
     """Run the automatic mask generator over images; write the reference's
     mask h5 schema (process_SAM_to_h5, func_vpr.py:664-679). Images are
     encoded ``encode_batch`` at a time (one ViT-H dispatch per batch;
-    per-prompt decoding dominates AMG, so >1 helps only when the decoder
-    is not the bottleneck — measured neutral-to-slower through the
-    tunnel, default 1)."""
+    0 = auto: the device count when a mesh is active, else 1 — re-measure
+    with the bench knob on directly-attached chips before changing the
+    single-device default). With mesh="auto" on a multi-device host the
+    encoder batch is sharded over the data axis."""
     from revisit_anything_tpu.models.sam.amg import generate_masks_batch
+    from revisit_anything_tpu.parallel import resolve_mesh
+    mesh = resolve_mesh(mesh)
+    if encode_batch <= 0:
+        encode_batch = (int(mesh.devices.size)
+                        if mesh is not None and mesh.devices.size > 1 else 1)
     timer = stage_timer()
     with h5py.File(out_h5_path, "w") as f:
         for s in range(0, len(image_paths), encode_batch):
@@ -78,7 +85,7 @@ def extract_sam_masks(image_paths: Sequence[str],
                         for p in paths]
             with timer.stage("sam.generate"):
                 per_image = generate_masks_batch(sam_params, sam_cfg,
-                                                 imgs, amg)
+                                                 imgs, amg, mesh=mesh)
             with timer.stage("sam.write"):
                 for key, records in zip(keys, per_image):
                     if not records:
@@ -101,12 +108,26 @@ def extract_dino_features(image_paths: Sequence[str],
                           layer: int = 31,
                           facet: str = "value",
                           batch_size: int = 8,
-                          progress: bool = True) -> None:
+                          progress: bool = True,
+                          mesh="auto") -> None:
     """DINOv2 dense value-facet features → h5 (`ift_dino` [1, D, dh, dw]),
     L2-normalized over channels like process_single_DINO (func_vpr.py:549-563).
-    Images are batched per jit call; one static shape per dataset size."""
+    Images are batched per jit call; one static shape per dataset size.
+    On a multi-device host the batch is sharded over the mesh's data axis
+    (mesh="auto"; pass None to force single-device)."""
+    from revisit_anything_tpu.parallel import (data_parallel_apply,
+                                               resolve_mesh)
+    mesh = resolve_mesh(mesh)
     timer = stage_timer()
     dh, dw = target_hw[0] // 14, target_hw[1] // 14
+
+    def fwd(p, xb):
+        feats = dn.extract_dense(p, dino_cfg, xb, layer, facet)
+        # [B, dh*dw, D] → [B, D, dh, dw], L2 over D
+        feats = jnp.transpose(feats, (0, 2, 1)).reshape(
+            xb.shape[0], -1, dh, dw)
+        return l2_normalize(feats, axis=1)
+
     with h5py.File(out_h5_path, "w") as f:
         for s in range(0, len(image_paths), batch_size):
             paths = image_paths[s:s + batch_size]
@@ -118,13 +139,12 @@ def extract_dino_features(image_paths: Sequence[str],
                     for p in paths])
                 x = dn.preprocess(imgs)
             with timer.stage("dino.forward"):
-                feats = dn.extract_dense(dino_params, dino_cfg,
-                                         jnp.asarray(x), layer, facet)
-                # [B, dh*dw, D] → [B, D, dh, dw], L2 over D
-                feats = jnp.transpose(feats, (0, 2, 1)).reshape(
-                    len(paths), -1, dh, dw)
-                feats = l2_normalize(feats, axis=1)
-                feats_np = np.asarray(feats, dtype=np.float32)
+                if mesh is not None and mesh.devices.size > 1:
+                    feats_np = np.asarray(data_parallel_apply(
+                        fwd, dino_params, x, mesh), dtype=np.float32)
+                else:
+                    feats_np = np.asarray(fwd(dino_params, jnp.asarray(x)),
+                                          dtype=np.float32)
             with timer.stage("dino.write"):
                 for i, key in enumerate(keys):
                     write_dino_features(f, key, feats_np[i:i + 1])

@@ -174,7 +174,8 @@ class SegVLADServer:
                  dino_layer: int = 31, dino_facet: str = "value",
                  max_masks: int = 128,
                  knn_topk: int = KNN_TOPK, borda_topk: int = BORDA_TOPK,
-                 top_images: int = RECALL_TOPK):
+                 top_images: int = RECALL_TOPK,
+                 mesh="auto"):
         self.sam_params = sam_params
         self.sam_cfg = sam_cfg
         self.dino_params = dino_params
@@ -229,14 +230,42 @@ class SegVLADServer:
         self._pool_a = jnp.asarray(pool_a)
         self._pool_b = jnp.asarray(pool_b)
 
-        # Device-resident retrieval state.
+        # Device-resident retrieval state. On a multi-device host the
+        # database rows are sharded over the mesh's data axis (each chip
+        # holds Nd/d rows — the serving answer to databases beyond one
+        # chip's HBM); jit propagates the sharding through the fused
+        # retrieval tail and inserts the gather collectives.
+        from revisit_anything_tpu.parallel import resolve_mesh
+        self._mesh = resolve_mesh(mesh)
         self._centers = jnp.asarray(index.centers.astype(np.float32))
         self._pca_mean = jnp.asarray(index.pca_mean.astype(np.float32))
         self._pca_comps = jnp.asarray(index.pca_components.astype(np.float32))
         self._pca_var = jnp.asarray(index.pca_variance.astype(np.float32))
         self._whiten = bool(index.pca_whiten)
-        self._db = jnp.asarray(index.db.astype(np.float32))
-        self._db_ids = jnp.asarray(index.db_image_ids.astype(np.int32))
+        db = index.db.astype(np.float32)
+        db_ids = index.db_image_ids.astype(np.int32)
+        if self._mesh is not None and self._mesh.devices.size > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            d = int(self._mesh.devices.size)
+            pad = (-len(db)) % d
+            if pad:
+                # padding rows: zero vectors with an out-of-range image id
+                # mapped to a dead bin (num_ref_images) — they are masked
+                # out by the kNN's +inf norm guard in query_topk_images
+                # only for rows >= nd, so instead keep them retrievable but
+                # harmless: duplicate the last row's vector with id of the
+                # last image would distort votes, so use +inf-norm rows.
+                db = np.concatenate(
+                    [db, np.full((pad, db.shape[1]), 1e6, np.float32)])
+                db_ids = np.concatenate(
+                    [db_ids, np.full((pad,), db_ids[-1], np.int32)])
+            self._db = jax.device_put(
+                jnp.asarray(db), NamedSharding(self._mesh, P("data", None)))
+            self._db_ids = jax.device_put(
+                jnp.asarray(db_ids), NamedSharding(self._mesh, P("data")))
+        else:
+            self._db = jnp.asarray(db)
+            self._db_ids = jnp.asarray(db_ids)
 
         self._image_pe = dense_positional_embedding(sam_params, sam_cfg)[0]
 

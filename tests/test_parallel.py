@@ -62,3 +62,62 @@ def test_data_parallel_apply_matches_single(rng, mesh):
     single = np.asarray(fn(params, imgs))
     assert sharded.shape == single.shape
     np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
+def test_segloc_retrieval_mesh_matches_single_device(rng, mesh):
+    """The production evaluate path on the 8-device mesh must reproduce the
+    single-device recalls and predictions bit-for-bit (VERDICT r1 item 4)."""
+    from revisit_anything_tpu.pipeline.aggregate import SegmentBank
+    from revisit_anything_tpu.pipeline.evaluate import run_segloc_retrieval
+
+    n_db_img, n_q_img, segs = 15, 6, 4
+    dim = 32
+    db_desc = rng.standard_normal((n_db_img * segs, dim)).astype(np.float32)
+    db_desc /= np.linalg.norm(db_desc, axis=1, keepdims=True)
+    targets = [(3 * i + 1) % n_db_img for i in range(n_q_img)]
+    q_rows = np.concatenate([np.arange(t * segs, (t + 1) * segs)
+                             for t in targets])
+    q_desc = db_desc[q_rows] + 0.01 * rng.standard_normal(
+        (n_q_img * segs, dim)).astype(np.float32)
+
+    db_bank = SegmentBank(db_desc, np.repeat(np.arange(n_db_img), segs))
+    q_bank = SegmentBank(q_desc, np.repeat(np.arange(n_q_img), segs))
+    gt = [[t] for t in targets]
+
+    single = run_segloc_retrieval(db_bank, q_bank, gt, mesh=None)
+    sharded = run_segloc_retrieval(db_bank, q_bank, gt, mesh=mesh)
+    assert single.recalls == sharded.recalls
+    for a, b in zip(single.predictions, sharded.predictions):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert single.recalls[0] == 1.0
+
+
+def test_extract_dino_mesh_matches_single_device(rng, mesh, tmp_path):
+    import h5py
+    from PIL import Image
+    from revisit_anything_tpu.models import dinov2 as dn
+    from revisit_anything_tpu.pipeline.extract import extract_dino_features
+
+    cfg = dn.DinoV2Config(embed_dim=32, depth=2, num_heads=2, ffn="mlp",
+                          pretrain_grid=(4, 4))
+    params = dn.init_params(cfg, jax.random.PRNGKey(0))
+    paths, keys = [], []
+    for i in range(5):
+        p = str(tmp_path / f"im{i}.png")
+        Image.fromarray(rng.integers(0, 255, (56, 56, 3),
+                                     dtype=np.uint8)).save(p)
+        paths.append(p)
+        keys.append(f"im{i}.png")
+
+    h5_single = str(tmp_path / "single.h5")
+    h5_mesh = str(tmp_path / "mesh.h5")
+    kw = dict(target_hw=(56, 56), layer=1, batch_size=3, progress=False)
+    extract_dino_features(paths, keys, h5_single, params, cfg,
+                          mesh=None, **kw)
+    extract_dino_features(paths, keys, h5_mesh, params, cfg,
+                          mesh=mesh, **kw)
+    with h5py.File(h5_single) as f1, h5py.File(h5_mesh) as f2:
+        for k in keys:
+            a = f1[k]["ift_dino"][()]
+            b = f2[k]["ift_dino"][()]
+            np.testing.assert_allclose(a, b, atol=2e-6)

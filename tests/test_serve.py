@@ -162,3 +162,24 @@ def test_serving_matches_staged_query(models):
         num_clusters=8, num_ref_images=idx.num_ref_images,
         top_images=5, whiten=True))
     np.testing.assert_array_equal(top_served, top_staged)
+
+
+def test_serving_sharded_db_matches_unsharded(models):
+    """mesh-sharded database serving equals the single-device answer on the
+    8-device CPU mesh (db rows not divisible by the device count)."""
+    from revisit_anything_tpu.parallel import make_mesh
+    sam_params, dino_params = models
+    rng = np.random.default_rng(21)
+    idx = _index(rng, n_segs=203, n_images=29)
+    idx.db_image_ids = np.repeat(np.arange(29), 7)
+    amg = AmgConfig(points_per_side=6, points_per_batch=36,
+                    pred_iou_thresh=-1e9, stability_score_thresh=0.0)
+    kw = dict(sam_params=sam_params, sam_cfg=SAM_SMALL,
+              dino_params=dino_params, dino_cfg=DINO_SMALL,
+              index=idx, full_hw=(H, W), sam_hw=(H // 2, W // 2),
+              amg=amg, dino_layer=1, max_masks=32, knn_topk=50)
+    srv_single = SegVLADServer(mesh=None, **kw)
+    srv_mesh = SegVLADServer(mesh=make_mesh((8,), ("data",)), **kw)
+    img = _image(rng)
+    np.testing.assert_array_equal(srv_single.query(img),
+                                  srv_mesh.query(img))
