@@ -46,6 +46,63 @@ def _weighted_borda_rank(pairs) -> List[int]:
     return sorted(scores.keys(), key=lambda i: scores[i], reverse=True)
 
 
+# The reference calls merge_ranked_lists / average_rank_method /
+# average_similarity_scores (func_vpr.py:128,137,173,191,200,236) but never
+# defines them anywhere in the tree — those get_matches branches raise
+# NameError if exercised. We implement the standard rank-fusion semantics
+# the names and call sites imply, keeping the surrounding branch structure
+# (per-rank column lists, bincount tails) identical to the reference.
+
+def merge_ranked_lists(*ranked_lists) -> List[int]:
+    """Classic Borda-count merge: item at rank r in a list of length L
+    scores L - r; items absent from a list score 0 there. Sorted by total
+    score desc, insertion-order tie-break."""
+    scores = {}
+    for lst in ranked_lists:
+        n = len(lst)
+        for r, idx in enumerate(lst):
+            idx = int(idx)
+            scores[idx] = scores.get(idx, 0) + (n - r)
+    return sorted(scores.keys(), key=lambda i: scores[i], reverse=True)
+
+
+def average_rank_method(*ranked_lists) -> List[int]:
+    """Mean-rank merge: items sorted by their average 0-based rank over the
+    lists they appear in, ascending (best rank first)."""
+    rank_sum = {}
+    count = {}
+    for lst in ranked_lists:
+        for r, idx in enumerate(lst):
+            idx = int(idx)
+            rank_sum[idx] = rank_sum.get(idx, 0) + r
+            count[idx] = count.get(idx, 0) + 1
+    return sorted(rank_sum.keys(), key=lambda i: rank_sum[i] / count[i])
+
+
+def average_similarity_scores(*ranked_lists_with_scores) -> List[int]:
+    """Like weighted_borda_count but averaging an item's scores over its
+    appearances instead of summing; sorted desc."""
+    score_sum = {}
+    count = {}
+    for lst in ranked_lists_with_scores:
+        for idx, score in lst:
+            idx = int(idx)
+            score_sum[idx] = score_sum.get(idx, 0.0) + score
+            count[idx] = count.get(idx, 0) + 1
+    return sorted(score_sum.keys(),
+                  key=lambda i: score_sum[i] / count[i], reverse=True)
+
+
+def _bincount_top(seg_ids: np.ndarray, im_inds_ref: np.ndarray,
+                  n: int) -> np.ndarray:
+    """The shared get_matches tail: bincount matched segments' image ids,
+    return the top-n images by vote count (func_vpr.py:129-131 pattern:
+    ``segIdx[flip(argsort(bincount[segIdx])[-n:])]``)."""
+    counts = np.bincount(im_inds_ref[np.asarray(seg_ids, dtype=np.int64)])
+    nonzero = np.where(counts > 0)[0]
+    return nonzero[np.flip(np.argsort(counts[nonzero])[-n:])]
+
+
 def get_matches_host(matches: np.ndarray,
                      sims: np.ndarray,
                      seg_range_query: Sequence[np.ndarray],
@@ -97,16 +154,61 @@ def get_matches_host(matches: np.ndarray,
             nonzero = np.where(counts > 0)[0]
             top = nonzero[np.flip(np.argsort(counts[nonzero], kind="stable")[-n:])]
             preds.append(top)
-        elif method in ("max_seg_topk_wt_borda_Im", "max_seg_topk_wt_borda"):
+        elif method == "max_seg_topk_wt_borda_Im":
             norm_s = (s - sims_min) / denom
             # Rank-major iteration (transpose) matches the reference's
-            # per-rank ranked-lists construction.
+            # per-rank ranked-lists construction (func_vpr.py:207-224).
             pairs = []
-            ids = im_inds_ref[m] if method.endswith("_Im") else m
+            ids = im_inds_ref[m]
             for rank in range(m.shape[1]):
                 pairs.extend(zip(ids[:, rank].tolist(),
                                  norm_s[:, rank].tolist()))
             ranked = _weighted_borda_rank(pairs)
+            preds.append(np.array(ranked[:n]))
+        elif method == "max_seg_topk_wt_borda":
+            # weighted Borda over SEGMENT ids, then top-n images by vote
+            # count of the ranked segments (func_vpr.py:145-161)
+            norm_s = (s - sims_min) / denom
+            pairs = []
+            for rank in range(m.shape[1]):
+                pairs.extend(zip(m[:, rank].tolist(),
+                                 norm_s[:, rank].tolist()))
+            ranked = _weighted_borda_rank(pairs)
+            preds.append(_bincount_top(ranked, im_inds_ref, n))
+        elif method == "max_seg_topk_borda":
+            # per-rank segment columns merged by Borda count, bincount tail
+            # (func_vpr.py:126-134)
+            ranked = merge_ranked_lists(*m.T.tolist())
+            preds.append(_bincount_top(ranked, im_inds_ref, n))
+        elif method == "max_seg_topk_avg":
+            # mean-rank merge of segment columns (func_vpr.py:135-143)
+            ranked = average_rank_method(*m.T.tolist())
+            preds.append(_bincount_top(ranked, im_inds_ref, n))
+        elif method == "max_seg_topk_avg_sim":
+            # average normalized similarity per segment (func_vpr.py:162-178)
+            norm_s = (s - sims_min) / denom
+            pair_lists = [list(zip(m[:, r].tolist(), norm_s[:, r].tolist()))
+                          for r in range(m.shape[1])]
+            ranked = average_similarity_scores(*pair_lists)
+            preds.append(_bincount_top(ranked, im_inds_ref, n))
+        elif method == "max_seg_topk_borda_Im":
+            # Borda merge directly over per-rank IMAGE-id columns
+            # (func_vpr.py:190-198)
+            ranked = merge_ranked_lists(*[im_inds_ref[m[:, r]].tolist()
+                                          for r in range(m.shape[1])])
+            preds.append(np.array(ranked[:n]))
+        elif method == "max_seg_topk_avg_Im":
+            # mean-rank merge over image-id columns (func_vpr.py:199-207)
+            ranked = average_rank_method(*[im_inds_ref[m[:, r]].tolist()
+                                           for r in range(m.shape[1])])
+            preds.append(np.array(ranked[:n]))
+        elif method == "max_seg_topk_avg_sim_Im":
+            # average normalized similarity per image (func_vpr.py:225-243)
+            norm_s = (s - sims_min) / denom
+            pair_lists = [list(zip(im_inds_ref[m[:, r]].tolist(),
+                                   norm_s[:, r].tolist()))
+                          for r in range(m.shape[1])]
+            ranked = average_similarity_scores(*pair_lists)
             preds.append(np.array(ranked[:n]))
         else:
             raise NotImplementedError(f"method {method!r}")

@@ -100,3 +100,103 @@ def test_top_k_recall_one_percent(rng):
     # threshold = 3 (300/100); query0 hit at rank 1 → counted; query1 never
     assert pct == 0.5
     assert recalls[0] == 0.5
+
+
+def _oracle_norm(sims):
+    return (sims - sims.min()) / (sims.max() - sims.min())
+
+
+def _oracle_bincount_top(seg_ids, im_inds_ref, n):
+    counts = np.bincount(im_inds_ref[np.asarray(seg_ids, np.int64)])
+    seg_idx = np.where(counts > 0)[0]
+    return seg_idx[np.flip(np.argsort(counts[seg_idx])[-n:])]
+
+
+def test_borda_and_avg_methods_match_oracles(rng):
+    """The six previously-missing get_matches branches vs independent
+    numpy oracles transcribing func_vpr.py:126-243 mechanics (the
+    reference's own merge helpers are undefined there — NameError — so
+    oracle and impl both use the standard semantics the names imply)."""
+    matches, sims, seg_ranges, im_inds_ref, *_ = make_retrieval_case(rng)
+    n = 5
+    norm = _oracle_norm(sims)
+
+    def borda_scores(cols):
+        score = {}
+        for lst in cols:
+            L = len(lst)
+            for r, v in enumerate(lst):
+                score[int(v)] = score.get(int(v), 0) + (L - r)
+        return score
+
+    for method in ("max_seg_topk_borda", "max_seg_topk_avg",
+                   "max_seg_topk_avg_sim", "max_seg_topk_borda_Im",
+                   "max_seg_topk_avg_Im", "max_seg_topk_avg_sim_Im",
+                   "max_seg_topk_wt_borda"):
+        ours = get_matches_host(matches, sims, seg_ranges, im_inds_ref,
+                                n=n, method=method)
+        for qi, rows in enumerate(seg_ranges):
+            m = matches[rows]
+            cols = [m[:, r].tolist() for r in range(m.shape[1])]
+            im_cols = [im_inds_ref[m[:, r]].tolist()
+                       for r in range(m.shape[1])]
+            ns = norm[rows]
+            if method == "max_seg_topk_borda":
+                sc = borda_scores(cols)
+                ranked = sorted(sc, key=lambda i: sc[i], reverse=True)
+                exp = _oracle_bincount_top(ranked, im_inds_ref, n)
+            elif method == "max_seg_topk_borda_Im":
+                sc = borda_scores(im_cols)
+                exp = np.array(sorted(sc, key=lambda i: sc[i],
+                                      reverse=True)[:n])
+            elif method in ("max_seg_topk_avg", "max_seg_topk_avg_Im"):
+                use = cols if method == "max_seg_topk_avg" else im_cols
+                rsum, cnt = {}, {}
+                for lst in use:
+                    for r, v in enumerate(lst):
+                        rsum[v] = rsum.get(v, 0) + r
+                        cnt[v] = cnt.get(v, 0) + 1
+                ranked = sorted(rsum, key=lambda i: rsum[i] / cnt[i])
+                exp = (_oracle_bincount_top(ranked, im_inds_ref, n)
+                       if method == "max_seg_topk_avg"
+                       else np.array(ranked[:n]))
+            elif method in ("max_seg_topk_avg_sim", "max_seg_topk_avg_sim_Im"):
+                use = cols if method == "max_seg_topk_avg_sim" else im_cols
+                ssum, cnt = {}, {}
+                for r, lst in enumerate(use):
+                    for j, v in enumerate(lst):
+                        ssum[v] = ssum.get(v, 0.0) + ns[j, r]
+                        cnt[v] = cnt.get(v, 0) + 1
+                ranked = sorted(ssum, key=lambda i: ssum[i] / cnt[i],
+                                reverse=True)
+                exp = (_oracle_bincount_top(ranked, im_inds_ref, n)
+                       if method == "max_seg_topk_avg_sim"
+                       else np.array(ranked[:n]))
+            else:  # max_seg_topk_wt_borda (non-Im): borda over segments
+                ssum = {}
+                for r in range(m.shape[1]):
+                    for j in range(m.shape[0]):
+                        v = int(m[j, r])
+                        ssum[v] = ssum.get(v, 0.0) + ns[j, r]
+                ranked = sorted(ssum, key=lambda i: ssum[i], reverse=True)
+                exp = _oracle_bincount_top(ranked, im_inds_ref, n)
+            np.testing.assert_array_equal(np.asarray(ours[qi]),
+                                          np.asarray(exp),
+                                          err_msg=f"{method} q{qi}")
+
+
+def test_all_eleven_methods_produce_predictions(rng):
+    """Every reference get_matches method name is accepted and returns n
+    predictions per query (func_vpr.py:80-243 — 11 methods)."""
+    matches, sims, seg_ranges, im_inds_ref, *_ = make_retrieval_case(rng)
+    methods = ["max_sim", "max_seg", "max_seg_sim", "max_seg_topk",
+               "max_seg_topk_borda", "max_seg_topk_avg",
+               "max_seg_topk_wt_borda", "max_seg_topk_avg_sim",
+               "max_seg_topk_borda_Im", "max_seg_topk_avg_Im",
+               "max_seg_topk_wt_borda_Im", "max_seg_topk_avg_sim_Im"]
+    for method in methods:
+        preds = get_matches_host(matches, sims, seg_ranges, im_inds_ref,
+                                 n=3, method=method)
+        assert len(preds) == len(seg_ranges), method
+        for p in preds:
+            assert 1 <= len(p) <= 3, method
