@@ -49,6 +49,13 @@ class AmgConfig:
     stability_score_offset: float = 1.0
     box_nms_thresh: float = 0.7
     min_mask_region_area: int = 0   # >0 enables small-region postprocess
+    # multi-crop (automatic_mask_generator.py:40-48): layer i adds
+    # (2^i)^2 overlapping crops, each run through the full grid pipeline,
+    # deduped by cross-crop NMS preferring smaller crops
+    crop_n_layers: int = 0
+    crop_nms_thresh: float = 0.7
+    crop_overlap_ratio: float = 512 / 1500
+    crop_n_points_downscale_factor: int = 1
 
 
 def build_point_grid(n_per_side: int) -> np.ndarray:
@@ -58,6 +65,34 @@ def build_point_grid(n_per_side: int) -> np.ndarray:
     coords = np.linspace(offset, 1.0 - offset, n_per_side)
     xs, ys = np.meshgrid(coords, coords)          # row-major over y
     return np.stack([xs.ravel(), ys.ravel()], axis=-1)
+
+
+def generate_crop_boxes(im_hw: Tuple[int, int], n_layers: int,
+                        overlap_ratio: float):
+    """XYXY crop boxes per layer: layer 0 = full image, layer i has
+    (2^i)^2 crops of length ceil((overlap*(n-1)+len)/n) with overlap
+    int(ratio*short_side*2/n) (utils/amg.py:200-235 semantics)."""
+    import math
+    im_h, im_w = im_hw
+    short_side = min(im_h, im_w)
+    crop_boxes = [[0, 0, im_w, im_h]]
+    layer_idxs = [0]
+
+    def crop_len(orig_len, n_crops, overlap):
+        return int(math.ceil((overlap * (n_crops - 1) + orig_len) / n_crops))
+
+    for i_layer in range(n_layers):
+        n_per_side = 2 ** (i_layer + 1)
+        overlap = int(overlap_ratio * short_side * (2 / n_per_side))
+        crop_w = crop_len(im_w, n_per_side, overlap)
+        crop_h = crop_len(im_h, n_per_side, overlap)
+        for x0 in (int((crop_w - overlap) * i) for i in range(n_per_side)):
+            for y0 in [int((crop_h - overlap) * j)
+                       for j in range(n_per_side)]:
+                crop_boxes.append([x0, y0, min(x0 + crop_w, im_w),
+                                   min(y0 + crop_h, im_h)])
+                layer_idxs.append(i_layer + 1)
+    return crop_boxes, layer_idxs
 
 
 def resize_longest_side(h: int, w: int, long_side: int) -> Tuple[int, int]:
@@ -195,15 +230,26 @@ def _pack_bits(masks: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(x * weights, axis=-1, dtype=jnp.uint8)
 
 
-@partial(jax.jit, static_argnames=("amg", "max_out"))
+@partial(jax.jit, static_argnames=("amg", "max_out", "crop_box",
+                                   "orig_box"))
 def _select_and_pack(masks, iou, stab, boxes, valid, amg: AmgConfig,
-                     max_out: int):
+                     max_out: int, crop_box=None, orig_box=None):
     """On-device filtering + greedy NMS + top-K gather + bit-packing:
-    only the kept masks' bits leave the device."""
+    only the kept masks' bits leave the device.
+
+    ``crop_box``/``orig_box`` (XYXY tuples): drop candidates whose box
+    touches the crop boundary but not the original image boundary
+    (is_box_near_crop_edge, utils/amg.py:78-89, atol 20)."""
     from revisit_anything_tpu.ops.nms import nms_keep_mask
     keep = (valid
             & (iou > amg.pred_iou_thresh)
             & (stab >= amg.stability_score_thresh))
+    if crop_box is not None:
+        x0, y0 = crop_box[0], crop_box[1]
+        b = boxes + jnp.asarray([x0, y0, x0, y0], jnp.float32)
+        near_crop = jnp.abs(b - jnp.asarray(crop_box, jnp.float32)) <= 20.0
+        near_img = jnp.abs(b - jnp.asarray(orig_box, jnp.float32)) <= 20.0
+        keep = keep & ~jnp.any(near_crop & ~near_img, axis=1)
     scores = jnp.where(keep, iou, -jnp.inf)
     nms_keep = nms_keep_mask(boxes, scores, amg.box_nms_thresh)
     final_scores = jnp.where(nms_keep & keep, iou, -jnp.inf)
@@ -236,6 +282,8 @@ def generate_masks(params: Params, cfg: SamArchConfig,
     the device→host transfer (post-NMS mask counts are far below it in
     practice; hit only by pathological inputs).
     """
+    if amg.crop_n_layers > 0:
+        return _generate_multicrop(params, cfg, image_rgb, amg, max_masks)
     batched, input_hw = _preprocess_any(image_rgb, cfg)
     embedding = encode_image(params, cfg, batched)[0]
     return _generate_from_embedding(params, cfg, embedding, input_hw,
@@ -274,24 +322,30 @@ def generate_masks_batch(params: Params, cfg: SamArchConfig,
     ]
 
 
-def _generate_from_embedding(params: Params, cfg: SamArchConfig,
-                             embedding: jnp.ndarray,
-                             input_hw: Tuple[int, int],
-                             orig_hw: Tuple[int, int],
-                             amg: AmgConfig,
-                             max_masks: int) -> List[MaskRecord]:
-    h, w = orig_hw
+def _crop_candidates(params: Params, cfg: SamArchConfig,
+                     embedding: jnp.ndarray,
+                     input_hw: Tuple[int, int],
+                     crop_hw: Tuple[int, int],
+                     amg: AmgConfig,
+                     max_masks: int,
+                     points_per_side: int,
+                     crop_box=None,
+                     orig_box=None):
+    """Grid-decode one crop and return its post-NMS candidates as host
+    arrays (masks bool [n, ch, cw] in the CROP frame, iou [n], stability
+    [n], prompt points [n, 2] in crop coords) in NMS keep order."""
+    h, w = crop_hw
     image_pe = dense_positional_embedding(params, cfg)[0]
 
-    # 32x32 grid in original-image coords → 1024-frame coords
+    # point grid in crop coords → 1024-frame coords
     # (apply_coords: scale by resized/original per axis, transforms.py:40-50).
-    grid = build_point_grid(amg.points_per_side)
+    grid = build_point_grid(points_per_side)
     pts_orig = grid * np.array([w, h], np.float32)
     scale = np.array([input_hw[1] / w, input_hw[0] / h], np.float32)
     pts_1024 = (pts_orig * scale).astype(np.float32)
 
     n = pts_1024.shape[0]
-    bsz = amg.points_per_batch
+    bsz = min(amg.points_per_batch, n)
     pad = (-n) % bsz
     if pad:
         pts_1024 = np.concatenate(
@@ -316,46 +370,142 @@ def _generate_from_embedding(params: Params, cfg: SamArchConfig,
 
     max_out = min(max_masks, masks_dev.shape[0])
     packed, order, n_kept = _select_and_pack(
-        masks_dev, iou_dev, stab_dev, boxes_dev, valid_dev, amg, max_out)
+        masks_dev, iou_dev, stab_dev, boxes_dev, valid_dev, amg, max_out,
+        crop_box=crop_box, orig_box=orig_box)
 
-    n_kept = int(n_kept)
+    n_kept = min(int(n_kept), max_out)
     if n_kept == 0:
-        return []
-    n_kept = min(n_kept, max_out)
+        z = np.zeros((0,))
+        return np.zeros((0, h, w), bool), z, z, np.zeros((0, 2))
     order = np.asarray(order)[:n_kept]
     packed_np = np.asarray(packed)[:n_kept]
-    iou = np.asarray(iou_dev)
-    stab = np.asarray(stab_dev)
-    points = np.repeat(pts_orig, 3, axis=0)
+    iou = np.asarray(iou_dev)[order]
+    stab = np.asarray(stab_dev)[order]
+    points = np.repeat(pts_orig, 3, axis=0)[order]
+    masks = np.unpackbits(packed_np, axis=-1)[:, :, :w].astype(bool)
+    return masks, iou, stab, points
 
-    # unpack bits → bool [n_kept, h, w]
-    unpacked = np.unpackbits(packed_np, axis=-1)[:, :, :w].astype(bool)
 
-    final = order
-    final_masks = [unpacked[j] for j in range(n_kept)]
-    if amg.min_mask_region_area > 0 and len(final):
-        final_masks, keep2 = _postprocess_small_regions(
-            final_masks, amg.min_mask_region_area, amg.box_nms_thresh)
-        final = final[keep2]
-
+def _assemble_records(final_masks, iou, stab, points, crop_boxes_per_mask,
+                      amg: AmgConfig, orig_wh) -> List[MaskRecord]:
+    """MaskRecord assembly incl. the reference's final area filter
+    (generate(): ann kept only if area > min_mask_region_area,
+    automatic_mask_generator.py:192-194)."""
     records = []
-    for seg, i in zip(final_masks, final):
+    for j, seg in enumerate(final_masks):
+        area = int(seg.sum())
+        if area <= amg.min_mask_region_area:
+            continue
         ys, xs = np.nonzero(seg)
-        if len(xs):
-            bbox = (float(xs.min()), float(ys.min()),
-                    float(xs.max() - xs.min()), float(ys.max() - ys.min()))
-        else:
-            bbox = (0.0, 0.0, 0.0, 0.0)
+        bbox = (float(xs.min()), float(ys.min()),
+                float(xs.max() - xs.min()), float(ys.max() - ys.min()))
         records.append(MaskRecord(
             segmentation=seg,
-            area=int(seg.sum()),
+            area=area,
             bbox=bbox,
-            predicted_iou=float(iou[i]),
-            point_coords=points[i][None, :].astype(np.float64),
-            stability_score=float(stab[i]),
-            crop_box=(0, 0, w, h),
+            predicted_iou=float(iou[j]),
+            point_coords=points[j][None, :].astype(np.float64),
+            stability_score=float(stab[j]),
+            crop_box=tuple(crop_boxes_per_mask[j]),
         ))
     return records
+
+
+def _generate_from_embedding(params: Params, cfg: SamArchConfig,
+                             embedding: jnp.ndarray,
+                             input_hw: Tuple[int, int],
+                             orig_hw: Tuple[int, int],
+                             amg: AmgConfig,
+                             max_masks: int) -> List[MaskRecord]:
+    h, w = orig_hw
+    masks, iou, stab, points = _crop_candidates(
+        params, cfg, embedding, input_hw, orig_hw, amg, max_masks,
+        amg.points_per_side)
+    if len(masks) == 0:
+        return []
+    final_masks = [masks[j] for j in range(len(masks))]
+    keep = np.arange(len(final_masks))
+    if amg.min_mask_region_area > 0 and final_masks:
+        final_masks, keep = _postprocess_small_regions(
+            final_masks, amg.min_mask_region_area, amg.box_nms_thresh)
+    return _assemble_records(final_masks, iou[keep], stab[keep],
+                             points[keep],
+                             [(0, 0, w, h)] * len(final_masks), amg,
+                             (w, h))
+
+
+def _generate_multicrop(params: Params, cfg: SamArchConfig,
+                        image_rgb: np.ndarray,
+                        amg: AmgConfig,
+                        max_masks: int) -> List[MaskRecord]:
+    """Multi-crop AMG (_generate_masks/_process_crop,
+    automatic_mask_generator.py:198-265): per crop, run the scaled point
+    grid with crop-edge filtering and per-crop NMS; uncrop masks/points to
+    the original frame; cross-crop NMS with scores 1/area(crop_box)
+    (smaller crops win)."""
+    orig_h, orig_w = image_rgb.shape[:2]
+    crop_boxes, layer_idxs = generate_crop_boxes(
+        (orig_h, orig_w), amg.crop_n_layers, amg.crop_overlap_ratio)
+
+    all_masks, all_iou, all_stab, all_pts, all_cb = [], [], [], [], []
+    for cb, layer in zip(crop_boxes, layer_idxs):
+        x0, y0, x1, y1 = cb
+        crop = image_rgb[y0:y1, x0:x1]
+        batched, input_hw = _preprocess_any(crop, cfg)
+        embedding = encode_image(params, cfg, batched)[0]
+        pps = max(1, int(amg.points_per_side
+                         / (amg.crop_n_points_downscale_factor ** layer)))
+        masks, iou, stab, pts = _crop_candidates(
+            params, cfg, embedding, input_hw, crop.shape[:2], amg,
+            max_masks, pps, crop_box=tuple(cb),
+            orig_box=(0, 0, orig_w, orig_h))
+        if len(masks) == 0:
+            continue
+        # uncrop to the original frame (utils/amg.py:237-264)
+        unc = np.zeros((len(masks), orig_h, orig_w), bool)
+        unc[:, y0:y1, x0:x1] = masks
+        all_masks.append(unc)
+        all_iou.append(iou)
+        all_stab.append(stab)
+        all_pts.append(pts + np.array([x0, y0], np.float32))
+        all_cb.extend([tuple(cb)] * len(masks))
+
+    if not all_masks:
+        return []
+    masks = np.concatenate(all_masks)
+    iou = np.concatenate(all_iou)
+    stab = np.concatenate(all_stab)
+    points = np.concatenate(all_pts)
+
+    if len(crop_boxes) > 1:
+        # cross-crop NMS preferring smaller crops (1/box_area scores,
+        # automatic_mask_generator.py:210-222)
+        from revisit_anything_tpu.ops.nms import nms_host
+        boxes = np.zeros((len(masks), 4), np.float32)
+        for j, seg in enumerate(masks):
+            ys, xs = np.nonzero(seg)
+            if len(xs):
+                boxes[j] = [xs.min(), ys.min(), xs.max(), ys.max()]
+        areas = np.array([(c[2] - c[0]) * (c[3] - c[1]) for c in all_cb],
+                         np.float64)
+        keep = nms_host(boxes, (1.0 / areas).astype(np.float32),
+                        amg.crop_nms_thresh)
+        masks = masks[keep]
+        iou = iou[keep]
+        stab = stab[keep]
+        points = points[keep]
+        all_cb = [all_cb[k] for k in keep]
+
+    final_masks = [masks[j] for j in range(len(masks))]
+    keep2 = np.arange(len(final_masks))
+    if amg.min_mask_region_area > 0 and final_masks:
+        final_masks, keep2 = _postprocess_small_regions(
+            final_masks, amg.min_mask_region_area,
+            max(amg.box_nms_thresh, amg.crop_nms_thresh))
+    return _assemble_records(final_masks, iou[keep2], stab[keep2],
+                             points[keep2],
+                             [all_cb[k] for k in keep2], amg,
+                             (orig_w, orig_h))
 
 
 def _postprocess_small_regions(masks: List[np.ndarray], min_area: int,

@@ -76,3 +76,36 @@ for r in ours:
     best = max((iou(r.segmentation, hm) for hm in hf_masks), default=0)
     matched2 += best > 0.9
 print(f"our masks matched in HF at IoU>0.9: {matched2}/{len(ours)}")
+
+# --- multi-crop (crop_n_layers=1) correspondence ---
+# HF's mask-generation pipeline is broken for crops_n_layers>0 in this
+# transformers version (crop-embedding batch 5 vs point batch 1 ->
+# ValueError in SamModel.forward), so the cross-check drives HF per crop:
+# our generate_crop_boxes produces the reference crop geometry
+# (oracle-tested in tests/test_amg.py), each crop runs through HF's
+# single-image path, and every mask our multi-crop AMG keeps must have an
+# IoU>0.9 counterpart in the union of HF's uncropped per-crop masks (our
+# set is a subset after crop-edge filtering + cross-crop NMS).
+from revisit_anything_tpu.models.sam.amg import generate_crop_boxes
+crop_boxes, _layers = generate_crop_boxes(img.shape[:2], 1, 512 / 1500)
+hf_union = []
+for (cx0, cy0, cx1, cy1) in crop_boxes:
+    crop = img[cy0:cy1, cx0:cx1]
+    out_c = gen(Image.fromarray(crop), points_per_batch=32,
+                pred_iou_thresh=-1e9, stability_score_thresh=0.0,
+                crops_nms_thresh=0.7)
+    for m in out_c["masks"]:
+        unc = np.zeros(img.shape[:2], bool)
+        unc[cy0:cy1, cx0:cx1] = np.asarray(m)
+        hf_union.append(unc)
+print(f"multi-crop: HF union (5 single-crop runs) {len(hf_union)} masks")
+
+amg_mc = AmgConfig(points_per_side=8, points_per_batch=32,
+                   pred_iou_thresh=-1e9, stability_score_thresh=0.0,
+                   box_nms_thresh=0.7, crop_n_layers=1)
+ours_mc = generate_masks(params, cfg, img, amg_mc)
+m2 = sum(max((iou(r.segmentation, hm) for hm in hf_union), default=0) > 0.9
+         for r in ours_mc)
+print(f"multi-crop ours→HF-union IoU>0.9: {m2}/{len(ours_mc)}")
+assert len(ours_mc) > 0 and m2 >= 0.9 * len(ours_mc), "multi-crop mismatch"
+print("multi-crop correspondence OK")

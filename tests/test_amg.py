@@ -152,3 +152,93 @@ def test_generate_masks_batch_matches_single(rng, small_sam):
         for rb, rs in zip(b, s):
             np.testing.assert_array_equal(rb.segmentation, rs.segmentation)
             assert rb.predicted_iou == rs.predicted_iou
+
+
+def test_generate_crop_boxes_matches_reference_math():
+    """Oracle transcription of utils/amg.py:200-235 (crop_len, overlap,
+    XYXY clamping)."""
+    import math
+    from revisit_anything_tpu.models.sam.amg import generate_crop_boxes
+
+    for im_h, im_w, n_layers, ratio in [(480, 640, 1, 512 / 1500),
+                                        (600, 800, 2, 0.3),
+                                        (333, 777, 1, 0.2)]:
+        boxes, layers = generate_crop_boxes((im_h, im_w), n_layers, ratio)
+        assert boxes[0] == [0, 0, im_w, im_h] and layers[0] == 0
+        exp_boxes, exp_layers = [[0, 0, im_w, im_h]], [0]
+        short = min(im_h, im_w)
+        for i in range(n_layers):
+            nps = 2 ** (i + 1)
+            ov = int(ratio * short * (2 / nps))
+            cw = int(math.ceil((ov * (nps - 1) + im_w) / nps))
+            ch = int(math.ceil((ov * (nps - 1) + im_h) / nps))
+            for x0 in [int((cw - ov) * k) for k in range(nps)]:
+                for y0 in [int((ch - ov) * k) for k in range(nps)]:
+                    exp_boxes.append([x0, y0, min(x0 + cw, im_w),
+                                      min(y0 + ch, im_h)])
+                    exp_layers.append(i + 1)
+        assert boxes == exp_boxes and layers == exp_layers
+        assert len(boxes) == 1 + sum((2 ** (i + 1)) ** 2
+                                     for i in range(n_layers))
+
+
+def test_multicrop_generate(small_sam):
+    """crop_n_layers=1: records from 5 crops, crop_box fields set, no two
+    kept boxes overlap above crop_nms_thresh across crops."""
+    params, cfg = small_sam, SMALL
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (60, 100, 3), dtype=np.uint8)
+    amg = AmgConfig(points_per_side=6, points_per_batch=36,
+                    pred_iou_thresh=-1e9, stability_score_thresh=0.0,
+                    crop_n_layers=1)
+    records = generate_masks(params, cfg, img, amg)
+    assert len(records) > 0
+    crop_boxes = {r.crop_box for r in records}
+    assert (0, 0, 100, 60) in crop_boxes or len(crop_boxes) >= 1
+    for r in records:
+        assert r.segmentation.shape == (60, 100)
+        assert r.area == int(r.segmentation.sum()) and r.area > 0
+        x0, y0, x1, y1 = r.crop_box
+        # mask must lie within its crop box
+        ys, xs = np.nonzero(r.segmentation)
+        assert xs.min() >= x0 and xs.max() < x1
+        assert ys.min() >= y0 and ys.max() < y1
+
+    def iou_of(a, b):
+        inter = np.logical_and(a.segmentation, b.segmentation).sum()
+        union = np.logical_or(a.segmentation, b.segmentation).sum()
+        return inter / union if union else 0.0
+
+    def box(r):
+        ys, xs = np.nonzero(r.segmentation)
+        return xs.min(), ys.min(), xs.max(), ys.max()
+
+    def box_iou(r1, r2):
+        ax0, ay0, ax1, ay1 = box(r1)
+        bx0, by0, bx1, by1 = box(r2)
+        ix = max(0, min(ax1, bx1) - max(ax0, bx0))
+        iy = max(0, min(ay1, by1) - max(ay0, by0))
+        inter = ix * iy
+        ua = (ax1 - ax0) * (ay1 - ay0) + (bx1 - bx0) * (by1 - by0) - inter
+        return inter / ua if ua else 0.0
+
+    for i in range(len(records)):
+        for j in range(i + 1, len(records)):
+            assert box_iou(records[i], records[j]) <= 0.7 + 1e-6
+
+
+def test_multicrop_single_crop_equals_plain(small_sam):
+    """crop_n_layers=0 through the multicrop entry must equal the plain
+    path (same single full-image crop)."""
+    from revisit_anything_tpu.models.sam.amg import _generate_multicrop
+    params, cfg = small_sam, SMALL
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 255, (60, 100, 3), dtype=np.uint8)
+    amg = AmgConfig(points_per_side=6, points_per_batch=36,
+                    pred_iou_thresh=-1e9, stability_score_thresh=0.0)
+    plain = generate_masks(params, cfg, img, amg)
+    multi = _generate_multicrop(params, cfg, img, amg, 512)
+    assert len(plain) == len(multi)
+    for a, b in zip(plain, multi):
+        np.testing.assert_array_equal(a.segmentation, b.segmentation)
+        assert a.predicted_iou == b.predicted_iou
