@@ -305,7 +305,10 @@ def cmd_train(args):
                                                create_train_state,
                                                train_step)
     from revisit_anything_tpu.training.checkpoint import (
-        latest_checkpoint, restore_train_state, save_train_state)
+        latest_checkpoint, restore_train_state, save_best_state,
+        save_train_state)
+    from revisit_anything_tpu.training.validation import (ValidationSet,
+                                                          run_validation)
     from revisit_anything_tpu.training.data import (PlacesBatcher,
                                                     discover_places,
                                                     prefetch)
@@ -335,6 +338,32 @@ def cmd_train(args):
                             places_per_batch=args.batch_places,
                             img_per_place=args.img_per_place,
                             seed=args.seed)
+
+    val_set = None
+    if args.val_root:
+        val_set = ValidationSet.from_directory(
+            args.val_root, image_hw=tuple(args.image_size))
+        print(f"validation set {val_set.name}: {len(val_set.ref_paths)} "
+              f"refs / {len(val_set.query_paths)} queries")
+
+    def maybe_validate(s):
+        """Held-out recalls every --val-every steps; best-R1 checkpoint
+        retention (the pitts30k_val/R1 monitor, VLAD-BuFF
+        train.py:383-392)."""
+        if val_set is None:
+            return
+        recalls = run_validation(params, cfg, val_set)
+        if args.log_file:
+            with open(args.log_file, "a") as lf:
+                lf.write(json.dumps(
+                    {"step": s, **{f"{val_set.name}/R{k}": v
+                                   for k, v in recalls.items()}}) + "\n")
+        best = save_best_state(args.ckpt_dir, params, opt_state, s,
+                               recalls[1], f"{val_set.name}/R1")
+        if best:
+            print(f"best checkpoint ({val_set.name}/R1="
+                  f"{recalls[1]:.4f}): {best}")
+
     done = False
     while not done:
         for images, labels in prefetch(iter(batcher)):
@@ -347,6 +376,9 @@ def cmd_train(args):
                     with open(args.log_file, "a") as lf:
                         lf.write(json.dumps({"step": s,
                                              "loss": float(loss)}) + "\n")
+            if val_set is not None and (s % args.val_every == 0
+                                        or s >= args.steps):
+                maybe_validate(s)
             if s % args.ckpt_every == 0 or s >= args.steps:
                 path = save_train_state(args.ckpt_dir, params, opt_state, s)
                 print(f"checkpoint: {path}")
@@ -612,6 +644,10 @@ def main(argv=None):
                    help="append JSONL {step, loss} records (the wandb-"
                         "equivalent metric stream; no egress here)")
     p.add_argument("--ckpt-every", type=int, default=1000)
+    p.add_argument("--val-root", default=None,
+                   help="validation dir: ref/ query/ gt.npy — enables "
+                        "in-training recalls + best-R1 checkpointing")
+    p.add_argument("--val-every", type=int, default=1000)
     p.add_argument("--resume", action="store_true")
     p.set_defaults(func=cmd_train)
 

@@ -35,6 +35,38 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     return os.path.join(ckpt_dir, sorted(steps)[-1])
 
 
+def save_best_state(ckpt_dir: str, params: Any, opt_state: Any, step: int,
+                    metric: float, monitor: str) -> Optional[str]:
+    """Metric-monitored best-checkpoint retention (mode=max), the
+    ModelCheckpoint(monitor='pitts30k_val/R1') equivalent
+    (VLAD-BuFF/train.py:383-392). Writes <ckpt_dir>/best when ``metric``
+    improves on the value recorded in best_metric.json; returns the path
+    when saved, None otherwise."""
+    import json
+    import shutil
+
+    import orbax.checkpoint as ocp
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    meta_path = os.path.join(ckpt_dir, "best_metric.json")
+    prev = -float("inf")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prev = json.load(f)["metric"]
+    if metric <= prev:
+        return None
+    path = os.path.join(ckpt_dir, "best")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, {"params": params, "opt_state": opt_state,
+                          "step": np.asarray(int(step))})
+    with open(meta_path, "w") as f:
+        json.dump({"metric": float(metric), "monitor": monitor,
+                   "step": int(step)}, f)
+    return path
+
+
 def restore_train_state(path: str, params_like: Any, opt_state_like: Any):
     """Restore (params, opt_state, step) matching the given abstract trees."""
     import orbax.checkpoint as ocp
