@@ -387,6 +387,52 @@ def cmd_train(args):
                 break
 
 
+def cmd_add_pca(args):
+    """Bake whitened PCA into a VLAD-BuFF checkpoint (the add_pca.py
+    flow, add_pca.py:389-600): extract global descriptors over a sample
+    image set, eig-PCA fit, save wpca{n}-augmented param trees."""
+    import glob as globmod
+
+    import jax.numpy as jnp
+    from revisit_anything_tpu.models import dinov2 as dn
+    from revisit_anything_tpu.pipeline.extract import (_resize_cv2_bilinear,
+                                                       load_image_rgb)
+    from revisit_anything_tpu.training.vladbuff import (
+        bake_wpca, global_descriptor, load_vladbuff_checkpoint,
+        load_vladbuff_params, save_vladbuff_params)
+
+    cfg = dn.CONFIGS[args.backbone]
+    params = (load_vladbuff_params(args.checkpoint)
+              if args.checkpoint.endswith(".npy")
+              else load_vladbuff_checkpoint(args.checkpoint, cfg))
+    params.pop("wpca", None)      # fit on the raw descriptor space
+
+    paths = sorted(globmod.glob(os.path.join(args.images_root, "**", "*"),
+                                recursive=True))
+    paths = [p for p in paths
+             if p.lower().endswith((".jpg", ".jpeg", ".png"))]
+    paths = paths[:args.num_samples]
+    if not paths:
+        raise SystemExit(f"no images under {args.images_root}")
+    descs = []
+    hw = tuple(args.image_size)
+    for s in range(0, len(paths), args.batch_size):
+        imgs = np.stack([
+            _resize_cv2_bilinear(load_image_rgb(p), (hw[1], hw[0]))
+            for p in paths[s:s + args.batch_size]])
+        x = dn.preprocess(imgs)
+        descs.append(np.asarray(global_descriptor(params, cfg,
+                                                  jnp.asarray(x))))
+    descs = np.concatenate(descs)
+    print(f"fitted on {len(descs)} descriptors of dim {descs.shape[1]}")
+
+    for n in sorted(args.num_pcs):
+        baked = bake_wpca(params, jnp.asarray(descs), n)
+        out = args.out_template.format(n=n)
+        save_vladbuff_params(out, baked)
+        print(f"wpca{n}: {out}")
+
+
 def cmd_evaluate_global(args):
     """Whole-image descriptor benchmark (the VLAD-BuFF eval.py equivalent):
     VLAD-BuFF / DINO-SALAD global descriptors + validation recalls."""
@@ -650,6 +696,18 @@ def main(argv=None):
     p.add_argument("--val-every", type=int, default=1000)
     p.add_argument("--resume", action="store_true")
     p.set_defaults(func=cmd_train)
+
+    p = sub.add_parser("add-pca", help="bake whitened PCA into a "
+                       "VLAD-BuFF checkpoint (add_pca.py flow)")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--backbone", default="dinov2_vitb14")
+    p.add_argument("--images-root", required=True)
+    p.add_argument("--num-pcs", type=int, nargs="+", default=[8192])
+    p.add_argument("--num-samples", type=int, default=10000)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--image-size", type=int, nargs=2, default=[224, 224])
+    p.add_argument("--out-template", default="wpca{n}_last.npy")
+    p.set_defaults(func=cmd_add_pca)
 
     p = sub.add_parser("evaluate-global",
                        help="whole-image descriptor recalls "

@@ -83,9 +83,14 @@ def load_model(name: str, checkpoint: Optional[str] = None,
         from revisit_anything_tpu.models import dinov2 as dn
         from revisit_anything_tpu.training.aggregators import netvlad_init
         from revisit_anything_tpu.training.vladbuff import (
-            global_descriptor, load_vladbuff_checkpoint)
+            global_descriptor, load_vladbuff_checkpoint,
+            load_vladbuff_params)
         cfg = dn.VIT_B14
-        if checkpoint:
+        if checkpoint and checkpoint.endswith(".npy"):
+            # our own saved param tree (possibly WPCA-baked —
+            # save_vladbuff_params / add-pca CLI)
+            params = load_vladbuff_params(checkpoint)
+        elif checkpoint:
             params = load_vladbuff_checkpoint(checkpoint, cfg)
         else:
             kb, ka = jax.random.split(key)
@@ -93,7 +98,9 @@ def load_model(name: str, checkpoint: Optional[str] = None,
                       "aggregator": netvlad_init(
                           ka, cfg.embed_dim,
                           kwargs.get("clusters", 64),
-                          kwargs.get("antiburst", True))}
+                          kwargs.get("antiburst", True),
+                          nv_pca=kwargs.get("nv_pca"),
+                          nv_pca_mode=kwargs.get("nv_pca_mode", "rot"))}
 
         def forward(params, images):
             return global_descriptor(params, cfg, images)

@@ -24,17 +24,72 @@ Params = Dict[str, Any]
 def netvlad_init(key: jax.Array, dim: int, clusters: int = 64,
                  antiburst: bool = True,
                  ab_w: float = 10.0, ab_b: float = -4.0, ab_p: float = 1.0,
+                 nv_pca: Optional[int] = None, nv_pca_mode: str = "rot",
                  dtype=jnp.float32) -> Params:
     """Parameters for NetVLAD(+AntiBurst). ``assign_w`` is the 1x1 conv
-    (bias-free, aggregation.py:334); centroids are trainable."""
-    k1, k2 = jax.random.split(key)
+    (bias-free, aggregation.py:334); centroids are trainable.
+
+    ``nv_pca``: learnable pre-projection of the input descriptors to
+    nv_pca dims before assignment (aggregation.py:194-207) — the
+    192-PrePool model configs. Modes: "rot" (mean + rotation, the
+    default), "fc" (bottleneck Linear, --nv_pca_alt), "mlp"
+    (Linear-ReLU-Linear, --nv_pca_alt_mlp)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    d_eff = nv_pca if nv_pca is not None else dim
     p: Params = {
-        "assign_w": jax.random.normal(k1, (dim, clusters), dtype) * 0.02,
-        "centroids": jax.random.normal(k2, (clusters, dim), dtype) * 0.02,
+        "assign_w": jax.random.normal(k1, (d_eff, clusters), dtype) * 0.02,
+        "centroids": jax.random.normal(k2, (clusters, d_eff), dtype) * 0.02,
     }
+    if nv_pca is not None:
+        if nv_pca_mode == "rot":
+            p["pca_mean"] = jax.random.uniform(k3, (dim,), dtype)
+            p["pca_rot"] = jax.random.uniform(k4, (nv_pca, dim), dtype)
+        elif nv_pca_mode == "fc":
+            p["bottleneck"] = {
+                "w": jax.random.normal(k3, (dim, nv_pca), dtype) * 0.02,
+                "b": jnp.zeros((nv_pca,), dtype)}
+        elif nv_pca_mode == "mlp":
+            p["nv_mlp"] = {
+                "fc1": {"w": jax.random.normal(k3, (dim, nv_pca),
+                                               dtype) * 0.02,
+                        "b": jnp.zeros((nv_pca,), dtype)},
+                "fc2": {"w": jax.random.normal(k4, (nv_pca, nv_pca),
+                                               dtype) * 0.02,
+                        "b": jnp.zeros((nv_pca,), dtype)}}
+        else:
+            raise ValueError(f"nv_pca_mode {nv_pca_mode!r}")
     if antiburst:
         p["ab_params"] = jnp.asarray([ab_w, ab_b, ab_p], dtype)
     return p
+
+
+def _nv_pca_project(params: Params, x: jnp.ndarray,
+                    normalize_input: bool) -> jnp.ndarray:
+    """Learnable pre-projection of [B, D, P] descriptors
+    (NetVLAD.forward, aggregation.py:275-288): project, then re-normalize
+    over the new descriptor dim."""
+    if "pca_rot" in params:
+        x = x - params["pca_mean"][None, :, None]
+        x = jnp.einsum("bdp,kd->bkp", x, params["pca_rot"],
+                       preferred_element_type=jnp.float32)
+    elif "bottleneck" in params:
+        x = jnp.einsum("bdp,dk->bkp", x, params["bottleneck"]["w"],
+                       preferred_element_type=jnp.float32) \
+            + params["bottleneck"]["b"][None, :, None]
+    elif "nv_mlp" in params:
+        m = params["nv_mlp"]
+        x = jnp.einsum("bdp,dk->bkp", x, m["fc1"]["w"],
+                       preferred_element_type=jnp.float32) \
+            + m["fc1"]["b"][None, :, None]
+        x = jax.nn.relu(x)
+        x = jnp.einsum("bdp,dk->bkp", x, m["fc2"]["w"],
+                       preferred_element_type=jnp.float32) \
+            + m["fc2"]["b"][None, :, None]
+    else:
+        return x
+    if normalize_input:
+        x = l2_normalize(x, axis=1)
+    return x
 
 
 def netvlad_init_from_cluster_centers(centers: jnp.ndarray,
@@ -75,6 +130,7 @@ def netvlad_forward(params: Params, features: jnp.ndarray,
     x = features.reshape(b, d, -1)                       # [B, D, P]
     if normalize_input:
         x = l2_normalize(x, axis=1)
+    x = _nv_pca_project(params, x, normalize_input)      # nv_pca configs
     logits = jnp.einsum("bdp,dc->bcp", x, params["assign_w"],
                         preferred_element_type=jnp.float32)
     soft_assign = jax.nn.softmax(logits, axis=1)         # [B, C, P]
@@ -348,3 +404,102 @@ def salad_forward(params: Params, features: jnp.ndarray,
     tok = mlp(token, params["tok_w1"], params["tok_w2"])
     tok = l2_normalize(tok, axis=1)
     return l2_normalize(jnp.concatenate([tok, agg], axis=1), axis=1)
+
+
+# ---------------------------------------------------------------------------
+# CRN (Contextual Reweighting Network) — aggregation.py:471-563
+# ---------------------------------------------------------------------------
+
+
+def crn_init(key: jax.Array, dim: int, clusters: int = 64,
+             dtype=jnp.float32) -> Params:
+    """NetVLAD params + the CRN context module: 3x3/5x5/7x7 context conv
+    filters (xavier-normal, zero bias) and the FIXED 1x1 accumulation conv
+    (weights 1, bias 0, frozen — aggregation.py:497-510)."""
+    kn, k3, k5, k7 = jax.random.split(key, 4)
+    p = netvlad_init(kn, dim, clusters, antiburst=False, dtype=dtype)
+
+    def xavier(k, shape):
+        fan_in = shape[0] * shape[1] * shape[2]
+        fan_out = shape[0] * shape[1] * shape[3]
+        std = (2.0 / (fan_in + fan_out)) ** 0.5
+        return jax.random.normal(k, shape, dtype) * std
+
+    p["crn"] = {
+        "f3": {"w": xavier(k3, (3, 3, dim, 32)),
+               "b": jnp.zeros((32,), dtype)},
+        "f5": {"w": xavier(k5, (5, 5, dim, 32)),
+               "b": jnp.zeros((32,), dtype)},
+        "f7": {"w": xavier(k7, (7, 7, dim, 20)),
+               "b": jnp.zeros((20,), dtype)},
+        "acc_w": jnp.ones((84, 1), dtype),      # fixed (requires_grad=False)
+        "acc_b": jnp.zeros((1,), dtype),
+    }
+    return p
+
+
+def _avgpool_3x3_s2_ceil(x: jnp.ndarray) -> jnp.ndarray:
+    """AvgPool2d(kernel=3, stride=2, padding=0, ceil_mode=True) on NCHW:
+    ceil-mode windows that overhang the input average only the valid
+    elements (torch semantics)."""
+    n, c, h, w = x.shape
+    oh = -(-max(h - 3, 0) // 2) + 1
+    ow = -(-max(w - 3, 0) // 2) + 1
+    ph = max(0, (oh - 1) * 2 + 3 - h)
+    pw = max(0, (ow - 1) * 2 + 3 - w)
+    xs = jnp.pad(x, ((0, 0), (0, 0), (0, ph), (0, pw)))
+    ones = jnp.pad(jnp.ones((1, 1, h, w), x.dtype),
+                   ((0, 0), (0, 0), (0, ph), (0, pw)))
+
+    def sums(t):
+        return jax.lax.reduce_window(t, 0.0, jax.lax.add,
+                                     (1, 1, 3, 3), (1, 1, 2, 2), "VALID")
+
+    return sums(xs) / sums(ones)
+
+
+def _conv_same(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """NCHW conv with HWIO weights, SAME padding."""
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NCHW", "HWIO", "NCHW"))
+    return y + b[None, :, None, None]
+
+
+def crn_forward(params: Params, features: jnp.ndarray,
+                normalize_input: bool = True) -> jnp.ndarray:
+    """CRN.forward (aggregation.py:530-563): the soft assignment is
+    reweighted by a contextual mask — avg-pool-downsampled multiscale
+    context convs, relu, fixed 1x1 accumulation, relu, 2x bilinear
+    upsample. Requires even H/W (the reference's scale_factor=2 upsample
+    must restore the input grid)."""
+    from revisit_anything_tpu.ops.resize import bilinear_resize_torch
+    b, d, h, w = features.shape
+    assert h % 2 == 0 and w % 2 == 0, "CRN needs an even patch grid"
+    x = features
+    if normalize_input:
+        x = l2_normalize(x, axis=1)
+
+    crn = params["crn"]
+    xd = _avgpool_3x3_s2_ceil(x)
+    g = jnp.concatenate([_conv_same(xd, crn["f3"]["w"], crn["f3"]["b"]),
+                         _conv_same(xd, crn["f5"]["w"], crn["f5"]["b"]),
+                         _conv_same(xd, crn["f7"]["w"], crn["f7"]["b"])],
+                        axis=1)
+    g = jax.nn.relu(g)
+    acc = jnp.einsum("bchw,co->bohw", g, crn["acc_w"],
+                     preferred_element_type=jnp.float32)         + crn["acc_b"][None, :, None, None]
+    mask = jax.nn.relu(acc)
+    mask = bilinear_resize_torch(mask, (h, w))           # scale_factor=2
+
+    x_flat = x.reshape(b, d, -1)
+    logits = jnp.einsum("bdp,dc->bcp", x_flat, params["assign_w"],
+                        preferred_element_type=jnp.float32)
+    soft_assign = jax.nn.softmax(logits, axis=1)
+    soft_assign = soft_assign * mask.reshape(b, 1, h * w)
+
+    vlad = (jnp.einsum("bcp,bdp->bcd", soft_assign, x_flat,
+                       preferred_element_type=jnp.float32)
+            - jnp.sum(soft_assign, axis=2)[:, :, None] * params["centroids"])
+    vlad = l2_normalize(vlad, axis=2)
+    return l2_normalize(vlad.reshape(b, -1), axis=1)

@@ -55,6 +55,24 @@ def convert_vladbuff_checkpoint(state_dict: Dict[str, np.ndarray],
     }
     if "aggregator.ab_params" in state_dict:
         agg["ab_params"] = jnp.asarray(g("aggregator.ab_params"))
+    # nv_pca pre-projections (aggregation.py:194-207): mean/rot (default),
+    # bottleneck Linear (--nv_pca_alt), 2-layer MLP (--nv_pca_alt_mlp).
+    # NOTE: the torch module registers pca_mean/pca_rot even in the alt
+    # modes; the forward only uses them in "rot" mode, so they are mapped
+    # only when no alt module is present.
+    if "aggregator.bottleneck.weight" in state_dict:
+        agg["bottleneck"] = {
+            "w": jnp.asarray(g("aggregator.bottleneck.weight").T),
+            "b": jnp.asarray(g("aggregator.bottleneck.bias"))}
+    elif "aggregator.mlp.0.weight" in state_dict:
+        agg["nv_mlp"] = {
+            "fc1": {"w": jnp.asarray(g("aggregator.mlp.0.weight").T),
+                    "b": jnp.asarray(g("aggregator.mlp.0.bias"))},
+            "fc2": {"w": jnp.asarray(g("aggregator.mlp.2.weight").T),
+                    "b": jnp.asarray(g("aggregator.mlp.2.bias"))}}
+    elif "aggregator.pca_rot" in state_dict:
+        agg["pca_mean"] = jnp.asarray(g("aggregator.pca_mean"))
+        agg["pca_rot"] = jnp.asarray(g("aggregator.pca_rot"))
 
     out: Params = {"backbone": backbone, "aggregator": agg}
     wpca_keys = [k for k in state_dict if "wpca" in k.lower()
@@ -189,3 +207,27 @@ def fit_wpca(descriptors: jnp.ndarray, num_components: int,
     w = (u / jnp.sqrt(lam)[None, :]).T           # [K, D]
     b = -jnp.dot(w, mu, precision=jax.lax.Precision.HIGHEST)
     return {"w": w, "b": b}
+
+
+def bake_wpca(params: Params, descriptors: jnp.ndarray,
+              num_pcs: int) -> Params:
+    """Return params with a whitened-PCA output layer fitted on
+    ``descriptors`` baked in as ``params["wpca"]`` — the add_pca.py
+    WPCA_{n} Conv2d flow (add_pca.py:560-600)."""
+    out = dict(params)
+    out["wpca"] = fit_wpca(descriptors, num_pcs)
+    return out
+
+
+def save_vladbuff_params(path: str, params: Params) -> str:
+    """Persist a (possibly WPCA-baked) VLAD-BuFF param tree — the
+    ``wpca{n}_last.ckpt`` re-save step of add_pca.py:589-596."""
+    host = jax.device_get(params)
+    np.save(path, np.asarray(host, dtype=object), allow_pickle=True)
+    return path if path.endswith(".npy") else path + ".npy"
+
+
+def load_vladbuff_params(path: str) -> Params:
+    host = np.load(path if path.endswith(".npy") else path + ".npy",
+                   allow_pickle=True).item()
+    return jax.tree.map(jnp.asarray, host)

@@ -232,3 +232,83 @@ def test_contrastive_and_ntxent_behave(rng):
     import pytest
     with pytest.raises(NotImplementedError):
         get_loss("FancyLoss")
+
+
+def oracle_netvlad_nvpca(x_np, params, mode):
+    """torch transcription of the nv_pca branches
+    (aggregation.py:275-288): normalize → project → re-normalize → NetVLAD."""
+    x = torch.from_numpy(x_np).double()
+    n, d = x.shape[:2]
+    x = F.normalize(x, p=2, dim=1)
+    xf = x.view(n, d, -1)
+    t = lambda a: torch.from_numpy(np.asarray(a)).double()
+    if mode == "rot":
+        xf = xf - t(params["pca_mean"])[None, :, None]
+        xf = (xf.permute(0, 2, 1) @ t(params["pca_rot"]).T).permute(0, 2, 1)
+    elif mode == "fc":
+        xf = (xf.permute(0, 2, 1) @ t(params["bottleneck"]["w"])
+              + t(params["bottleneck"]["b"])).permute(0, 2, 1)
+    else:
+        m = params["nv_mlp"]
+        h = torch.relu(xf.permute(0, 2, 1) @ t(m["fc1"]["w"])
+                       + t(m["fc1"]["b"]))
+        xf = (h @ t(m["fc2"]["w"]) + t(m["fc2"]["b"])).permute(0, 2, 1)
+    xf = F.normalize(xf, p=2, dim=1)
+    sa = torch.softmax(
+        torch.einsum("bdp,dc->bcp", xf, t(params["assign_w"])), dim=1)
+    c = t(params["centroids"])
+    vlad = torch.einsum("bcp,bdp->bcd", sa, xf) - sa.sum(-1)[..., None] * c
+    vlad = F.normalize(vlad, p=2, dim=2).reshape(n, -1)
+    return F.normalize(vlad, p=2, dim=1).numpy()
+
+
+def test_netvlad_nv_pca_matches_oracle(rng):
+    """nv_pca pre-projection (192-PrePool configs): all three modes vs a
+    torch oracle."""
+    x = rng.standard_normal((2, 32, 4, 4)).astype(np.float32)
+    for i, mode in enumerate(("rot", "fc", "mlp")):
+        p = netvlad_init(jax.random.PRNGKey(10 + i), dim=32, clusters=8,
+                         antiburst=False, nv_pca=12, nv_pca_mode=mode)
+        assert p["assign_w"].shape == (12, 8)
+        assert p["centroids"].shape == (8, 12)
+        ours = np.asarray(netvlad_forward(p, x))
+        ref = oracle_netvlad_nvpca(x, p, mode)
+        np.testing.assert_allclose(ours, ref, atol=3e-5, err_msg=mode)
+        assert ours.shape == (2, 8 * 12)
+
+
+def test_crn_matches_torch_oracle(rng):
+    """CRN aggregator (aggregation.py:471-563) vs a torch transcription:
+    avgpool(3,2,ceil) → multiscale convs → relu → fixed 1x1 acc → relu →
+    2x bilinear upsample mask reweighting the soft assignment."""
+    from revisit_anything_tpu.training.aggregators import (crn_forward,
+                                                           crn_init)
+    dim, clusters = 16, 4
+    p = crn_init(jax.random.PRNGKey(3), dim, clusters)
+    x_np = rng.standard_normal((2, dim, 8, 8)).astype(np.float32)
+    ours = np.asarray(crn_forward(p, x_np))
+    assert ours.shape == (2, clusters * dim)
+
+    x = torch.from_numpy(x_np)
+    x = F.normalize(x, p=2, dim=1)
+    xd = torch.nn.AvgPool2d(3, stride=2, padding=0, ceil_mode=True)(x)
+    t = lambda a: torch.from_numpy(np.asarray(a))
+    g3 = F.conv2d(xd, t(p["crn"]["f3"]["w"]).permute(3, 2, 0, 1),
+                  t(p["crn"]["f3"]["b"]), padding=1)
+    g5 = F.conv2d(xd, t(p["crn"]["f5"]["w"]).permute(3, 2, 0, 1),
+                  t(p["crn"]["f5"]["b"]), padding=2)
+    g7 = F.conv2d(xd, t(p["crn"]["f7"]["w"]).permute(3, 2, 0, 1),
+                  t(p["crn"]["f7"]["b"]), padding=3)
+    g = torch.relu(torch.cat([g3, g5, g7], dim=1))
+    acc = F.conv2d(g, t(p["crn"]["acc_w"]).T[:, :, None, None],
+                   t(p["crn"]["acc_b"]))
+    mask = F.interpolate(torch.relu(acc), scale_factor=2, mode="bilinear")
+    xf = x.view(2, dim, -1)
+    sa = torch.softmax(
+        torch.einsum("bdp,dc->bcp", xf, t(p["assign_w"])), dim=1)
+    sa = sa * mask.view(2, 1, -1)
+    c = t(p["centroids"])
+    vlad = torch.einsum("bcp,bdp->bcd", sa, xf) - sa.sum(-1)[..., None] * c
+    vlad = F.normalize(vlad, p=2, dim=2).reshape(2, -1)
+    ref = F.normalize(vlad, p=2, dim=1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=3e-5)

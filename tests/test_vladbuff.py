@@ -109,3 +109,55 @@ def test_wpca_matches_sklearn_whitened_pca(rng):
         dots = np.abs(y[:, i] @ ref) / (np.linalg.norm(y[:, i]) *
                                         np.linalg.norm(ref, axis=0))
         assert dots.max() > 0.99
+
+
+def test_nv_pca_checkpoint_keys_convert(ckpt, rng):
+    """Lightning checkpoints with nv_pca pre-projection layers map onto
+    the aggregator params (aggregation.py:194-207 key layouts)."""
+    C, D, K = 8, TINY.embed_dim, 12
+    # rot mode
+    sd = dict(ckpt)
+    sd["aggregator.pca_mean"] = rng.standard_normal(D).astype(np.float32)
+    sd["aggregator.pca_rot"] = rng.standard_normal(
+        (K, D)).astype(np.float32)
+    p = convert_vladbuff_checkpoint(sd, TINY)
+    assert "pca_rot" in p["aggregator"]
+    # fc mode wins over rot params (torch registers both)
+    sd["aggregator.bottleneck.weight"] = rng.standard_normal(
+        (K, D)).astype(np.float32)
+    sd["aggregator.bottleneck.bias"] = rng.standard_normal(
+        K).astype(np.float32)
+    p = convert_vladbuff_checkpoint(sd, TINY)
+    assert "bottleneck" in p["aggregator"]
+    assert "pca_rot" not in p["aggregator"]
+    assert p["aggregator"]["bottleneck"]["w"].shape == (D, K)
+
+
+def test_hub_vlad_buff_nv_pca_wpca_roundtrip(rng, tmp_path, monkeypatch):
+    """hub vlad_buff with nv_pca + baked WPCA round-trips through
+    save_vladbuff_params/load and reproduces descriptors exactly
+    (VERDICT r1 item 8 done-criterion, scaled down)."""
+    import jax.numpy as jnp
+    from revisit_anything_tpu import hub
+    from revisit_anything_tpu.training.vladbuff import (
+        bake_wpca, load_vladbuff_params, save_vladbuff_params)
+
+    monkeypatch.setattr(dn, "VIT_B14", TINY)
+    params, cfg, forward = hub.load_model("vlad_buff", clusters=8,
+                                          nv_pca=12, nv_pca_mode="fc")
+    assert "bottleneck" in params["aggregator"]
+
+    imgs = rng.standard_normal((3, 56, 56, 3)).astype(np.float32)
+    raw = np.asarray(forward(params, jnp.asarray(imgs)))
+    assert raw.shape == (3, 8 * 12)
+
+    descs = rng.standard_normal((64, 8 * 12)).astype(np.float32)
+    baked = bake_wpca(params, jnp.asarray(descs), num_pcs=16)
+    out = np.asarray(forward(baked, jnp.asarray(imgs)))
+    assert out.shape == (3, 16)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-5)
+
+    path = save_vladbuff_params(str(tmp_path / "wpca16_last.npy"), baked)
+    params2, _, forward2 = hub.load_model("vlad_buff", checkpoint=path)
+    out2 = np.asarray(forward2(params2, jnp.asarray(imgs)))
+    np.testing.assert_array_equal(out, out2)
