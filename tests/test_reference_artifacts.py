@@ -58,3 +58,77 @@ def test_real_vocab_drives_segment_vlad(rng):
                                 jnp.asarray(masks)))
     assert v.shape == (6, 32 * 1536)
     np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, atol=1e-4)
+
+
+def test_parity_harness_full_path(tmp_path, rng):
+    """Drive scripts/reference_parity.py end-to-end on synthetic artifacts
+    in the exact reference layout (h5 names from config, segFtVLAD1 +
+    matches_sims pickles) so the harness is proven to auto-activate when
+    17places_full.zip appears."""
+    import pickle
+    import subprocess
+    import sys
+
+    import h5py
+
+    from revisit_anything_tpu.config import get_dataset
+    from revisit_anything_tpu.io.h5io import (MaskRecord, write_dino_features,
+                                              write_image_masks)
+    from revisit_anything_tpu.io.vocab import load_cluster_centers
+    from revisit_anything_tpu.pipeline.aggregate import compute_segment_vlads
+
+    ds = get_dataset("17places")
+    mh, mw = ds.sam_size.hw
+    dh, dw = ds.size.patch_grid
+    art = tmp_path / "artifacts"
+    art.mkdir()
+
+    def blob(k):
+        out = np.zeros((k, mh, mw), bool)
+        for i in range(k):
+            cy, cx = rng.integers(30, mh - 30), rng.integers(30, mw - 30)
+            yy, xx = np.ogrid[:mh, :mw]
+            out[i] = (yy - cy) ** 2 + (xx - cx) ** 2 < rng.integers(
+                15, 40) ** 2
+        return out
+
+    names = {}
+    for tag, mask_name, dino_name in (
+            ("r", ds.masks_h5_ref, ds.dino_h5_ref),
+            ("q", ds.masks_h5_query, ds.dino_h5_query)):
+        keys = [f"{tag}_{i:03d}.jpg" for i in range(2)]
+        names[tag] = keys
+        with h5py.File(art / mask_name, "w") as fm, \
+                h5py.File(art / dino_name, "w") as fd:
+            for k in keys:
+                masks = blob(int(rng.integers(3, 6)))
+                write_image_masks(fm, k, [
+                    MaskRecord(s, int(s.sum()), (0, 0, 0, 0), 0.9,
+                               np.zeros((1, 2)), 0.95, (0, 0, mw, mh))
+                    for s in masks])
+                feats = rng.standard_normal(
+                    (1, 1536, dh, dw)).astype(np.float32)
+                write_dino_features(fd, k, feats)
+
+    # "reference" pickles produced by our own pipeline (self-consistency
+    # of the diff machinery; with real pickles the same code paths run)
+    centers = load_cluster_centers(os.path.join(
+        REF_VOCAB_ROOT, ds.domain_vlad_cluster, "c_centers.pt"))
+    db_bank = compute_segment_vlads(
+        str(art / ds.masks_h5_ref), str(art / ds.dino_h5_ref), names["r"],
+        centers, order=3, mask_hw=(mh, mw), desired_hw=ds.size.hw,
+        num_clusters=32, progress=False)
+    with open(art / "17places_segFtVLAD1_domain_indoor__order3.pkl",
+              "wb") as f:
+        pickle.dump(db_bank.descriptors, f)
+
+    proc = subprocess.run(
+        [sys.executable, "scripts/reference_parity.py",
+         "--dataset", "17places", "--artifacts", str(art)],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    out = proc.stdout
+    assert "OK vocabulary" in out, out
+    assert "OK segFtVLAD1 diff" in out, out
+    assert "recalls:" in out, out
+    assert proc.returncode == 0, out + proc.stderr[-2000:]
