@@ -1,0 +1,117 @@
+"""Legacy-tail components: CosPlaceViT extractor (HF ViT oracle), Aerial
+dataset layout, cluster-analysis smoke."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from revisit_anything_tpu.models import cosplace_vit as cv
+
+
+TINY = cv.HfViTConfig(embed_dim=32, depth=2, num_heads=2, patch_size=16,
+                      image_size=64, intermediate=64)
+
+
+@pytest.fixture(scope="module")
+def hf_vit():
+    from transformers import ViTConfig, ViTModel
+    cfg = ViTConfig(hidden_size=TINY.embed_dim,
+                    num_hidden_layers=TINY.depth,
+                    num_attention_heads=TINY.num_heads,
+                    intermediate_size=TINY.intermediate,
+                    image_size=TINY.image_size,
+                    patch_size=TINY.patch_size)
+    torch.manual_seed(0)
+    model = ViTModel(cfg, add_pooling_layer=False).eval()
+    with torch.no_grad():
+        for p in model.parameters():
+            p.data.normal_(0, 0.05)
+    return model
+
+
+def test_cosplace_vit_facets_match_hf(hf_vit, rng):
+    """extract_features equals hooked HF ViTModel for all four facets
+    (CosPlaceViTExtractFeatures semantics, utilities.py:134-288)."""
+    params = cv.convert_hf_vit_state_dict(
+        {k: v.numpy() for k, v in hf_vit.state_dict().items()}, TINY)
+    img = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    timg = torch.from_numpy(img.transpose(0, 3, 1, 2))
+
+    layer = 1
+    hooks = {}
+    h1 = hf_vit.encoder.layer[layer].attention.attention.value \
+        .register_forward_hook(
+            lambda m, i, o: hooks.__setitem__("value", o))
+    h2 = hf_vit.encoder.layer[layer].attention.attention.key \
+        .register_forward_hook(lambda m, i, o: hooks.__setitem__("key", o))
+    h3 = hf_vit.encoder.layer[layer].register_forward_hook(
+        lambda m, i, o: hooks.__setitem__(
+            "token", o[0] if isinstance(o, tuple) else o))
+    with torch.no_grad():
+        hf_vit(timg)
+    for h in (h1, h2, h3):
+        h.remove()
+
+    for facet in ("value", "key", "token"):
+        ours = np.asarray(cv.extract_features(
+            params, TINY, jnp.asarray(img), layer, facet,
+            use_cls=True, norm_descs=False))
+        ref = hooks[facet].numpy()
+        np.testing.assert_allclose(ours, ref, atol=3e-4, err_msg=facet)
+
+    # cls dropping + norm
+    out = np.asarray(cv.extract_features(params, TINY, jnp.asarray(img),
+                                         layer, "value", use_cls=False,
+                                         norm_descs=True))
+    assert out.shape[1] == (64 // 16) ** 2
+    np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-5)
+
+
+def test_aerial_dataset_layout(tmp_path, rng):
+    from revisit_anything_tpu.datasets.aerial import AerialDataset
+    root = tmp_path / "gnss_train_rotated"
+    (root / "reference_images").mkdir(parents=True)
+    (root / "query_images").mkdir()
+    for i in range(12):
+        (root / "reference_images" / f"img_{i}.png").write_bytes(b"x")
+    for i in range(3):
+        (root / "query_images" / f"q_{i}.png").write_bytes(b"x")
+    with open(root / "gt_matches.csv", "w", newline="") as f:
+        wr = csv.DictWriter(f, fieldnames=["query_ind"] + [
+            f"top_{k}_ref_ind" for k in range(1, 6)])
+        wr.writeheader()
+        for i in range(3):
+            wr.writerow({"query_ind": i,
+                         **{f"top_{k}_ref_ind": (i + k) % 10
+                            for k in range(1, 6)}})
+
+    ds = AerialDataset.from_root(str(tmp_path), "Tartan_GNSS_rotated")
+    assert ds.database_num == 12 and ds.queries_num == 3
+    assert len(ds.get_image_paths()) == 15
+    # natural sort: img_2 before img_10
+    names = [os.path.basename(p) for p in ds.db_paths]
+    assert names.index("img_2.png") < names.index("img_10.png")
+    assert ds.get_positives()[0] == [1, 2, 3, 4, 5]
+    with pytest.raises(NotImplementedError):
+        AerialDataset.from_root(str(tmp_path), "nope")
+
+
+def test_cluster_analysis_smoke(rng, tmp_path):
+    from revisit_anything_tpu.retrieval.cluster_analysis import (
+        cluster_usage, save_tsne_plot, tsne_embed)
+    desc = rng.standard_normal((60, 16)).astype(np.float32)
+    centers = rng.standard_normal((4, 16)).astype(np.float32)
+    pts = tsne_embed(desc, perplexity=5.0)
+    assert pts.shape == (60, 2) and np.isfinite(pts).all()
+    usage = cluster_usage(desc, centers,
+                          image_indices=np.repeat(np.arange(3), 20))
+    assert usage.shape == (3, 4) and usage.sum() == 60
+    out = save_tsne_plot(pts, np.repeat(np.arange(3), 20),
+                         str(tmp_path / "tsne.png"))
+    assert out is None or os.path.exists(out)
