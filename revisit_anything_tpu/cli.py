@@ -46,6 +46,20 @@ def cmd_extract(args):
     ds = get_dataset(args.dataset)
     refs, queries = list_dataset_images(ds, args.data_root)
     os.makedirs(args.workdir, exist_ok=True)
+    if getattr(args, "multihost", False):
+        # pod-scale extraction: one jax.distributed runtime per host, each
+        # host owns a contiguous shard of the image lists (its h5 shards
+        # are merged offline); local devices split each shard further via
+        # the data mesh inside the extract functions
+        from revisit_anything_tpu.parallel import (host_shard,
+                                                   initialize_multihost)
+        initialize_multihost()
+        refs = refs[host_shard(len(refs))]
+        queries = queries[host_shard(len(queries))]
+        import jax as _jax
+        print(f"multihost: process {_jax.process_index()}/"
+              f"{_jax.process_count()}, {len(refs)} refs / "
+              f"{len(queries)} queries on this host")
     sets = {"r": refs, "q": queries}
 
     def _skip(out_path):
@@ -606,6 +620,8 @@ def main(argv=None):
                             "dinov2_vitb14", "dinov2_vits14"])
     p.add_argument("--layer", type=int, default=31)
     p.add_argument("--facet", default="value")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed and shard images per host")
     p.set_defaults(func=cmd_extract)
 
     p = sub.add_parser("vocab", help="fit VLAD vocabulary (cosine kmeans)")

