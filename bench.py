@@ -99,7 +99,7 @@ def main():
         db_image_ids=np.repeat(np.arange(n_db_segs // 50), 50),
         num_ref_images=n_db_segs // 50, order=3)
 
-    amg = AmgConfig(points_per_batch=256,
+    amg = AmgConfig(points_per_batch=128,
                     pred_iou_thresh=-1e9, stability_score_thresh=0.0)
     server = SegVLADServer(
         sam_params=sam_params, sam_cfg=SAM_VIT_H,
@@ -118,7 +118,7 @@ def main():
     imgs = [rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
             for _ in range(n_iters)]
     t0 = time.perf_counter()
-    server.query_many(imgs, workers=4)
+    server.query_many(imgs, workers=6)
     dt = time.perf_counter() - t0
     qps = n_iters / dt
 

@@ -122,6 +122,31 @@ def _attn_i2t(attn_p, img_q, tok_k, tok_v, num_heads: int, pe_q=None):
     return _dense(out.reshape(b, m, d), attn_p["out"])
 
 
+def _t2i_fused(attn_p, q_tok, keys, pe_one, num_heads: int):
+    """tokens→image attention through the fused Pallas kernel
+    (ops/attention.token_cross_attend). k/v projections are emitted
+    TRANSPOSED ([B, D, M]) directly by the projection einsum so the
+    16-wide head dim never pads to the 128-lane tile; the '+pe' term is
+    folded in post-projection (W(x+pe) = Wx + W·pe). ``keys`` may be the
+    shared [1, M, D] image branch (layer 1)."""
+    from revisit_anything_tpu.ops.attention import token_cross_attend
+    qp = _dense(q_tok, attn_p["q"])                    # [B, n, D]
+    pet = keys.dtype if keys.dtype == jnp.bfloat16 else jnp.float32
+    kt = jnp.einsum("dk,bmd->bkm", attn_p["k"]["w"], keys,
+                    preferred_element_type=pet).astype(keys.dtype)
+    pe_k = _dense_nobias(pe_one, attn_p["k"]) + attn_p["k"]["b"]
+    kt = kt + jnp.transpose(pe_k, (0, 2, 1))           # [1, D, M] shared
+    vt = jnp.einsum("dk,bmd->bkm", attn_p["v"]["w"], keys,
+                    preferred_element_type=pet).astype(keys.dtype) \
+        + attn_p["v"]["b"][None, :, None]
+    out = token_cross_attend(qp, kt, vt, num_heads)
+    return _dense(out, attn_p["out"])
+
+
+def _use_token_kernel(m: int) -> bool:
+    return jax.default_backend() == "tpu" and m >= 1024
+
+
 def _run_two_way(params_dec: Params, tokens, src, src_pe,
                  cfg: SamArchConfig):
     """TwoWayTransformer.forward: alternating token-self / token→image /
@@ -195,7 +220,10 @@ def _run_two_way_shared(params_dec: Params, tokens, shared_src, src_pe_one,
 
         # tokens → image
         q = queries + tokens
-        if i == 0:
+        img_side = shared_src if i == 0 else keys
+        if _use_token_kernel(img_side.shape[1]):
+            attn_out = _t2i_fused(layer["t2i"], q, img_side, src_pe_one, nh)
+        elif i == 0:
             k1 = shared_src + src_pe_one
             attn_out = _attn_kv_shared(layer["t2i"], q, k1, shared_src, nh)
         else:
@@ -227,10 +255,13 @@ def _run_two_way_shared(params_dec: Params, tokens, shared_src, src_pe_one,
 
     q = queries + tokens
     fa = params_dec["final_attn"]
-    pe_k = _dense_nobias(src_pe_one, fa["k"])
-    k = _dense_nobias(keys, fa["k"]) + pe_k + fa["k"]["b"]
-    v = _dense(keys, fa["v"])
-    attn_out = _attn_preprojected(fa, q, k, v, nh)
+    if _use_token_kernel(keys.shape[1]):
+        attn_out = _t2i_fused(fa, q, keys, src_pe_one, nh)
+    else:
+        pe_k = _dense_nobias(src_pe_one, fa["k"])
+        k = _dense_nobias(keys, fa["k"]) + pe_k + fa["k"]["b"]
+        v = _dense(keys, fa["v"])
+        attn_out = _attn_preprojected(fa, q, k, v, nh)
     queries = queries + attn_out
     queries = _layer_norm(queries, params_dec["norm_final"], cfg.eps)
     return queries, keys

@@ -83,8 +83,12 @@ def _attention(x: jnp.ndarray, blk: Params, cfg: SamArchConfig) -> jnp.ndarray:
     b, h, w, d = x.shape
     nh, hd = cfg.encoder_heads, cfg.head_dim
     qkv = _dense(x.reshape(b, h * w, d), blk["qkv"])
-    qkv = qkv.reshape(b, h * w, 3, nh, hd)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # [b, hw, nh, hd]
+    # split along the minor (lane) dim at d-multiples — tile-aligned, no
+    # strided-layout copies (the [.., 3, nh, hd] reshape+index form cost
+    # ~4 ms/encode in relayouts)
+    q = qkv[..., :d].reshape(b, h * w, nh, hd)
+    k = qkv[..., d:2 * d].reshape(b, h * w, nh, hd)
+    v = qkv[..., 2 * d:].reshape(b, h * w, nh, hd)
 
     use_flash = (jax.default_backend() == "tpu" and h == w
                  and h * w >= 1024)

@@ -132,6 +132,93 @@ def _flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     )(q, k, v, bias_h, bias_w, jnp.asarray(eh), jnp.asarray(ew))
 
 
+def _token_attn_kernel(q_ref, kt_ref, vt_ref, o_ref, *, heads: int,
+                       hd: int, valid_n: int, scale: float):
+    """One batch element: few token queries attend to M image keys for all
+    heads. k/v arrive TRANSPOSED [H*hd, M] so the 16-wide head dim lives
+    in sublanes (a [*, M, hd] layout would pad hd 16→128 lanes: 8x the
+    DMA traffic — measured 3x slowdown)."""
+    q = q_ref[0]                        # [n_pad, H*hd]
+    kt = kt_ref[0]                      # [H*hd, M]
+    vt = vt_ref[0]
+    for h in range(heads):
+        qh = q[:, h * hd:(h + 1) * hd]              # [n_pad, hd]
+        kh = kt[h * hd:(h + 1) * hd, :]             # [hd, M]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # [n_pad, M]
+        mx = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - mx)
+        z = jnp.sum(e, axis=1, keepdims=True)
+        p = (e / z).astype(vt_ref.dtype)
+        vh = vt[h * hd:(h + 1) * hd, :]             # [hd, M]
+        oh = jax.lax.dot_general(
+            p, vh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)     # [n_pad, hd]
+        o_ref[0, :, h * hd:(h + 1) * hd] = oh.astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("heads", "hd", "scale", "interpret",
+                                   "kv_shared"))
+def _token_cross(q, kt, vt, heads: int, hd: int, scale: float,
+                 interpret: bool, kv_shared: bool):
+    b = q.shape[0]
+    n = q.shape[1]
+    d = q.shape[2]
+    m = kt.shape[2]
+    kernel = partial(_token_attn_kernel, heads=heads, hd=hd,
+                     valid_n=n, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, m),
+                         (lambda i: (0, 0, 0)) if kv_shared
+                         else (lambda i: (i, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, m),
+                         (lambda i: (0, 0, 0)) if kv_shared
+                         else (lambda i: (i, 0, 0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), q.dtype),
+        interpret=interpret,
+    )(q, kt, vt)
+
+
+def token_cross_attend(q: jnp.ndarray, kt: jnp.ndarray, vt: jnp.ndarray,
+                       heads: int) -> jnp.ndarray:
+    """Fused multi-head cross attention for FEW queries against MANY
+    keys, with k/v supplied TRANSPOSED — the SAM-decoder tokens→image
+    direction (n≈7 tokens, M=4096 image positions, head_dim 16).
+
+    Args:
+      q: [B, n, H*hd] projected queries (heads concatenated on the lane
+        dim, the projection's natural output).
+      kt, vt: [B or 1, H*hd, M] projected keys/values, transposed — emit
+        them via einsum("dk,bmd->bkm", W, x) so the transpose rides the
+        projection matmul instead of a relayout. B==1 means shared across
+        the batch (indexed, not broadcast).
+
+    Returns [B, n, H*hd]. Scores/probs stay in VMEM; per-(batch) step DMA
+    is exactly the payload bytes (no lane padding of the head dim).
+    """
+    b, n, d = q.shape
+    hd = d // heads
+    scale = 1.0 / float(np.sqrt(hd))
+    n_pad = _round_up(n, 8)
+    if n_pad != n:
+        q = jnp.pad(q, ((0, 0), (0, n_pad - n), (0, 0)))
+    interpret = jax.default_backend() != "tpu"
+    out = _token_cross(q, kt, vt, heads, hd, scale, interpret,
+                       kt.shape[0] == 1)
+    return out[:, :n]
+
+
 def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
            bias_h: Optional[jnp.ndarray] = None,
            bias_w: Optional[jnp.ndarray] = None,

@@ -60,3 +60,41 @@ def test_head_dim_padding(rng):
     ours = np.asarray(attend(q, k, v, block_q=128))
     ref = np.asarray(xla_attention(q, k, v))
     np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_token_cross_attend_matches_xla(rng):
+    """Fused tokens→image attention (transposed k/v layout) vs the plain
+    XLA reference, incl. the shared-kv (B=1) variant."""
+    import jax.numpy as jnp
+    from revisit_anything_tpu.ops.attention import token_cross_attend
+
+    b, n, heads, hd, m = 3, 7, 4, 16, 200
+    d = heads * hd
+    q = rng.standard_normal((b, n, d)).astype(np.float32)
+    k = rng.standard_normal((b, m, d)).astype(np.float32)
+    v = rng.standard_normal((b, m, d)).astype(np.float32)
+
+    def ref(q, k, v):
+        qh = q.reshape(b, n, heads, hd)
+        kh = k.reshape(-1, m, heads, hd)
+        vh = v.reshape(-1, m, heads, hd)
+        logits = np.einsum("bnhd,bmhd->bhnm", qh,
+                           np.broadcast_to(kh, (b, m, heads, hd))) \
+            / np.sqrt(hd)
+        e = np.exp(logits - logits.max(-1, keepdims=True))
+        p = e / e.sum(-1, keepdims=True)
+        out = np.einsum("bhnm,bmhd->bnhd", p,
+                        np.broadcast_to(vh, (b, m, heads, hd)))
+        return out.reshape(b, n, d)
+
+    kt = jnp.asarray(k.transpose(0, 2, 1))
+    vt = jnp.asarray(v.transpose(0, 2, 1))
+    out = np.asarray(token_cross_attend(jnp.asarray(q), kt, vt, heads))
+    np.testing.assert_allclose(out, ref(q, k, v), atol=2e-5)
+
+    # shared k/v (B=1)
+    ks, vs = k[:1], v[:1]
+    outs = np.asarray(token_cross_attend(
+        jnp.asarray(q), jnp.asarray(ks.transpose(0, 2, 1)),
+        jnp.asarray(vs.transpose(0, 2, 1)), heads))
+    np.testing.assert_allclose(outs, ref(q, ks, vs), atol=2e-5)
