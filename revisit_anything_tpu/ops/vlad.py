@@ -86,19 +86,20 @@ def segment_vlad(desc: jnp.ndarray,
     super_mask = expand_super_masks(patch_masks, adjacency).astype(jnp.float32)
     onehot = jax.nn.one_hot(labels, num_clusters, dtype=jnp.float32)  # [P, C]
 
-    # [C, M, D]: for each cluster, sum residuals of its patches inside each
-    # SuperSegment. scan keeps peak memory at one [P, D] temporary.
-    def per_cluster(c, _):
-        r_c = residuals * onehot[:, c][:, None]
-        v = jnp.dot(super_mask, r_c, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
-        return c + 1, v
-
-    _, vlads = jax.lax.scan(per_cluster, 0, None, length=num_clusters)
+    # vlad[m, c, :] = Σ_p super_mask[m,p]·onehot[p,c]·residual[p,:] as ONE
+    # matmul: G[p, (m,c)] = super_mask[m,p]·onehot[p,c] (a [P, M·C] 0/1
+    # factor — 25 MB at M=128), then Gᵀ @ residuals. Replaces a
+    # num_clusters-step lax.scan of tiny matmuls (32 sequential dispatches
+    # dominated the fused-query tail).
+    m_rows = patch_masks.shape[0]
+    g = super_mask.T[:, :, None] * onehot[:, None, :]      # [P, M, C]
+    vlads = jnp.einsum("pmc,pd->mcd", g, residuals,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
 
     if intra_norm:
         vlads = l2_normalize(vlads, axis=-1)
-    flat = jnp.transpose(vlads, (1, 0, 2)).reshape(patch_masks.shape[0], -1)
+    flat = vlads.reshape(m_rows, -1)
     return l2_normalize(flat, axis=-1)
 
 

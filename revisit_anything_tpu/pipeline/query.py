@@ -63,15 +63,14 @@ def query_topk_images(desc: jnp.ndarray,
         jnp.float32)
     onehot = jax.nn.one_hot(labels, num_clusters, dtype=jnp.float32)
 
-    def per_cluster(c, _):
-        r_c = residuals * onehot[:, c][:, None]
-        v = jnp.dot(super_mask, r_c, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-        return c + 1, v
-
-    _, vlads = jax.lax.scan(per_cluster, 0, None, length=num_clusters)
+    # one-matmul VLAD (see ops/vlad.segment_vlad): [P, M, C] 0/1 factor
+    # against residuals replaces the 32-step per-cluster scan
+    g = super_mask.T[:, :, None] * onehot[:, None, :]
+    vlads = jnp.einsum("pmc,pd->mcd", g, residuals,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
     vlads = l2_normalize(vlads, axis=-1)
-    flat = jnp.transpose(vlads, (1, 0, 2)).reshape(patch_masks.shape[0], -1)
+    flat = vlads.reshape(patch_masks.shape[0], -1)
     flat = l2_normalize(flat, axis=-1)
 
     proj = jnp.dot(flat - pca_mean, pca_components.T,
