@@ -531,26 +531,21 @@ def cmd_build_index(args):
 
 
 def cmd_query(args):
-    """Online query: one image against a prebuilt index — SAM masks +
-    DINO features + the fused single-dispatch retrieval tail."""
+    """Online query: one image against a prebuilt index through the
+    serving pipeline (pipeline/serve.py — single uint8 upload, device-
+    resident masks, fused retrieval tail)."""
     import jax
-    import jax.numpy as jnp
     from revisit_anything_tpu.models import dinov2 as dn
     from revisit_anything_tpu.models.sam import (SAM_REGISTRY,
                                                  init_sam_params,
                                                  load_sam_checkpoint)
-    from revisit_anything_tpu.models.sam.amg import generate_masks
-    from revisit_anything_tpu.ops.adjacency import delaunay_adjacency
-    from revisit_anything_tpu.ops.masks import (mask_centroids,
-                                                mask_pool_matrices,
-                                                pool_masks_to_patch_grid)
-    from revisit_anything_tpu.ops.vlad import l2_normalize
-    from revisit_anything_tpu.pipeline.aggregate import _bucket
     from revisit_anything_tpu.pipeline.extract import (_resize_cv2_bilinear,
                                                        load_image_rgb)
-    from revisit_anything_tpu.pipeline.query import query_topk_images
+    from revisit_anything_tpu.pipeline.serve import (SegVLADServer,
+                                                     ServingIndex)
 
     z = np.load(args.index)
+    index = ServingIndex.from_npz(args.index)
     sam_cfg = SAM_REGISTRY[args.sam_variant]
     dino_cfg = dn.CONFIGS[args.dino_model]
     sam_params = (load_sam_checkpoint(args.sam_checkpoint, sam_cfg)
@@ -562,40 +557,16 @@ def cmd_query(args):
 
     dino_hw = (int(z["dino_h"]), int(z["dino_w"]))
     mask_hw = (int(z["mask_h"]), int(z["mask_w"]))
-    dh, dw = dino_hw[0] // 14, dino_hw[1] // 14
-    pool_a, pool_b = mask_pool_matrices(mask_hw, dino_hw)
-    n_images = int(z["db_image_ids"].max()) + 1
+    server = SegVLADServer(
+        sam_params=sam_params, sam_cfg=sam_cfg,
+        dino_params=dino_params, dino_cfg=dino_cfg, index=index,
+        full_hw=dino_hw, sam_hw=mask_hw, dino_layer=args.layer,
+        top_images=args.topk)
 
     img = load_image_rgb(args.image)
-    sam_img = _resize_cv2_bilinear(img, (mask_hw[1], mask_hw[0]))
-    records = generate_masks(sam_params, sam_cfg, sam_img)
-    masks = (np.stack([r.segmentation for r in records])
-             if records else np.zeros((1,) + mask_hw, bool))
-
-    dino_img = _resize_cv2_bilinear(img, (dino_hw[1], dino_hw[0]))
-    x = dn.preprocess(dino_img[None])
-    feats = dn.extract_dense(dino_params, dino_cfg, jnp.asarray(x),
-                             args.layer, "value")
-    desc = l2_normalize(feats[0].astype(jnp.float32), axis=1)
-
-    m = len(masks)
-    mb = _bucket(m)
-    padded = np.zeros((mb,) + masks.shape[1:], bool)
-    padded[:m] = masks
-    adj = np.zeros((mb, mb), bool)
-    if int(z["order"]):
-        adj[:m, :m] = delaunay_adjacency(mask_centroids(masks),
-                                         int(z["order"]))
-    patch_masks = pool_masks_to_patch_grid(jnp.asarray(padded),
-                                           jnp.asarray(pool_a),
-                                           jnp.asarray(pool_b))
-    top = np.asarray(query_topk_images(
-        desc, patch_masks, jnp.asarray(adj), jnp.asarray(z["centers"]),
-        jnp.asarray(z["pca_mean"]), jnp.asarray(z["pca_components"]),
-        jnp.asarray(z["pca_variance"]), jnp.asarray(z["db"]),
-        jnp.asarray(z["db_image_ids"]),
-        num_clusters=int(z["centers"].shape[0]), num_ref_images=n_images,
-        top_images=args.topk, whiten=bool(z["pca_whiten"])))
+    if img.shape[:2] != dino_hw:
+        img = _resize_cv2_bilinear(img, (dino_hw[1], dino_hw[0]))
+    top = server.query(img)
     keys = z["image_keys"]
     print(json.dumps({"query": args.image,
                       "matches": [str(keys[i]) for i in top],

@@ -120,3 +120,75 @@ def match_grid(query_image: np.ndarray,
     padded = [np.pad(p, ((0, hmax - p.shape[0]), (0, 0), (0, 0)))
               for p in panels]
     return np.concatenate(padded, axis=1)
+
+
+def compare_method_predictions(preds_baseline, preds_method, gt):
+    """Per-query top-1 comparison of two rank-fusion/model variants — the
+    quantitative core of VLAD-BuFF/predictions.py:120-231: which queries
+    the candidate method corrects vs breaks relative to a baseline.
+
+    Returns a list of dict rows (QueryIndex, BaselineCorrect,
+    MethodCorrect, CorrectedByYourMethod, BrokenByYourMethod).
+    """
+    rows = []
+    for qi, gt_q in enumerate(gt):
+        if len(gt_q) == 0:
+            continue
+        gt_set = set(int(g) for g in gt_q)
+        b_ok = int(preds_baseline[qi][0]) in gt_set
+        m_ok = int(preds_method[qi][0]) in gt_set
+        rows.append({
+            "QueryIndex": qi,
+            "BaselineCorrect": b_ok,
+            "MethodCorrect": m_ok,
+            "CorrectedByYourMethod": (not b_ok) and m_ok,
+            "BrokenByYourMethod": b_ok and (not m_ok),
+        })
+    return rows
+
+
+def save_prediction_analysis(rows, query_paths, db_paths, preds_baseline,
+                             preds_method, out_dir,
+                             baseline_name="baseline",
+                             method_name="method",
+                             max_images: int = 50):
+    """Write the predictions.py artifact set (:232-313): an analysis CSV
+    plus 3-panel (query | baseline top-1 | method top-1) grids under
+    correct/ and incorrect/ — green border on the winning method's panel.
+    Returns (csv_path, n_grids)."""
+    import csv as csvmod
+    import os
+
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    csv_path = os.path.join(out_dir, "prediction_analysis.csv")
+    with open(csv_path, "w", newline="") as f:
+        wr = csvmod.DictWriter(f, fieldnames=list(rows[0].keys()) if rows
+                               else ["QueryIndex"])
+        wr.writeheader()
+        wr.writerows(rows)
+
+    n_grids = 0
+    for sub in ("correct", "incorrect"):
+        os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+    for row in rows:
+        if not (row["CorrectedByYourMethod"] or row["BrokenByYourMethod"]):
+            continue
+        if n_grids >= max_images:
+            break
+        qi = row["QueryIndex"]
+        corrected = row["CorrectedByYourMethod"]
+        q_img = np.asarray(Image.open(query_paths[qi]).convert("RGB"))
+        b_img = np.asarray(Image.open(
+            db_paths[int(preds_baseline[qi][0])]).convert("RGB"))
+        m_img = np.asarray(Image.open(
+            db_paths[int(preds_method[qi][0])]).convert("RGB"))
+        grid = match_grid(q_img, [b_img, m_img],
+                          [not corrected, corrected])
+        sub = "correct" if corrected else "incorrect"
+        name = (f"{baseline_name}_vs_{method_name}_"
+                f"{'corrected' if corrected else 'broken'}_q{qi}.png")
+        Image.fromarray(grid).save(os.path.join(out_dir, sub, name))
+        n_grids += 1
+    return csv_path, n_grids

@@ -48,3 +48,45 @@ def test_match_grid(rng):
     grid = match_grid(q, preds, [True, False, True])
     assert grid.dtype == np.uint8
     assert grid.shape[1] == 4 * (40 + 8)
+
+
+def test_prediction_comparison_and_grids(tmp_path, rng):
+    """predictions.py equivalent: corrected/broken bookkeeping + CSV +
+    3-panel grids (VLAD-BuFF/predictions.py:120-313)."""
+    import os
+
+    from PIL import Image
+
+    from revisit_anything_tpu.retrieval.analysis import (
+        compare_method_predictions, save_prediction_analysis)
+
+    gt = [[0], [1], [2], []]
+    preds_base = [np.array([0]), np.array([5]), np.array([2]),
+                  np.array([0])]
+    preds_new = [np.array([0]), np.array([1]), np.array([4]),
+                 np.array([0])]
+    rows = compare_method_predictions(preds_base, preds_new, gt)
+    assert len(rows) == 3                     # empty-gt query skipped
+    assert rows[1]["CorrectedByYourMethod"] and not rows[1]["BrokenByYourMethod"]
+    assert rows[2]["BrokenByYourMethod"]
+    assert not rows[0]["CorrectedByYourMethod"]
+
+    qdir, ddir = tmp_path / "q", tmp_path / "db"
+    qdir.mkdir(); ddir.mkdir()
+    qp, dp = [], []
+    for i in range(4):
+        p = str(qdir / f"q{i}.png")
+        Image.fromarray(rng.integers(0, 255, (32, 48, 3),
+                                     dtype=np.uint8)).save(p)
+        qp.append(p)
+    for i in range(6):
+        p = str(ddir / f"d{i}.png")
+        Image.fromarray(rng.integers(0, 255, (32, 48, 3),
+                                     dtype=np.uint8)).save(p)
+        dp.append(p)
+    out = str(tmp_path / "analysis")
+    csv_path, n = save_prediction_analysis(rows, qp, dp, preds_base,
+                                           preds_new, out)
+    assert os.path.exists(csv_path) and n == 2
+    assert len(os.listdir(os.path.join(out, "correct"))) == 1
+    assert len(os.listdir(os.path.join(out, "incorrect"))) == 1
