@@ -221,3 +221,46 @@ def test_cli_build_index_and_query(toy_env, capsys, monkeypatch, tmp_path):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(out["matches"]) == 3
     assert all(m.endswith(".png") for m in out["matches"])
+
+
+def test_cli_build_index_then_query(toy_env, capsys, monkeypatch, rng):
+    """build-index → query through the serving pipeline (cmd_query drives
+    SegVLADServer end-to-end on a tiny SAM/DINO)."""
+    import json
+
+    from revisit_anything_tpu.models import dinov2 as dn
+    from revisit_anything_tpu.models.sam import SAM_REGISTRY, SamArchConfig
+
+    tiny_dino = dn.DinoV2Config(embed_dim=32, depth=2, num_heads=2,
+                                ffn="mlp", pretrain_grid=(8, 8))
+    monkeypatch.setitem(dn.CONFIGS, "dinov2_vitg14", tiny_dino)
+    tiny_sam = SamArchConfig(encoder_dim=32, encoder_depth=2,
+                             encoder_heads=2, global_attn_indexes=(1,),
+                             image_size=128, patch_size=16, window_size=4,
+                             prompt_dim=32, decoder_heads=4,
+                             decoder_mlp_dim=64, iou_head_hidden=16)
+    monkeypatch.setitem(SAM_REGISTRY, "vit_h", tiny_sam)
+
+    env = toy_env
+    cli.main(["extract", *_common(env), "--method", "DINO",
+              "--dino-model", "dinov2_vitg14", "--layer", "1"])
+    cli.main(["vocab", *_common(env), "--clusters", "8",
+              "--cache-root", env["cache"], "--domain", "urban"])
+    cli.main(["pca", *_common(env), "--experiment",
+              "exp0_global_SegLoc_VLAD_PCA_o3", "--vocab-vlad", "domain",
+              "--cache-root", env["cache"], "--dim", "8"])
+    index_path = os.path.join(env["workdir"], "index.npz")
+    cli.main(["build-index", *_common(env),
+              "--experiment", "exp0_global_SegLoc_VLAD_PCA_o3",
+              "--vocab-vlad", "domain", "--cache-root", env["cache"],
+              "--output", index_path])
+    capsys.readouterr()
+
+    q_img = os.path.join(env["data_root"], "AmsterTime", "old",
+                         "im_00.png")
+    cli.main(["query", "--index", index_path, "--image", q_img,
+              "--topk", "3", "--layer", "1"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["query"] == q_img
+    assert len(out["image_ids"]) == 3
+    assert all(0 <= i < 5 for i in out["image_ids"])
