@@ -155,6 +155,13 @@ def convert_original_sam_state_dict(sd: Dict[str, np.ndarray],
         "neck_c2": "image_encoder.neck.2.weight",
         "neck_ln2": "image_encoder.neck.3",
     })
+    def conv_hwio(key):
+        return jnp.asarray(_np(sd, key).transpose(2, 3, 1, 0))
+
+    def ln_pair(prefix):
+        return {"scale": jnp.asarray(_np(sd, prefix + ".weight")),
+                "bias": jnp.asarray(_np(sd, prefix + ".bias"))}
+
     prompt = {
         "pe_gaussian": jnp.asarray(_np(
             sd, "prompt_encoder.pe_layer.positional_encoding_gaussian_matrix")),
@@ -165,6 +172,20 @@ def convert_original_sam_state_dict(sd: Dict[str, np.ndarray],
             _np(sd, "prompt_encoder.not_a_point_embed.weight")[0]),
         "no_mask": jnp.asarray(
             _np(sd, "prompt_encoder.no_mask_embed.weight")[0]),
+        "mask_down": {
+            "conv1_w": conv_hwio("prompt_encoder.mask_downscaling.0.weight"),
+            "conv1_b": jnp.asarray(
+                _np(sd, "prompt_encoder.mask_downscaling.0.bias")),
+            "ln1": ln_pair("prompt_encoder.mask_downscaling.1"),
+            "conv2_w": conv_hwio("prompt_encoder.mask_downscaling.3.weight"),
+            "conv2_b": jnp.asarray(
+                _np(sd, "prompt_encoder.mask_downscaling.3.bias")),
+            "ln2": ln_pair("prompt_encoder.mask_downscaling.4"),
+            "conv3_w": jnp.asarray(_np(
+                sd, "prompt_encoder.mask_downscaling.6.weight")[:, :, 0, 0].T),
+            "conv3_b": jnp.asarray(
+                _np(sd, "prompt_encoder.mask_downscaling.6.bias")),
+        },
     }
     dec = _decoder_common(sd, cfg, "mask_decoder", hf=False)
     return {"encoder": enc, "prompt": prompt, "decoder": dec}
@@ -206,6 +227,30 @@ def convert_hf_sam_state_dict(sd: Dict[str, np.ndarray],
             _np(sd, "prompt_encoder.not_a_point_embed.weight")[0]),
         "no_mask": jnp.asarray(
             _np(sd, "prompt_encoder.no_mask_embed.weight")[0]),
+        "mask_down": {
+            "conv1_w": jnp.asarray(_np(
+                sd, "prompt_encoder.mask_embed.conv1.weight"
+            ).transpose(2, 3, 1, 0)),
+            "conv1_b": jnp.asarray(
+                _np(sd, "prompt_encoder.mask_embed.conv1.bias")),
+            "ln1": {"scale": jnp.asarray(_np(
+                sd, "prompt_encoder.mask_embed.layer_norm1.weight")),
+                "bias": jnp.asarray(_np(
+                    sd, "prompt_encoder.mask_embed.layer_norm1.bias"))},
+            "conv2_w": jnp.asarray(_np(
+                sd, "prompt_encoder.mask_embed.conv2.weight"
+            ).transpose(2, 3, 1, 0)),
+            "conv2_b": jnp.asarray(
+                _np(sd, "prompt_encoder.mask_embed.conv2.bias")),
+            "ln2": {"scale": jnp.asarray(_np(
+                sd, "prompt_encoder.mask_embed.layer_norm2.weight")),
+                "bias": jnp.asarray(_np(
+                    sd, "prompt_encoder.mask_embed.layer_norm2.bias"))},
+            "conv3_w": jnp.asarray(_np(
+                sd, "prompt_encoder.mask_embed.conv3.weight")[:, :, 0, 0].T),
+            "conv3_b": jnp.asarray(
+                _np(sd, "prompt_encoder.mask_embed.conv3.bias")),
+        },
     }
     dec = _decoder_common(sd, cfg, "mask_decoder", hf=True)
     return {"encoder": enc, "prompt": prompt, "decoder": dec}

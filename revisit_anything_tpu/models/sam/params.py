@@ -21,7 +21,7 @@ def init_sam_params(cfg: SamArchConfig, key: jax.Array,
 
 def _init_sam_params(cfg: SamArchConfig, key: jax.Array,
                      dtype=jnp.float32) -> Params:
-    keys = iter(jax.random.split(key, 64 + 20 * cfg.encoder_depth))
+    keys = iter(jax.random.split(key, 67 + 20 * cfg.encoder_depth))
     d = cfg.encoder_dim
     pd = cfg.prompt_dim
 
@@ -61,11 +61,26 @@ def _init_sam_params(cfg: SamArchConfig, key: jax.Array,
         },
     }
 
+    mc = 16                    # mask_in_chans (build_sam.py:93)
     prompt = {
         "pe_gaussian": jax.random.normal(next(keys), (2, pd // 2), dtype),
         "point_embed": jax.random.normal(next(keys), (4, pd), dtype) * 0.02,
         "not_a_point": jax.random.normal(next(keys), (pd,), dtype) * 0.02,
         "no_mask": jax.random.normal(next(keys), (pd,), dtype) * 0.02,
+        # mask-prompt downscaling stack (prompt_encoder.py:51-60)
+        "mask_down": {
+            "conv1_w": jax.random.normal(next(keys), (2, 2, 1, mc // 4),
+                                         dtype) * 0.2,
+            "conv1_b": jnp.zeros((mc // 4,), dtype),
+            "ln1": ln(mc // 4),
+            "conv2_w": jax.random.normal(next(keys), (2, 2, mc // 4, mc),
+                                         dtype) * 0.1,
+            "conv2_b": jnp.zeros((mc,), dtype),
+            "ln2": ln(mc),
+            "conv3_w": jax.random.normal(next(keys), (mc, pd),
+                                         dtype) * 0.05,
+            "conv3_b": jnp.zeros((pd,), dtype),
+        },
     }
 
     def attn_block(downsample=2):

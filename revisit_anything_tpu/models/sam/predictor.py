@@ -21,7 +21,7 @@ from revisit_anything_tpu.models.sam.config import SamArchConfig
 from revisit_anything_tpu.models.sam.decoder import decode_masks
 from revisit_anything_tpu.models.sam.encoder import encode_image
 from revisit_anything_tpu.models.sam.prompt import (
-    dense_positional_embedding, embed_boxes, embed_points,
+    dense_positional_embedding, embed_boxes, embed_masks, embed_points,
     no_mask_dense_embedding)
 from revisit_anything_tpu.ops.resize import bilinear_weight_matrix
 
@@ -59,6 +59,7 @@ class SamPredictor:
                 point_coords: Optional[np.ndarray] = None,
                 point_labels: Optional[np.ndarray] = None,
                 box: Optional[np.ndarray] = None,
+                mask_input: Optional[np.ndarray] = None,
                 multimask_output: bool = True,
                 return_logits: bool = False
                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -68,6 +69,8 @@ class SamPredictor:
           point_coords: [N, 2] (x, y) in original image coords.
           point_labels: [N] (1 fg / 0 bg).
           box: [4] XYXY in original image coords.
+          mask_input: [1, 4g, 4g] low-res mask logits from a previous
+            prediction round (typically low_res_logits[best]).
 
         Returns (masks [M, H, W] bool (or float logits), iou [M],
         low_res_logits [M, 256, 256]).
@@ -91,7 +94,11 @@ class SamPredictor:
             raise ValueError("provide point_coords and/or box")
         sparse = jnp.concatenate(sparse_parts, axis=0)[None]
 
-        dense = no_mask_dense_embedding(self.params, cfg, 1)
+        if mask_input is not None:
+            dense = embed_masks(self.params, cfg,
+                                jnp.asarray(mask_input, jnp.float32))
+        else:
+            dense = no_mask_dense_embedding(self.params, cfg, 1)
         pe = dense_positional_embedding(self.params, cfg)[0]
         lowres, iou = decode_masks(self.params, cfg, self._embedding, pe,
                                    sparse, dense,

@@ -94,3 +94,35 @@ def no_mask_dense_embedding(params: Params, cfg: SamArchConfig,
     return jnp.broadcast_to(
         params["prompt"]["no_mask"].reshape(1, 1, 1, -1),
         (batch, g, g, cfg.prompt_dim))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def embed_masks(params: Params, cfg: SamArchConfig,
+                masks: jnp.ndarray) -> jnp.ndarray:
+    """Mask-prompt dense embedding: low-res mask logits [B, 4g, 4g] →
+    [B, g, g, prompt_dim] via the downscaling stack (conv k2s2 → channel
+    LN → GELU, twice, then a 1x1 conv — PromptEncoder.mask_downscaling,
+    prompt_encoder.py:51-60). The stride-2 convs are reshape+matmuls."""
+    md = params["prompt"]["mask_down"]
+    x = masks[..., None].astype(jnp.float32)            # NHWC, C=1
+
+    def conv2s2(x, w, b):
+        bsz, h, wd, c = x.shape
+        xr = x.reshape(bsz, h // 2, 2, wd // 2, 2, c)
+        xr = xr.transpose(0, 1, 3, 2, 4, 5).reshape(
+            bsz, h // 2, wd // 2, 4 * c)
+        return jnp.dot(xr, w.astype(jnp.float32).reshape(-1, w.shape[-1]),
+                       preferred_element_type=jnp.float32) + b
+
+    def chan_ln(x, p, eps=1e-6):
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+    x = jax.nn.gelu(chan_ln(conv2s2(x, md["conv1_w"], md["conv1_b"]),
+                            md["ln1"]), approximate=False)
+    x = jax.nn.gelu(chan_ln(conv2s2(x, md["conv2_w"], md["conv2_b"]),
+                            md["ln2"]), approximate=False)
+    x = jnp.dot(x, md["conv3_w"].astype(jnp.float32),
+                preferred_element_type=jnp.float32) + md["conv3_b"]
+    return x

@@ -179,3 +179,40 @@ def test_dense_shared_matches_unshared(rng):
                           multimask=True, dense_shared=True)
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=2e-4)
     np.testing.assert_allclose(np.asarray(i1), np.asarray(i2), atol=2e-5)
+
+
+def test_mask_prompt_embedding_matches_hf(rng):
+    """embed_masks (mask_downscaling conv stack) vs HF's SamMaskEmbedding
+    on converted weights (prompt_encoder.py:51-60 path)."""
+    import jax.numpy as jnp
+
+    from revisit_anything_tpu.models.sam.prompt import embed_masks
+    model, cfg, params = make_pair()
+    g = cfg.grid
+    mask_logits = rng.standard_normal((2, 4 * g, 4 * g)).astype(np.float32)
+    ours = np.asarray(embed_masks(params, cfg, jnp.asarray(mask_logits)))
+    with torch.no_grad():
+        ref = model.prompt_encoder.mask_embed(
+            torch.from_numpy(mask_logits[:, None]))     # [B, PD, g, g]
+    np.testing.assert_allclose(ours.transpose(0, 3, 1, 2), ref.numpy(),
+                               atol=3e-5)
+
+
+def test_predictor_mask_input_round(rng):
+    """Two-round prediction: feed round-1 low-res logits back as the mask
+    prompt (SamPredictor.predict mask_input, predictor.py:97-151)."""
+    from revisit_anything_tpu.models.sam.predictor import SamPredictor
+    model, cfg, params = make_pair()
+    img = rng.integers(0, 255, (60, 100, 3), dtype=np.uint8)
+    pred = SamPredictor(params, cfg)
+    pred.set_image(img)
+    pts = np.array([[50.0, 30.0]])
+    labels = np.array([1])
+    masks1, iou1, lowres1 = pred.predict(pts, labels)
+    best = int(np.argmax(iou1))
+    masks2, iou2, _ = pred.predict(pts, labels,
+                                   mask_input=lowres1[best][None])
+    assert masks2.shape == masks1.shape
+    assert np.isfinite(iou2).all()
+    # the mask prompt must actually change the dense embedding path
+    assert not np.array_equal(masks1, masks2) or not np.allclose(iou1, iou2)
