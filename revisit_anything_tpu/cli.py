@@ -25,8 +25,8 @@ import sys
 import numpy as np
 
 
-def _add_common(p):
-    p.add_argument("--dataset", required=True)
+def _add_common(p, dataset_required=True):
+    p.add_argument("--dataset", required=dataset_required, default=None)
     p.add_argument("--workdir", default=os.environ.get("RAT_WORKDIR",
                                                        "./workdir"))
     p.add_argument("--data-root", default=os.environ.get("RAT_DATA_ROOT",
@@ -463,11 +463,27 @@ def cmd_evaluate_global(args):
         global_descriptor, load_dinosalad_checkpoint,
         load_vladbuff_checkpoint, salad_global_descriptor)
 
-    ds = get_dataset(args.dataset)
-    refs, queries = list_dataset_images(ds, args.data_root)
-    gt = get_gt(args.dataset, args.data_root, refs, queries)
-    if gt is None:
-        raise SystemExit("no ground truth for this dataset")
+    if getattr(args, "benchmark", None):
+        # VLAD-BuFF eval.py benchmark sets (npy image lists + gt,
+        # datasets/vladbuff_val.py)
+        from revisit_anything_tpu.datasets.vladbuff_val import (
+            load_msls_val, load_vladbuff_val)
+        vs = (load_msls_val(args.gt_root) if args.benchmark == "msls_val"
+              else load_vladbuff_val(args.benchmark, args.gt_root))
+        refs = [os.path.join(args.data_root, p) for p in vs.db_images]
+        queries = [os.path.join(args.data_root, p) for p in vs.q_images]
+        gt = vs.ground_truth
+        if gt is None:
+            raise SystemExit(f"{args.benchmark} has no public ground truth")
+        hw = tuple(args.image_size)
+        ds = None
+    else:
+        ds = get_dataset(args.dataset)
+        refs, queries = list_dataset_images(ds, args.data_root)
+        gt = get_gt(args.dataset, args.data_root, refs, queries)
+        hw = ds.size.hw
+        if gt is None:
+            raise SystemExit("no ground truth for this dataset")
 
     if args.model == "vladbuff":
         params = load_vladbuff_checkpoint(args.checkpoint, dn.VIT_B14)
@@ -480,8 +496,7 @@ def cmd_evaluate_global(args):
         out = []
         for s in range(0, len(paths), args.batch_size):
             imgs = np.stack([
-                _resize_cv2_bilinear(load_image_rgb(p),
-                                     (ds.size.width, ds.size.height))
+                _resize_cv2_bilinear(load_image_rgb(p), (hw[1], hw[0]))
                 for p in paths[s:s + args.batch_size]])
             x = dn.preprocess(imgs)
             out.append(np.asarray(desc_fn(params, dn.VIT_B14,
@@ -490,7 +505,9 @@ def cmd_evaluate_global(args):
 
     db = descriptors(refs)
     q = descriptors(queries)
-    get_validation_recalls(db, q, gt, dataset_name=args.dataset)
+    get_validation_recalls(db, q, gt,
+                           dataset_name=getattr(args, "benchmark", None)
+                           or args.dataset)
 
 
 def cmd_build_index(args):
@@ -699,11 +716,20 @@ def main(argv=None):
     p = sub.add_parser("evaluate-global",
                        help="whole-image descriptor recalls "
                             "(VLAD-BuFF eval.py equivalent)")
-    _add_common(p)
+    _add_common(p, dataset_required=False)
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--model", default="vladbuff",
                    choices=["vladbuff", "dinosalad"])
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--benchmark", default=None,
+                   help="VLAD-BuFF benchmark set (nordland, sped, "
+                        "amstertime, st_lucia, tokyo247, sfsm, "
+                        "pitts30k_*, msls_val) instead of --dataset")
+    p.add_argument("--gt-root", default=None,
+                   help="npy ground-truth root (defaults to the "
+                        "reference VLAD-BuFF/datasets when mounted)")
+    p.add_argument("--image-size", type=int, nargs=2,
+                   default=[224, 224])
     p.set_defaults(func=cmd_evaluate_global)
 
     args = parser.parse_args(argv)

@@ -264,3 +264,54 @@ def test_cli_build_index_then_query(toy_env, capsys, monkeypatch, rng):
     assert out["query"] == q_img
     assert len(out["image_ids"]) == 3
     assert all(0 <= i < 5 for i in out["image_ids"])
+
+
+def test_cli_evaluate_global_benchmark(tmp_path, capsys, monkeypatch, rng):
+    """evaluate-global --benchmark: npy-listed image sets + UTM gt
+    (the VLAD-BuFF eval.py benchmark path)."""
+    import torch
+
+    from revisit_anything_tpu.models import dinov2 as dn
+    from tests.test_vladbuff import TINY, synth_hub_state_dict
+
+    monkeypatch.setattr(dn, "VIT_B14", TINY)
+
+    # synthetic st_lucia-layout npys + images
+    gt_root = tmp_path / "gt"
+    (gt_root / "st_lucia").mkdir(parents=True)
+    data_root = tmp_path / "imgs"
+    (data_root / "db").mkdir(parents=True)
+    (data_root / "q").mkdir()
+    db_names, q_names = [], []
+    for i in range(6):
+        n = f"db/@{100 + i}@200@r{i}.png"
+        Image.fromarray(rng.integers(0, 255, (56, 56, 3),
+                                     dtype=np.uint8)).save(data_root / n)
+        db_names.append(n)
+    for i in range(2):
+        n = f"q/@{100 + i}@200@q{i}.png"
+        Image.fromarray(rng.integers(0, 255, (56, 56, 3),
+                                     dtype=np.uint8)).save(data_root / n)
+        q_names.append(n)
+    np.save(gt_root / "st_lucia" / "st_lucia_dbImages.npy",
+            np.array(db_names))
+    np.save(gt_root / "st_lucia" / "st_lucia_qImages.npy",
+            np.array(q_names))
+
+    # synthetic VLAD-BuFF checkpoint
+    sd = {f"backbone.model.{k}": v
+          for k, v in synth_hub_state_dict(TINY, rng).items()}
+    C, D = 4, TINY.embed_dim
+    sd["aggregator.conv.weight"] = torch.from_numpy(
+        rng.standard_normal((C, D, 1, 1)).astype(np.float32))
+    sd["aggregator.centroids"] = torch.from_numpy(
+        rng.standard_normal((C, D)).astype(np.float32))
+    ckpt = str(tmp_path / "vb.ckpt")
+    torch.save({"state_dict": sd}, ckpt)
+
+    cli.main(["evaluate-global", "--benchmark", "st_lucia",
+              "--gt-root", str(gt_root), "--data-root", str(data_root),
+              "--checkpoint", ckpt, "--model", "vladbuff",
+              "--image-size", "56", "56", "--batch-size", "4"])
+    out = capsys.readouterr().out
+    assert "st_lucia" in out and "R@1" in out

@@ -106,3 +106,48 @@ def test_msls_gt(tmp_path):
 
 def test_unknown_dataset_returns_none():
     assert get_gt("not_a_dataset", "/nonexistent") is None
+
+
+def test_vladbuff_val_real_npys():
+    """Load every benchmark whose npys ship in the reference tree."""
+    import os
+
+    import pytest
+
+    from revisit_anything_tpu.datasets.vladbuff_val import (
+        DEFAULT_GT_ROOT, REGISTRY, load_msls_val, load_vladbuff_val)
+    if not os.path.isdir(DEFAULT_GT_ROOT):
+        pytest.skip("reference npy root not mounted")
+    loaded = 0
+    for name, (subdir, db_npy, q_npy, gt_spec) in REGISTRY.items():
+        if not os.path.exists(os.path.join(DEFAULT_GT_ROOT, subdir,
+                                           db_npy)):
+            continue
+        ds = load_vladbuff_val(name)
+        assert ds.num_references > 0 and ds.num_queries > 0
+        assert len(ds.images) == ds.num_references + ds.num_queries
+        if ds.ground_truth is not None:
+            assert len(ds.ground_truth) == ds.num_queries
+            flat = np.concatenate([np.asarray(g).ravel()
+                                   for g in ds.ground_truth if len(g)])
+            assert flat.max() < ds.num_references
+        loaded += 1
+    assert loaded >= 4, f"only {loaded} benchmarks loadable"
+
+    mv = load_msls_val()
+    assert mv.num_queries > 0 and len(mv.ground_truth) == mv.num_queries
+
+
+def test_vladbuff_val_utm_radius(tmp_path):
+    """UTM filename parsing + radius positives on synthetic npys."""
+    from revisit_anything_tpu.datasets.vladbuff_val import load_vladbuff_val
+    sub = tmp_path / "st_lucia"
+    sub.mkdir()
+    db = [f"ref/@{100.0 + i}@{200.0}@img{i}.jpg" for i in range(10)]
+    q = ["q/@105.0@200.0@q0.jpg", "q/@300.0@300.0@q1.jpg"]
+    np.save(sub / "st_lucia_dbImages.npy", np.array(db))
+    np.save(sub / "st_lucia_qImages.npy", np.array(q))
+    ds = load_vladbuff_val("st_lucia", gt_root=str(tmp_path))
+    # 25 m radius around (105, 200): db indices with |100+i-105| <= 25 → all
+    assert sorted(ds.ground_truth[0].tolist()) == list(range(10))
+    assert len(ds.ground_truth[1]) == 0
