@@ -510,6 +510,72 @@ def cmd_evaluate_global(args):
                            or args.dataset)
 
 
+def cmd_amg(args):
+    """Standalone automatic mask generation over an image or directory —
+    the reference's sam/scripts/amg.py CLI: per image, one output folder
+    with <i>.png binary masks and a metadata.csv of the record fields."""
+    import jax
+    from revisit_anything_tpu.models.sam import (SAM_REGISTRY,
+                                                 init_sam_params,
+                                                 load_sam_checkpoint)
+    from revisit_anything_tpu.models.sam.amg import AmgConfig, generate_masks
+    from revisit_anything_tpu.pipeline.extract import load_image_rgb
+
+    cfg = SAM_REGISTRY[args.model_type]
+    if args.checkpoint:
+        params = load_sam_checkpoint(args.checkpoint, cfg)
+    else:
+        print("WARNING: no --checkpoint; using random SAM weights",
+              file=sys.stderr)
+        params = init_sam_params(cfg, jax.random.PRNGKey(0))
+    amg = AmgConfig(
+        points_per_side=args.points_per_side,
+        points_per_batch=args.points_per_batch,
+        pred_iou_thresh=args.pred_iou_thresh,
+        stability_score_thresh=args.stability_score_thresh,
+        box_nms_thresh=args.box_nms_thresh,
+        crop_n_layers=args.crop_n_layers,
+        crop_nms_thresh=args.crop_nms_thresh,
+        min_mask_region_area=args.min_mask_region_area)
+
+    if os.path.isdir(args.input):
+        targets = [os.path.join(args.input, f)
+                   for f in sorted(os.listdir(args.input))
+                   if os.path.isfile(os.path.join(args.input, f))]
+    else:
+        targets = [args.input]
+    os.makedirs(args.output, exist_ok=True)
+
+    from PIL import Image
+    header = ("id,area,bbox_x0,bbox_y0,bbox_w,bbox_h,point_input_x,"
+              "point_input_y,predicted_iou,stability_score,crop_box_x0,"
+              "crop_box_y0,crop_box_w,crop_box_h")
+    for t in targets:
+        try:
+            image = load_image_rgb(t)
+        except Exception:
+            print(f"Could not load '{t}' as an image, skipping...")
+            continue
+        print(f"Processing '{t}'...")
+        records = generate_masks(params, cfg, image, amg)
+        base = os.path.splitext(os.path.basename(t))[0]
+        out = os.path.join(args.output, base)
+        os.makedirs(out, exist_ok=True)
+        rows = [header]
+        for i, r in enumerate(records):
+            Image.fromarray((r.segmentation * 255).astype(np.uint8)).save(
+                os.path.join(out, f"{i}.png"))
+            cb = r.crop_box
+            rows.append(",".join(map(str, [
+                i, r.area, *r.bbox,
+                float(r.point_coords[0, 0]), float(r.point_coords[0, 1]),
+                r.predicted_iou, r.stability_score,
+                cb[0], cb[1], cb[2] - cb[0], cb[3] - cb[1]])))
+        with open(os.path.join(out, "metadata.csv"), "w") as f:
+            f.write("\n".join(rows))
+        print(f"{len(records)} masks -> {out}")
+
+
 def cmd_build_index(args):
     """Build a serving index: PCA-projected, row-normalized database
     segment descriptors + image ids + the vocabulary/PCA parameters, in
@@ -646,6 +712,24 @@ def main(argv=None):
                    help="include segment descriptors in results.pkl "
                         "(the reference's segFtVLAD pickles)")
     p.set_defaults(func=cmd_evaluate)
+
+    p = sub.add_parser("amg", help="standalone automatic mask generation "
+                                   "(the sam/scripts/amg.py CLI)")
+    p.add_argument("--input", required=True,
+                   help="image file or directory")
+    p.add_argument("--output", required=True)
+    p.add_argument("--model-type", default="vit_h",
+                   choices=["vit_h", "vit_l", "vit_b"])
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--points-per-side", type=int, default=32)
+    p.add_argument("--points-per-batch", type=int, default=128)
+    p.add_argument("--pred-iou-thresh", type=float, default=0.88)
+    p.add_argument("--stability-score-thresh", type=float, default=0.95)
+    p.add_argument("--box-nms-thresh", type=float, default=0.7)
+    p.add_argument("--crop-n-layers", type=int, default=0)
+    p.add_argument("--crop-nms-thresh", type=float, default=0.7)
+    p.add_argument("--min-mask-region-area", type=int, default=0)
+    p.set_defaults(func=cmd_amg)
 
     p = sub.add_parser("build-index", help="build a serving index npz from "
                                            "the reference-side artifacts")

@@ -215,6 +215,23 @@ def get_matches_host(matches: np.ndarray,
     return preds
 
 
+def get_matches_for_single_image_pair(matches: np.ndarray,
+                                      sims: np.ndarray,
+                                      seg_range_query,
+                                      top: int = 50):
+    """Single query/reference image-pair qualitative analysis
+    (func_vpr.py:247-315, max_sim branch — the only live one there):
+    the query's segment rows sorted by similarity desc, with the matched
+    database segment ids in the same order.
+
+    Returns (sorted_query_segment_indices, sorted_db_segment_indices).
+    """
+    rows = seg_range_query[0]
+    order = np.flip(np.argsort(sims[rows].ravel())[-top:])
+    seg_idx, rank_idx = np.unravel_index(order, sims[rows].shape)
+    return seg_idx, matches[rows][seg_idx, rank_idx]
+
+
 from functools import partial
 
 

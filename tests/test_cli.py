@@ -315,3 +315,34 @@ def test_cli_evaluate_global_benchmark(tmp_path, capsys, monkeypatch, rng):
               "--image-size", "56", "56", "--batch-size", "4"])
     out = capsys.readouterr().out
     assert "st_lucia" in out and "R@1" in out
+
+
+def test_cli_amg_standalone(tmp_path, capsys, monkeypatch, rng):
+    """amg subcommand (sam/scripts/amg.py equivalent): mask PNGs +
+    metadata.csv per image."""
+    from revisit_anything_tpu.models.sam import SAM_REGISTRY, SamArchConfig
+    tiny = SamArchConfig(encoder_dim=32, encoder_depth=2, encoder_heads=2,
+                         global_attn_indexes=(1,), image_size=128,
+                         patch_size=16, window_size=4, prompt_dim=32,
+                         decoder_heads=4, decoder_mlp_dim=64,
+                         iou_head_hidden=16)
+    monkeypatch.setitem(SAM_REGISTRY, "vit_h", tiny)
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (60, 100, 3),
+                                     dtype=np.uint8)).save(src / f"i{i}.png")
+    out = str(tmp_path / "out")
+    cli.main(["amg", "--input", str(src), "--output", out,
+              "--points-per-side", "6", "--points-per-batch", "36",
+              "--pred-iou-thresh", "-1000000", "--stability-score-thresh",
+              "0"])
+    for i in range(2):
+        d = os.path.join(out, f"i{i}")
+        files = os.listdir(d)
+        assert "metadata.csv" in files
+        n_masks = len([f for f in files if f.endswith(".png")])
+        assert n_masks >= 1
+        lines = open(os.path.join(d, "metadata.csv")).read().splitlines()
+        assert lines[0].startswith("id,area,bbox_x0")
+        assert len(lines) == n_masks + 1

@@ -200,3 +200,20 @@ def test_all_eleven_methods_produce_predictions(rng):
         assert len(preds) == len(seg_ranges), method
         for p in preds:
             assert 1 <= len(p) <= 3, method
+
+
+def test_single_image_pair_matches(rng):
+    """get_matches_for_single_image_pair (func_vpr.py:247-315 max_sim):
+    query segments + db segments sorted by similarity desc."""
+    from revisit_anything_tpu.retrieval.matching import (
+        get_matches_for_single_image_pair)
+    matches, sims, seg_ranges, *_ = make_retrieval_case(rng)
+    qseg, dbseg = get_matches_for_single_image_pair(matches, sims,
+                                                    seg_ranges, top=10)
+    assert len(qseg) == len(dbseg) == 10
+    rows = seg_ranges[0]
+    vals = sims[rows][qseg, :]
+    flat_sorted = np.sort(sims[rows].ravel())[::-1][:10]
+    got = np.array([sims[rows][q][np.where(matches[rows][q] == d)[0][0]]
+                    for q, d in zip(qseg, dbseg)])
+    np.testing.assert_allclose(np.sort(got)[::-1], flat_sorted)
