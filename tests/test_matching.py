@@ -212,8 +212,8 @@ def test_single_image_pair_matches(rng):
                                                     seg_ranges, top=10)
     assert len(qseg) == len(dbseg) == 10
     rows = seg_ranges[0]
-    vals = sims[rows][qseg, :]
-    flat_sorted = np.sort(sims[rows].ravel())[::-1][:10]
-    got = np.array([sims[rows][q][np.where(matches[rows][q] == d)[0][0]]
-                    for q, d in zip(qseg, dbseg)])
-    np.testing.assert_allclose(np.sort(got)[::-1], flat_sorted)
+    s = sims[rows]
+    order = np.flip(np.argsort(s.ravel())[-10:])
+    eq, er = np.unravel_index(order, s.shape)
+    np.testing.assert_array_equal(qseg, eq)
+    np.testing.assert_array_equal(dbseg, matches[rows][eq, er])
