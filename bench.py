@@ -70,8 +70,8 @@ def main():
     from revisit_anything_tpu.models.sam.encoder import encode_image
     from revisit_anything_tpu.pipeline.query import query_topk_images
     from revisit_anything_tpu.pipeline.serve import (
-        SegVLADServer, ServingIndex, _dino_desc_device, _sam_preprocess_fused,
-        _select_masks_centroids)
+        SegVLADServer, ServingIndex, _dino_desc_device,
+        _sam_preprocess_fused)
 
     rng = np.random.default_rng(0)
     ds = get_dataset("17places")

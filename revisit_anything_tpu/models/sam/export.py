@@ -10,7 +10,6 @@ baked in; ``load_decoder`` rehydrates it anywhere JAX runs.
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,8 +15,7 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from revisit_anything_tpu.models.sam.amg import (_preprocess_any,
-                                                 resize_longest_side)
+from revisit_anything_tpu.models.sam.amg import _preprocess_any
 from revisit_anything_tpu.models.sam.config import SamArchConfig
 from revisit_anything_tpu.models.sam.decoder import decode_masks
 from revisit_anything_tpu.models.sam.encoder import encode_image

@@ -18,7 +18,6 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from revisit_anything_tpu.config import NUM_CLUSTERS
 from revisit_anything_tpu.io.h5io import read_all_masks_bool, read_dino_features
 from revisit_anything_tpu.ops.adjacency import delaunay_adjacency
 from revisit_anything_tpu.ops.masks import (mask_centroids, mask_pool_matrices,

@@ -33,14 +33,14 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from revisit_anything_tpu.config import (BORDA_TOPK, KNN_TOPK, NUM_CLUSTERS,
-                                         PCA_DIM, RECALL_TOPK)
+from revisit_anything_tpu.config import (BORDA_TOPK, KNN_TOPK,
+                                         RECALL_TOPK)
 from revisit_anything_tpu.models import dinov2 as dn
 from revisit_anything_tpu.models.sam.amg import (AmgConfig, _decode_batch,
                                                  build_point_grid,
