@@ -104,8 +104,11 @@ def _attention(x: jnp.ndarray, blk: Params, cfg: SamArchConfig) -> jnp.ndarray:
         bias_w = jnp.einsum("bhwnd,wkd->bnhwk", qg, rw.astype(q.dtype),
                             preferred_element_type=jnp.float32
                             ).astype(x.dtype).reshape(b, nh, h * w, w)
+        # block_q=512: halves the kernel's K/V re-fetch traffic per query
+        # block (measured faster than the 256 default at N=4096)
         out = attend(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                     v.transpose(0, 2, 1, 3), bias_h, bias_w, side=h)
+                     v.transpose(0, 2, 1, 3), bias_h, bias_w, side=h,
+                     block_q=512)
         out = out.transpose(0, 2, 1, 3).reshape(b, h * w, nh * hd)
         return _dense(out, blk["proj"]).reshape(b, h, w, d)
 
