@@ -10,6 +10,8 @@ HF's torchvision NMS dependency is satisfied with our greedy NMS (itself
 equivalence-tested in tests/test_nms.py).
 """
 import os; os.environ["JAX_PLATFORMS"]="cpu"
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np, torch, jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

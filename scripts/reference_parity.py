@@ -29,6 +29,8 @@ import sys
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 VOCAB_ROOT = "/root/reference/cache/vocabulary/dinov2_vitg14/l31_value_c32"
 
 
