@@ -183,14 +183,15 @@ def _decode_batch(params: Params, cfg: SamArchConfig,
     g = cfg.grid
     wh_blk = jnp.asarray(wh.reshape(orig_hw[0], g, 2, 2))
     ww_blk = jnp.asarray(ww.reshape(orig_hw[1], g, 2, 2))
-    # lowres_blk [Np, 3, g², 4(q=2a1+b1), 4(r=2a2+b2)] →
-    # [N, i, j, a1, b1, a2, b2] (contiguous reshape, no data movement)
-    m = lowres_blk.reshape(-1, g, g, 2, 2, 2, 2)
-    m = jnp.einsum("oiac,nijabcd->nojbd", wh_blk.astype(m.dtype), m,
+    # lowres_blk [Np, g², 16(=a1 b1 a2 b2), 3] →
+    # [N, i, j, a1, b1, a2, b2, m] (contiguous reshape, no data movement)
+    m = lowres_blk.reshape(-1, g, g, 2, 2, 2, 2, 3)
+    m = jnp.einsum("oiac,nijabcdm->nojbdm", wh_blk.astype(m.dtype), m,
                    preferred_element_type=jnp.float32)
-    m = jnp.einsum("pjbd,nojbd->nop", ww_blk.astype(jnp.float32),
+    m = jnp.einsum("pjbd,nojbdm->nmop", ww_blk.astype(jnp.float32),
                    m.astype(jnp.float32),
                    precision=jax.lax.Precision.HIGHEST)
+    m = m.reshape(-1, orig_hw[0], orig_hw[1])
 
     # Stability score (utils/amg.py:156-176) on the logits.
     thr = cfg.mask_threshold

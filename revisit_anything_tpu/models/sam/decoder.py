@@ -361,12 +361,14 @@ def _upscale_masks_blocks(src_flat: jnp.ndarray, hyper: jnp.ndarray,
         # rounding but halves ~2 GB of HBM traffic per 256-prompt batch
         # (the downstream bilinear upscale re-accumulates in f32).
         masks = masks.astype(y.dtype)
-        # Block layout [Np, M, g², 4, 4]: position = (i·g + j), q = 2a1+b1,
-        # r = 2a2+b2 with spatial row = 4i+2a1+a2, col = 4j+2b1+b2.
-        # Consumers that immediately resize (the AMG postprocess) fold the
-        # interleave into their resize matrices instead — the 1 GB f32
-        # spatial tensor plus its XLA layout copies never hit HBM.
-        return masks
+        # Block layout [Np, g², 16, M]: position = (i·g + j), dim 2 =
+        # (q, r) = (2a1+b1, 2a2+b2) with spatial row = 4i+2a1+a2,
+        # col = 4j+2b1+b2; mask token minor (the fused kernel's native
+        # output order). Consumers that immediately resize (the AMG
+        # postprocess) fold the interleave into their resize matrices
+        # instead — the 1 GB f32 spatial tensor plus its XLA layout
+        # copies never hit HBM.
+        return masks.transpose(0, 2, 3, 4, 1).reshape(np_, gg, 16, m)
 
     # interleave blocks to spatial: row = 4i + 2a1 + a2, col = 4j+2b1+b2
     masks = masks.reshape(np_, m, g, g, 2, 2, 2, 2)
@@ -401,9 +403,11 @@ def decode_masks(params: Params, cfg: SamArchConfig,
       image_pe: [64, 64, 256] dense positional embedding.
       sparse_prompts: [Np, T, 256] per-prompt sparse embeddings.
       dense_prompts: [Np, 64, 64, 256] (no-mask embedding for AMG).
-      block_layout: return masks as [Np, M, g², 4, 4] blocks instead of
-        spatial [Np, M, 4g, 4g] (see _upscale_masks_blocks) — for
-        consumers that fold the interleave into a following resize.
+      block_layout: return masks as [Np, g², 16, M] blocks (position,
+        (q, r) 2x2-of-2x2 block index, mask token) instead of spatial
+        [Np, M, 4g, 4g] (see _upscale_masks_blocks / ops.maskhead) — for
+        consumers that fold the interleave into a following resize. On
+        TPU this path runs the fused upscaler+hypernetwork Pallas kernel.
 
     Returns:
       (low_res_masks [Np, M, 256, 256] — or block layout, iou_pred
@@ -447,8 +451,15 @@ def decode_masks(params: Params, cfg: SamArchConfig,
     hyper = jnp.stack(
         [_mlp(mask_tokens_out[:, i], dec["hyper_mlps"][i])
          for i in token_ids], axis=1)                    # [Np, M, d/8]
-    masks = _upscale_masks_blocks(keys, hyper, dec, cfg,
-                                  interleave=not block_layout)
+    if block_layout and _use_token_kernel(keys.shape[1]):
+        from revisit_anything_tpu.ops.maskhead import fused_mask_head
+        masks = fused_mask_head(
+            keys, hyper, dec["up1_w"], dec["up1_b"],
+            dec["up_ln"]["scale"], dec["up_ln"]["bias"],
+            dec["up2_w"], dec["up2_b"], eps=cfg.eps)     # [Np, g², 16, M]
+    else:
+        masks = _upscale_masks_blocks(keys, hyper, dec, cfg,
+                                      interleave=not block_layout)
 
     iou_pred = _mlp(iou_token_out, dec["iou_head"])
 

@@ -1,0 +1,199 @@
+"""Fused SAM mask-production kernel: upscaler + hypernetwork in one pass.
+
+The decoder's mask chain (mask_decoder.py:55-62,101-144 — ConvTranspose →
+LayerNorm → GELU → ConvTranspose → GELU → per-mask-token hypernetwork
+contraction) is, after the block-layout rewrite (decoder._upscale_masks_
+blocks), a chain of three matmuls with elementwise ops between them. Run
+as separate XLA ops it is the measured decode bottleneck: the [Np, 4096,
+4·c1] and [Np, 4096, 16·c2] intermediates round-trip HBM (~1.6 GB per
+128-prompt batch) and the final hypernetwork einsum lands in XLA's
+batch-in-sublanes emitter (~9.2 M cycles/batch, compute-scheduler-bound).
+
+This kernel holds one block of image-branch positions in VMEM and runs the
+whole chain there; HBM traffic is exactly keys-in + mask-logits-out
+(~320 MB per 128-prompt batch, >5x less). The tricks that make it a clean
+Pallas kernel:
+
+- both transposed convs have kernel == stride == 2 ⇒ zero spatial mixing:
+  everything is per-position, so the kernel never needs neighbouring
+  blocks (see decoder._upscale_masks_blocks);
+- the channel LayerNorm runs over 4 groups of c1 lanes; its statistics
+  are computed with two tiny matmuls against constant group-indicator
+  matrices (Mosaic cannot cheaply reshape the lane dim);
+- conv2, which acts independently per 2x2 block, becomes ONE matmul
+  against a block-diagonal [4·c1, 16·c2] weight (3/4 zeros — the extra
+  MXU flops are free, the layout change is not);
+- the per-prompt hypernetwork weights enter as a block-diagonal
+  [16·c2, 16·M] matrix built once per batch (tiny), so the contraction
+  is a plain matmul emitting the (q, r, m) block layout directly.
+
+Intermediates are rounded to the activation dtype at exactly the points
+the XLA path rounds (bf16 stores), so kernel and fallback agree to bf16
+rounding; with f32 params they agree to ~1e-6 (tested in interpret mode).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _erf(x):
+    # Mosaic has no erf primitive; Abramowitz & Stegun 7.1.28 — a degree-6
+    # polynomial raised to the -16th power, max abs error 2.7e-7 (checked
+    # against scipy over [0, 8]; gelu error ≤ 5e-7). Chosen over the
+    # classic exp-based 7.1.26 because it needs NO transcendental: 6 FMAs
+    # + 4 squarings + 1 reciprocal — the gelu was the kernel's measured
+    # VPU bottleneck.
+    a = jnp.abs(x)
+    p = 1.0 + a * (0.0705230784 + a * (0.0422820123 + a * (
+        0.0092705272 + a * (0.0001520143 + a * (
+            0.0002765672 + a * 0.0000430638)))))
+    p = p * p
+    p = p * p
+    p = p * p
+    p = p * p                                    # p^16
+    e = 1.0 - 1.0 / p
+    return jnp.sign(x) * e
+
+
+def _gelu(x):
+    # exact-form (erf) gelu, matching jax.nn.gelu(approximate=False)
+    return x * 0.5 * (1.0 + _erf(x * np.float32(1.0 / np.sqrt(2.0))))
+
+
+def _mask_head_kernel(keys_ref, up1w_ref, up2wbd_ref, hbd_ref, vecs_ref,
+                      o_ref, *, c1: int, eps: float):
+    """One (prompt, position-block) step.
+
+    keys_ref:  [1, BLK, D]        image-branch activations (D = 4·c1)
+    up1w_ref:  [D, D]             conv1 weight (out = (2x2 block, c1))
+    up2wbd_ref:[D, 16·c2]         block-diagonal conv2 weight
+    hbd_ref:   [1, 16·c2, 16·M]   block-diagonal hypernetwork weights
+    vecs_ref:  [8, D≥16·c2 cols]  packed constant rows (see _pack_vecs)
+    o_ref:     [1, BLK, 16·M]     mask logits, (q, r, m) minor-to-major m
+    """
+    x = keys_ref[0]
+    d = x.shape[1]
+    dtype = x.dtype
+
+    up1_b = vecs_ref[0:1, :d]                            # [1, D]
+    ln_scale = vecs_ref[1:2, :d].astype(jnp.float32)
+    ln_bias = vecs_ref[2:3, :d].astype(jnp.float32)
+    up2_b = vecs_ref[3:4, :up2wbd_ref.shape[1]]
+
+    y1 = jax.lax.dot_general(
+        x, up1w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dtype) + up1_b
+
+    # group LayerNorm: 4 lane-groups of c1; stats via indicator matmuls.
+    yf = y1.astype(jnp.float32)
+    n_groups = d // c1
+    giota = jax.lax.broadcasted_iota(jnp.int32, (d, n_groups), 0) // c1
+    gcol = jax.lax.broadcasted_iota(jnp.int32, (d, n_groups), 1)
+    gmat = (giota == gcol).astype(jnp.float32) / c1      # [D, 4] mean map
+    mu = jax.lax.dot_general(yf, gmat, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ex2 = jax.lax.dot_general(yf * yf, gmat, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    var = ex2 - mu * mu                                   # [BLK, 4]
+    gt = (giota == gcol).astype(jnp.float32)              # [D, 4]
+    mub = jax.lax.dot_general(mu, gt, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    varb = jax.lax.dot_general(var, gt, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    yn = (yf - mub) * jax.lax.rsqrt(varb + eps) * ln_scale + ln_bias
+    h1 = _gelu(yn).astype(dtype)
+
+    y2 = jax.lax.dot_general(
+        h1, up2wbd_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dtype) + up2_b
+    h2 = _gelu(y2.astype(jnp.float32)).astype(dtype)
+
+    o_ref[0] = jax.lax.dot_general(
+        h2, hbd_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("c1", "eps", "block", "interpret"))
+def _mask_head_call(keys, up1w, up2wbd, hbd, vecs, c1: int, eps: float,
+                    block: int, interpret: bool):
+    np_, gg, d = keys.shape
+    n_out = hbd.shape[2]
+    kernel = partial(_mask_head_kernel, c1=c1, eps=eps)
+    return pl.pallas_call(
+        kernel,
+        grid=(np_, gg // block),
+        in_specs=[
+            pl.BlockSpec((1, block, d), lambda n, i: (n, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda n, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(up2wbd.shape, lambda n, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + hbd.shape[1:], lambda n, i: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(vecs.shape, lambda n, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block, n_out), lambda n, i: (n, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, gg, n_out), keys.dtype),
+        interpret=interpret,
+    )(keys, up1w, up2wbd, hbd, vecs)
+
+
+def fused_mask_head(keys: jnp.ndarray, hyper: jnp.ndarray,
+                    up1_w: jnp.ndarray, up1_b: jnp.ndarray,
+                    ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
+                    up2_w: jnp.ndarray, up2_b: jnp.ndarray,
+                    eps: float = 1e-6,
+                    block: int = 512,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Mask logits in block layout via the fused kernel.
+
+    Args:
+      keys: [Np, gg, D] final image-branch activations (D = 4·c1).
+      hyper: [Np, M, c2] hypernetwork weights (M mask tokens).
+      up1_w: [D, 4·c1] conv1 weight; up1_b: [c1].
+      ln_scale, ln_bias: [c1] channel-LN params.
+      up2_w: [c1, 4·c2]; up2_b: [c2].
+    Returns:
+      [Np, gg, 16, M] mask logits, where dim 2 = (q, r) = (2a1+b1, 2a2+b2)
+      — i.e. `out[..., q, r, m]` equals decoder._upscale_masks_blocks'
+      `[n, m, pos, q, r]` transposed to mask-token-minor.
+    """
+    np_, gg, d = keys.shape
+    c1 = up1_w.shape[1] // 4
+    c2 = up2_w.shape[1] // 4
+    m_tok = hyper.shape[1]
+
+    blk = min(block, gg)
+    assert gg % blk == 0, (gg, blk)
+
+    # conv2 as one block-diagonal matmul over the (2x2-block, c1) lanes
+    up2wbd = jnp.zeros((4 * c1, 16 * c2), up2_w.dtype)
+    for q in range(4):
+        up2wbd = up2wbd.at[q * c1:(q + 1) * c1,
+                           q * 4 * c2:(q + 1) * 4 * c2].set(up2_w)
+
+    # hypernetwork as per-prompt block-diagonal [16·c2, 16·M]
+    eye16 = jnp.eye(16, dtype=hyper.dtype)
+    hbd = jnp.einsum("qs,nmc->nqcsm", eye16, hyper).reshape(
+        np_, 16 * c2, 16 * m_tok).astype(keys.dtype)
+
+    ncols = max(4 * c1, 16 * c2)
+    vecs = jnp.zeros((8, ncols), keys.dtype)
+    vecs = vecs.at[0, :4 * c1].set(jnp.tile(up1_b, 4))
+    vecs = vecs.at[1, :4 * c1].set(jnp.tile(ln_scale, 4))
+    vecs = vecs.at[2, :4 * c1].set(jnp.tile(ln_bias, 4))
+    vecs = vecs.at[3, :16 * c2].set(jnp.tile(up2_b, 16))
+
+    out = _mask_head_call(keys, up1_w, up2wbd, hbd, vecs, c1, float(eps),
+                          blk, interpret)
+    return out.reshape(np_, gg, 16, m_tok)
