@@ -129,18 +129,22 @@ def _t2i_fused(attn_p, q_tok, keys, pe_one, num_heads: int):
     16-wide head dim never pads to the 128-lane tile; the '+pe' term is
     folded in post-projection (W(x+pe) = Wx + W·pe). ``keys`` may be the
     shared [1, M, D] image branch (layer 1)."""
-    from revisit_anything_tpu.ops.attention import token_cross_attend
+    from revisit_anything_tpu.ops.attention import token_cross_attend_kv
     qp = _dense(q_tok, attn_p["q"])                    # [B, n, D]
     pet = keys.dtype if keys.dtype == jnp.bfloat16 else jnp.float32
-    kt = jnp.einsum("dk,bmd->bkm", attn_p["k"]["w"], keys,
-                    preferred_element_type=pet).astype(keys.dtype)
+    # ONE pass over the [B, M, D] image branch emits both projections
+    # (concatenated weights); pe/bias fold in inside the kernel
+    wkv = jnp.concatenate([attn_p["k"]["w"], attn_p["v"]["w"]], axis=1)
+    kvt = jnp.einsum("dk,bmd->bkm", wkv, keys,
+                     preferred_element_type=pet).astype(keys.dtype)
     pe_k = _dense_nobias(pe_one, attn_p["k"]) + attn_p["k"]["b"]
-    kt = kt + jnp.transpose(pe_k, (0, 2, 1))           # [1, D, M] shared
-    vt = jnp.einsum("dk,bmd->bkm", attn_p["v"]["w"], keys,
-                    preferred_element_type=pet).astype(keys.dtype) \
-        + attn_p["v"]["b"][None, :, None]
-    out = token_cross_attend(qp, kt, vt, num_heads)
+    out = token_cross_attend_kv(qp, kvt, jnp.transpose(pe_k, (0, 2, 1)),
+                                attn_p["v"]["b"], num_heads)
     return _dense(out, attn_p["out"])
+
+
+# benchmarking escape hatch: force the XLA mask-head path (trace-time flag)
+_MASKHEAD_DISABLED = False
 
 
 def _use_token_kernel(m: int) -> bool:
@@ -243,15 +247,28 @@ def _run_two_way_shared(params_dec: Params, tokens, shared_src, src_pe_one,
         # image → tokens
         q = queries + tokens
         pe_q = _dense_nobias(src_pe_one, layer["i2t"]["q"])
-        if i == 0:
-            attn_out = _attn_i2t(layer["i2t"], shared_src, q, queries, nh,
-                                 pe_q=pe_q)
-            keys = shared_src + attn_out          # first [B, M, D] tensor
+        img_side = shared_src if i == 0 else keys
+        if _use_token_kernel(img_side.shape[1]):
+            # fused q-proj + attention + out-proj + residual + LN: the
+            # image branch stays in VMEM for the whole update
+            from revisit_anything_tpu.ops.attention import i2t_update
+            ip = layer["i2t"]
+            tok_k = _dense(q, ip["k"])
+            tok_v = _dense(queries, ip["v"])
+            keys = i2t_update(
+                img_side, pe_q, tok_k, tok_v, ip["q"]["w"], ip["q"]["b"],
+                ip["out"]["w"], ip["out"]["b"], layer["norm4"]["scale"],
+                layer["norm4"]["bias"], nh, eps=cfg.eps)
         else:
-            attn_out = _attn_i2t(layer["i2t"], keys, q, queries, nh,
-                                 pe_q=pe_q)
-            keys = keys + attn_out
-        keys = _layer_norm(keys, layer["norm4"], cfg.eps)
+            if i == 0:
+                attn_out = _attn_i2t(layer["i2t"], shared_src, q, queries,
+                                     nh, pe_q=pe_q)
+                keys = shared_src + attn_out      # first [B, M, D] tensor
+            else:
+                attn_out = _attn_i2t(layer["i2t"], keys, q, queries, nh,
+                                     pe_q=pe_q)
+                keys = keys + attn_out
+            keys = _layer_norm(keys, layer["norm4"], cfg.eps)
 
     q = queries + tokens
     fa = params_dec["final_attn"]
@@ -451,7 +468,8 @@ def decode_masks(params: Params, cfg: SamArchConfig,
     hyper = jnp.stack(
         [_mlp(mask_tokens_out[:, i], dec["hyper_mlps"][i])
          for i in token_ids], axis=1)                    # [Np, M, d/8]
-    if block_layout and _use_token_kernel(keys.shape[1]):
+    if (block_layout and not _MASKHEAD_DISABLED
+            and _use_token_kernel(keys.shape[1])):
         from revisit_anything_tpu.ops.maskhead import fused_mask_head
         masks = fused_mask_head(
             keys, hyper, dec["up1_w"], dec["up1_b"],

@@ -219,6 +219,253 @@ def token_cross_attend(q: jnp.ndarray, kt: jnp.ndarray, vt: jnp.ndarray,
     return out[:, :n]
 
 
+def _i2t_kernel(img_ref, peq_ref, kbd_ref, vbd_ref, w_ref, vecs_ref,
+                o_ref, *, n_tok: int, scale: float, eps: float):
+    """One (m-block, prompt) step of the fused image→tokens update:
+    q-projection + multi-head softmax over the few token keys + output
+    projection + residual + LayerNorm, image block resident in VMEM.
+
+    All heads run in single matmuls: token keys/values arrive as
+    block-diagonal matrices (head h occupies lane group h·T..h·T+T and
+    channel group h·hd..), and softmax stability uses the per-row GLOBAL
+    max (softmax is shift-invariant within each head, and the global max
+    bounds every head's max, so exp stays ≤ 1). Per-head sums come from
+    one group-indicator matmul — no lane reshapes or concats anywhere.
+
+    img_ref:  [1, BLK, D]   image branch block (shared or per-prompt)
+    peq_ref:  [1, BLK, DA]  pre-projected positional term W_q·pe
+    kbd_ref:  [1, DA, H·T]  block-diagonal projected token keys
+    vbd_ref:  [1, H·T, DA]  block-diagonal projected token values
+    w_ref:    [D+DA, max]   rows 0:D cols :DA = W_q, rows D: cols :D =
+                            W_out (cross-attention downsamples: DA = D/2
+                            for SAM, transformer.py Attention)
+    vecs_ref: [8, D]        packed rows: b_q (:DA), b_out, ln_s, ln_b
+    o_ref:    [1, BLK, D]   LN(img + attn_out)
+    """
+    x = img_ref[0]
+    d = x.shape[1]
+    dtype = x.dtype
+    ht = kbd_ref.shape[2]                                 # H·T
+    da = kbd_ref.shape[1]                                 # attention dim
+    n_heads = ht // n_tok
+
+    q = jax.lax.dot_general(
+        x, w_ref[:d, :da], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    q = (q + peq_ref[0].astype(jnp.float32)
+         + vecs_ref[0:1, :da].astype(jnp.float32))        # [BLK, DA]
+    q = q.astype(dtype)
+
+    s = jax.lax.dot_general(
+        q, kbd_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale       # [BLK, H·T]
+    mx = jnp.max(s, axis=1, keepdims=True)                # global row max
+    e = jnp.exp(s - mx)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ht, n_heads), 0) // n_tok
+    grp = jax.lax.broadcasted_iota(jnp.int32, (ht, n_heads), 1)
+    g = (lane == grp).astype(jnp.float32)                 # [H·T, H]
+    z = jax.lax.dot_general(e, g, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    zb = jax.lax.dot_general(z, g, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    p = (e / zb).astype(dtype)                            # [BLK, H·T]
+    attn = jax.lax.dot_general(
+        p, vbd_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dtype)  # [BLK, DA]
+
+    out = jax.lax.dot_general(
+        attn, w_ref[d:, :d], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dtype) \
+        + vecs_ref[1:2, :]
+
+    y = (x + out).astype(jnp.float32)                     # residual
+    mu = jnp.mean(y, axis=1, keepdims=True)
+    var = jnp.mean(y * y, axis=1, keepdims=True) - mu * mu
+    y = (y - mu) * jax.lax.rsqrt(var + eps) \
+        * vecs_ref[2:3, :].astype(jnp.float32) \
+        + vecs_ref[3:4, :].astype(jnp.float32)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("n_tok", "eps", "block", "shared_img",
+                                   "interpret"))
+def _i2t_call(img, peq, kbd, vbd, w, vecs, n_tok: int, eps: float,
+              block: int, shared_img: bool, interpret: bool):
+    b = kbd.shape[0]
+    m = img.shape[1]
+    d = img.shape[2]
+    da = kbd.shape[1]
+    ht = kbd.shape[2]
+    hd = da // (ht // n_tok)
+    kernel = partial(_i2t_kernel, n_tok=n_tok,
+                     scale=1.0 / float(np.sqrt(hd)), eps=eps)
+    return pl.pallas_call(
+        kernel,
+        # m-blocks outer, prompts inner: a shared image block is DMA'd
+        # once and reused for every prompt
+        grid=(m // block, b),
+        in_specs=[
+            pl.BlockSpec((1, block, d),
+                         (lambda i, bb: (0, i, 0)) if shared_img
+                         else (lambda i, bb: (bb, i, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block, da), lambda i, bb: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, da, ht), lambda i, bb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ht, da), lambda i, bb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w.shape, lambda i, bb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, d), lambda i, bb: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block, d), lambda i, bb: (bb, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, m, d), img.dtype),
+        interpret=interpret,
+    )(img, peq, kbd, vbd, w, vecs)
+
+
+def _token_attn_kv_kernel(q_ref, kvt_ref, pek_ref, vb_ref, o_ref, *,
+                          heads: int, hd: int, scale: float):
+    """Like _token_attn_kernel but k/v arrive CONCATENATED ([1, 2D, M],
+    one projection pass over the image branch instead of two) with the
+    positional term and value bias folded in here, inside VMEM."""
+    d = heads * hd
+    kv = kvt_ref[0]                     # [2D, M]
+    kt = kv[:d] + pek_ref[0]
+    vt = kv[d:] + vb_ref[...][:, 0:1]
+    q = q_ref[0]                        # [n_pad, D]
+    for h in range(heads):
+        qh = q[:, h * hd:(h + 1) * hd]
+        kh = kt[h * hd:(h + 1) * hd, :]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # [n_pad, M]
+        mx = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - mx)
+        z = jnp.sum(e, axis=1, keepdims=True)
+        p = (e / z).astype(kvt_ref.dtype)
+        vh = vt[h * hd:(h + 1) * hd, :]
+        oh = jax.lax.dot_general(
+            p, vh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0, :, h * hd:(h + 1) * hd] = oh.astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("heads", "hd", "scale", "interpret",
+                                   "kv_shared"))
+def _token_cross_kv(q, kvt, pek, vb, heads: int, hd: int, scale: float,
+                    interpret: bool, kv_shared: bool):
+    b, n, d = q.shape
+    m = kvt.shape[2]
+    kernel = partial(_token_attn_kv_kernel, heads=heads, hd=hd, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * d, m),
+                         (lambda i: (0, 0, 0)) if kv_shared
+                         else (lambda i: (i, 0, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, m), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), q.dtype),
+        interpret=interpret,
+    )(q, kvt, pek, vb)
+
+
+def token_cross_attend_kv(q: jnp.ndarray, kvt: jnp.ndarray,
+                          pe_kt: jnp.ndarray, v_bias: jnp.ndarray,
+                          heads: int) -> jnp.ndarray:
+    """token_cross_attend with k/v emitted by ONE projection pass:
+    ``kvt`` [B or 1, 2D, M] stacks the transposed k then v projections
+    (concatenate W_k|W_v on the output axis of the projection einsum);
+    ``pe_kt`` [1, D, M] (k positional term) and ``v_bias`` [D] are added
+    inside the kernel, so the image branch is read once and nothing else
+    is materialized."""
+    b, n, d = q.shape
+    hd = d // heads
+    scale = 1.0 / float(np.sqrt(hd))
+    n_pad = _round_up(n, 8)
+    if n_pad != n:
+        q = jnp.pad(q, ((0, 0), (0, n_pad - n), (0, 0)))
+    interpret = jax.default_backend() != "tpu"
+    vb = v_bias.reshape(d, 1).astype(kvt.dtype)
+    out = _token_cross_kv(q, kvt, pe_kt.astype(kvt.dtype), vb, heads, hd,
+                          scale, interpret, kvt.shape[0] == 1)
+    return out[:, :n]
+
+
+def i2t_update(img: jnp.ndarray, peq: jnp.ndarray, tok_k: jnp.ndarray,
+               tok_v: jnp.ndarray, w_q: jnp.ndarray, b_q: jnp.ndarray,
+               w_out: jnp.ndarray, b_out: jnp.ndarray,
+               ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
+               heads: int, eps: float = 1e-6, block: int = 512,
+               interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Fused image→tokens attention + residual + LayerNorm (the SAM
+    two-way block's keys update, transformer.py TwoWayAttentionBlock
+    cross_attn_image_to_token + norm4).
+
+    Args:
+      img: [B, M, D] per-prompt image branch, or [1, M, D] shared
+        (layer 1 — every prompt reads the same image state).
+      peq: [1, M, DA] pre-projected positional term W_q·pe (the '+pe'
+        folded past the projection: W(x+pe) = Wx + W·pe). DA is the
+        attention-internal dim (D/2 for SAM's downsampled cross-attns).
+      tok_k, tok_v: [B, T, DA] ALREADY-PROJECTED token keys/values
+        (tiny — projected outside with plain matmuls).
+      w_q [D, DA], b_q [DA], w_out [DA, D], b_out [D]: projections.
+      ln_scale, ln_bias: norm4 parameters.
+
+    Returns LN(img + Attn(img)) [B, M, D]. The naive XLA path writes the
+    q-projection, [B, H, M, T] logits, attention output, out-projection,
+    residual and LN each to HBM (~6 GB per 256-prompt batch); here the
+    image block stays in VMEM for the whole update (read-img + write-out
+    only).
+    """
+    b, t, da = tok_k.shape             # da = attention dim (D/2 for SAM)
+    d = img.shape[2]
+    hd = da // heads
+    m = img.shape[1]
+    blk = min(block, m)
+    assert m % blk == 0, (m, blk)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    # block-diagonal per-prompt token k/v (tiny): head h occupies row
+    # group h·hd.. and column group h·T.. of kbd [B, DA, H·T] (and the
+    # transpose layout for vbd [B, H·T, DA])
+    eye = jnp.eye(heads, dtype=tok_k.dtype)
+    kt = tok_k.reshape(b, t, heads, hd)
+    kbd = jnp.einsum("hg,bthd->bhdgt", eye, kt).reshape(
+        b, da, heads * t).astype(img.dtype)
+    vt = tok_v.reshape(b, t, heads, hd)
+    vbd = jnp.einsum("hg,bthd->bgthd", eye, vt).reshape(
+        b, heads * t, da).astype(img.dtype)
+
+    # pack the rectangular projections into one [D+DA, max(D, DA)] array
+    wmax = max(d, da)
+    w = jnp.zeros((d + da, wmax), img.dtype)
+    w = w.at[:d, :da].set(w_q.astype(img.dtype))
+    w = w.at[d:, :d].set(w_out.astype(img.dtype))
+    vecs = jnp.zeros((8, d), img.dtype)
+    vecs = vecs.at[0, :da].set(b_q.astype(img.dtype))
+    vecs = vecs.at[1].set(b_out.astype(img.dtype))
+    vecs = vecs.at[2].set(ln_scale.astype(img.dtype))
+    vecs = vecs.at[3].set(ln_bias.astype(img.dtype))
+    return _i2t_call(img, peq, kbd, vbd, w, vecs, t, float(eps), blk,
+                     img.shape[0] == 1, interpret)
+
+
 def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
            bias_h: Optional[jnp.ndarray] = None,
            bias_w: Optional[jnp.ndarray] = None,

@@ -98,3 +98,80 @@ def test_token_cross_attend_matches_xla(rng):
         jnp.asarray(q), jnp.asarray(ks.transpose(0, 2, 1)),
         jnp.asarray(vs.transpose(0, 2, 1)), heads))
     np.testing.assert_allclose(outs, ref(q, ks, vs), atol=2e-5)
+
+
+def test_token_cross_attend_kv_matches_split(rng):
+    """Combined-kv variant (one projection pass, pe/bias folded in-kernel)
+    vs token_cross_attend on pre-added k/v."""
+    import jax.numpy as jnp
+    from revisit_anything_tpu.ops.attention import (token_cross_attend,
+                                                    token_cross_attend_kv)
+
+    b, n, heads, hd, m = 3, 7, 4, 16, 160
+    d = heads * hd
+    q = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+    kvt = jnp.asarray(rng.standard_normal((b, 2 * d, m)), jnp.float32)
+    pe_kt = jnp.asarray(rng.standard_normal((1, d, m)), jnp.float32)
+    v_bias = jnp.asarray(rng.standard_normal((d,)), jnp.float32)
+
+    kt = kvt[:, :d] + pe_kt
+    vt = kvt[:, d:] + v_bias[None, :, None]
+    ref = np.asarray(token_cross_attend(q, kt, vt, heads))
+    out = np.asarray(token_cross_attend_kv(q, kvt, pe_kt, v_bias, heads))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+    # shared kv (B=1)
+    ref1 = np.asarray(token_cross_attend(q, kt[:1], vt[:1], heads))
+    out1 = np.asarray(token_cross_attend_kv(q, kvt[:1], pe_kt, v_bias,
+                                            heads))
+    np.testing.assert_allclose(out1, ref1, atol=2e-5)
+
+
+def test_i2t_update_matches_xla(rng):
+    """Fused image->tokens update (q-proj + mha + out-proj + residual +
+    LN) vs a plain XLA reference: shared and per-prompt image branches,
+    square and downsampled (DA = D/2, SAM's cross-attn) projections."""
+    import jax.numpy as jnp
+    from revisit_anything_tpu.ops.attention import i2t_update
+
+    b, t, heads, m = 3, 7, 4, 256
+    d = 64
+    eps = 1e-6
+
+    for da in (d, d // 2):
+        hd = da // heads
+        tok_k = rng.standard_normal((b, t, da)).astype(np.float32)
+        tok_v = rng.standard_normal((b, t, da)).astype(np.float32)
+        w_q = (rng.standard_normal((d, da)) * 0.1).astype(np.float32)
+        b_q = rng.standard_normal((da,)).astype(np.float32)
+        w_out = (rng.standard_normal((da, d)) * 0.1).astype(np.float32)
+        b_out = rng.standard_normal((d,)).astype(np.float32)
+        ln_s = (rng.standard_normal((d,)) + 1.0).astype(np.float32)
+        ln_b = rng.standard_normal((d,)).astype(np.float32)
+        peq = rng.standard_normal((1, m, da)).astype(np.float32)
+
+        def ref(img):
+            q = img @ w_q + peq + b_q                   # [B or 1, m, da]
+            q = np.broadcast_to(q, (b, m, da))
+            qh = q.reshape(b, m, heads, hd)
+            kh = tok_k.reshape(b, t, heads, hd)
+            vh = tok_v.reshape(b, t, heads, hd)
+            logits = np.einsum("bmhd,bthd->bhmt", qh, kh) / np.sqrt(hd)
+            e = np.exp(logits - logits.max(-1, keepdims=True))
+            p = e / e.sum(-1, keepdims=True)
+            attn = np.einsum("bhmt,bthd->bmhd", p, vh).reshape(b, m, da)
+            out = attn @ w_out + b_out
+            y = np.broadcast_to(img, (b, m, d)) + out
+            mu = y.mean(-1, keepdims=True)
+            var = y.var(-1, keepdims=True)
+            return (y - mu) / np.sqrt(var + eps) * ln_s + ln_b
+
+        for bb in (b, 1):
+            img = rng.standard_normal((bb, m, d)).astype(np.float32)
+            out = np.asarray(i2t_update(
+                jnp.asarray(img), jnp.asarray(peq), jnp.asarray(tok_k),
+                jnp.asarray(tok_v), jnp.asarray(w_q), jnp.asarray(b_q),
+                jnp.asarray(w_out), jnp.asarray(b_out), jnp.asarray(ln_s),
+                jnp.asarray(ln_b), heads, eps=eps, block=128))
+            np.testing.assert_allclose(out, ref(img), atol=3e-4,
+                                       rtol=1e-4)
