@@ -122,21 +122,22 @@ def _attn_i2t(attn_p, img_q, tok_k, tok_v, num_heads: int, pe_q=None):
     return _dense(out.reshape(b, m, d), attn_p["out"])
 
 
-def _t2i_fused(attn_p, q_tok, keys, pe_one, num_heads: int):
+def _t2i_fused(attn_p, q_tok, keys, pe_one, num_heads: int, kvt=None):
     """tokens→image attention through the fused Pallas kernel
-    (ops/attention.token_cross_attend). k/v projections are emitted
-    TRANSPOSED ([B, D, M]) directly by the projection einsum so the
-    16-wide head dim never pads to the 128-lane tile; the '+pe' term is
-    folded in post-projection (W(x+pe) = Wx + W·pe). ``keys`` may be the
-    shared [1, M, D] image branch (layer 1)."""
+    (ops/attention.token_cross_attend_kv). k/v projections are emitted
+    TRANSPOSED ([B, 2D, M]) in ONE pass (concatenated W_k|W_v) so the
+    16-wide head dim never pads to the 128-lane tile; the '+pe' term and
+    biases fold in inside the kernel. ``keys`` may be the shared
+    [1, M, D] image branch (layer 1). ``kvt``: the transposed projection
+    already emitted by the PREVIOUS i2t kernel (i2t_update w_kv_next) —
+    the projection pass over the image branch is skipped entirely."""
     from revisit_anything_tpu.ops.attention import token_cross_attend_kv
     qp = _dense(q_tok, attn_p["q"])                    # [B, n, D]
-    pet = keys.dtype if keys.dtype == jnp.bfloat16 else jnp.float32
-    # ONE pass over the [B, M, D] image branch emits both projections
-    # (concatenated weights); pe/bias fold in inside the kernel
-    wkv = jnp.concatenate([attn_p["k"]["w"], attn_p["v"]["w"]], axis=1)
-    kvt = jnp.einsum("dk,bmd->bkm", wkv, keys,
-                     preferred_element_type=pet).astype(keys.dtype)
+    if kvt is None:
+        pet = keys.dtype if keys.dtype == jnp.bfloat16 else jnp.float32
+        wkv = jnp.concatenate([attn_p["k"]["w"], attn_p["v"]["w"]], axis=1)
+        kvt = jnp.einsum("dk,bmd->bkm", wkv, keys,
+                         preferred_element_type=pet).astype(keys.dtype)
     pe_k = _dense_nobias(pe_one, attn_p["k"]) + attn_p["k"]["b"]
     out = token_cross_attend_kv(qp, kvt, jnp.transpose(pe_k, (0, 2, 1)),
                                 attn_p["v"]["b"], num_heads)
@@ -213,7 +214,9 @@ def _run_two_way_shared(params_dec: Params, tokens, shared_src, src_pe_one,
     nh = cfg.decoder_heads
     queries = tokens
     keys = None
-    for i, layer in enumerate(params_dec["layers"]):
+    kvt_next = None      # transposed k|v projection emitted by i2t_update
+    layers = params_dec["layers"]
+    for i, layer in enumerate(layers):
         if i == 0:
             queries = _attn(layer["self_attn"], queries, queries, queries, nh)
         else:
@@ -226,7 +229,8 @@ def _run_two_way_shared(params_dec: Params, tokens, shared_src, src_pe_one,
         q = queries + tokens
         img_side = shared_src if i == 0 else keys
         if _use_token_kernel(img_side.shape[1]):
-            attn_out = _t2i_fused(layer["t2i"], q, img_side, src_pe_one, nh)
+            attn_out = _t2i_fused(layer["t2i"], q, img_side, src_pe_one,
+                                  nh, kvt=kvt_next)
         elif i == 0:
             k1 = shared_src + src_pe_one
             attn_out = _attn_kv_shared(layer["t2i"], q, k1, shared_src, nh)
@@ -250,15 +254,21 @@ def _run_two_way_shared(params_dec: Params, tokens, shared_src, src_pe_one,
         img_side = shared_src if i == 0 else keys
         if _use_token_kernel(img_side.shape[1]):
             # fused q-proj + attention + out-proj + residual + LN: the
-            # image branch stays in VMEM for the whole update
+            # image branch stays in VMEM for the whole update, and the
+            # kernel also emits the NEXT t2i's transposed k|v projection
             from revisit_anything_tpu.ops.attention import i2t_update
             ip = layer["i2t"]
             tok_k = _dense(q, ip["k"])
             tok_v = _dense(queries, ip["v"])
-            keys = i2t_update(
+            nxt = (layers[i + 1]["t2i"] if i + 1 < len(layers)
+                   else params_dec["final_attn"])
+            w_kv_next = jnp.concatenate([nxt["k"]["w"], nxt["v"]["w"]],
+                                        axis=1)
+            keys, kvt_next = i2t_update(
                 img_side, pe_q, tok_k, tok_v, ip["q"]["w"], ip["q"]["b"],
                 ip["out"]["w"], ip["out"]["b"], layer["norm4"]["scale"],
-                layer["norm4"]["bias"], nh, eps=cfg.eps)
+                layer["norm4"]["bias"], nh, eps=cfg.eps,
+                w_kv_next=w_kv_next)
         else:
             if i == 0:
                 attn_out = _attn_i2t(layer["i2t"], shared_src, q, queries,
@@ -273,7 +283,7 @@ def _run_two_way_shared(params_dec: Params, tokens, shared_src, src_pe_one,
     q = queries + tokens
     fa = params_dec["final_attn"]
     if _use_token_kernel(keys.shape[1]):
-        attn_out = _t2i_fused(fa, q, keys, src_pe_one, nh)
+        attn_out = _t2i_fused(fa, q, keys, src_pe_one, nh, kvt=kvt_next)
     else:
         pe_k = _dense_nobias(src_pe_one, fa["k"])
         k = _dense_nobias(keys, fa["k"]) + pe_k + fa["k"]["b"]

@@ -220,7 +220,8 @@ def token_cross_attend(q: jnp.ndarray, kt: jnp.ndarray, vt: jnp.ndarray,
 
 
 def _i2t_kernel(img_ref, peq_ref, kbd_ref, vbd_ref, w_ref, vecs_ref,
-                o_ref, *, n_tok: int, scale: float, eps: float):
+                *refs, n_tok: int, scale: float, eps: float,
+                emit_kv: bool = False):
     """One (m-block, prompt) step of the fused image→tokens update:
     q-projection + multi-head softmax over the few token keys + output
     projection + residual + LayerNorm, image block resident in VMEM.
@@ -241,7 +242,18 @@ def _i2t_kernel(img_ref, peq_ref, kbd_ref, vbd_ref, w_ref, vecs_ref,
                             for SAM, transformer.py Attention)
     vecs_ref: [8, D]        packed rows: b_q (:DA), b_out, ln_s, ln_b
     o_ref:    [1, BLK, D]   LN(img + attn_out)
+
+    With emit_kv, refs = (wkvt_ref [2·DA2, D], o_ref, kvt_ref): the kernel
+    ALSO emits the NEXT attention's raw k|v projections of the updated
+    branch, TRANSPOSED ([1, 2·DA2, BLK] — the layout token_cross_attend_kv
+    consumes), via a dot that contracts both minor dims; the separate
+    projection pass over the [B, M, D] branch and its relayout never
+    happen.
     """
+    if emit_kv:
+        wkvt_ref, o_ref, kvt_ref = refs
+    else:
+        (o_ref,) = refs
     x = img_ref[0]
     d = x.shape[1]
     dtype = x.dtype
@@ -284,47 +296,71 @@ def _i2t_kernel(img_ref, peq_ref, kbd_ref, vbd_ref, w_ref, vecs_ref,
     y = (y - mu) * jax.lax.rsqrt(var + eps) \
         * vecs_ref[2:3, :].astype(jnp.float32) \
         + vecs_ref[3:4, :].astype(jnp.float32)
-    o_ref[0] = y.astype(o_ref.dtype)
+    yd = y.astype(o_ref.dtype)
+    o_ref[0] = yd
+
+    if emit_kv:
+        # transposed-output projection: contract BOTH minor dims — the
+        # MXU emits [2·DA2, BLK] directly, no relayout anywhere
+        kvt_ref[0] = jax.lax.dot_general(
+            wkvt_ref[...], yd, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(kvt_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("n_tok", "eps", "block", "shared_img",
                                    "interpret"))
 def _i2t_call(img, peq, kbd, vbd, w, vecs, n_tok: int, eps: float,
-              block: int, shared_img: bool, interpret: bool):
+              block: int, shared_img: bool, interpret: bool, wkvt=None):
     b = kbd.shape[0]
     m = img.shape[1]
     d = img.shape[2]
     da = kbd.shape[1]
     ht = kbd.shape[2]
     hd = da // (ht // n_tok)
+    emit_kv = wkvt is not None
     kernel = partial(_i2t_kernel, n_tok=n_tok,
-                     scale=1.0 / float(np.sqrt(hd)), eps=eps)
+                     scale=1.0 / float(np.sqrt(hd)), eps=eps,
+                     emit_kv=emit_kv)
+    in_specs = [
+        pl.BlockSpec((1, block, d),
+                     (lambda i, bb: (0, i, 0)) if shared_img
+                     else (lambda i, bb: (bb, i, 0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block, da), lambda i, bb: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, da, ht), lambda i, bb: (bb, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ht, da), lambda i, bb: (bb, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(w.shape, lambda i, bb: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, d), lambda i, bb: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((1, block, d), lambda i, bb: (bb, i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, m, d), img.dtype)
+    args = [img, peq, kbd, vbd, w, vecs]
+    if emit_kv:
+        dkv = wkvt.shape[0]
+        in_specs.append(pl.BlockSpec(wkvt.shape, lambda i, bb: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        out_spec = (out_spec,
+                    pl.BlockSpec((1, dkv, block), lambda i, bb: (bb, 0, i),
+                                 memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((b, dkv, m), img.dtype))
+        args.append(wkvt)
     return pl.pallas_call(
         kernel,
         # m-blocks outer, prompts inner: a shared image block is DMA'd
         # once and reused for every prompt
         grid=(m // block, b),
-        in_specs=[
-            pl.BlockSpec((1, block, d),
-                         (lambda i, bb: (0, i, 0)) if shared_img
-                         else (lambda i, bb: (bb, i, 0)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block, da), lambda i, bb: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, da, ht), lambda i, bb: (bb, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ht, da), lambda i, bb: (bb, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(w.shape, lambda i, bb: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, d), lambda i, bb: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, block, d), lambda i, bb: (bb, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, m, d), img.dtype),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
         interpret=interpret,
-    )(img, peq, kbd, vbd, w, vecs)
+    )(*args)
 
 
 def _token_attn_kv_kernel(q_ref, kvt_ref, pek_ref, vb_ref, o_ref, *,
@@ -409,8 +445,9 @@ def i2t_update(img: jnp.ndarray, peq: jnp.ndarray, tok_k: jnp.ndarray,
                tok_v: jnp.ndarray, w_q: jnp.ndarray, b_q: jnp.ndarray,
                w_out: jnp.ndarray, b_out: jnp.ndarray,
                ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
-               heads: int, eps: float = 1e-6, block: int = 512,
-               interpret: Optional[bool] = None) -> jnp.ndarray:
+               heads: int, eps: float = 1e-6, block: int = 0,
+               interpret: Optional[bool] = None,
+               w_kv_next: Optional[jnp.ndarray] = None):
     """Fused image→tokens attention + residual + LayerNorm (the SAM
     two-way block's keys update, transformer.py TwoWayAttentionBlock
     cross_attn_image_to_token + norm4).
@@ -425,6 +462,10 @@ def i2t_update(img: jnp.ndarray, peq: jnp.ndarray, tok_k: jnp.ndarray,
         (tiny — projected outside with plain matmuls).
       w_q [D, DA], b_q [DA], w_out [DA, D], b_out [D]: projections.
       ln_scale, ln_bias: norm4 parameters.
+      w_kv_next: optional [D, 2·DA2] concatenated W_k|W_v of the NEXT
+        tokens→image attention; when given, returns (keys', kvt) where
+        kvt [B, 2·DA2, M] is the raw transposed projection of keys' —
+        feed it straight to token_cross_attend_kv.
 
     Returns LN(img + Attn(img)) [B, M, D]. The naive XLA path writes the
     q-projection, [B, H, M, T] logits, attention output, out-projection,
@@ -436,6 +477,10 @@ def i2t_update(img: jnp.ndarray, peq: jnp.ndarray, tok_k: jnp.ndarray,
     d = img.shape[2]
     hd = da // heads
     m = img.shape[1]
+    if block <= 0:
+        # measured on v5e: per-prompt branches want big blocks (fewer
+        # grid steps dominate), the shared layer-1 branch peaks earlier
+        block = 2048 if img.shape[0] > 1 else 1024
     blk = min(block, m)
     assert m % blk == 0, (m, blk)
     if interpret is None:
@@ -462,8 +507,10 @@ def i2t_update(img: jnp.ndarray, peq: jnp.ndarray, tok_k: jnp.ndarray,
     vecs = vecs.at[1].set(b_out.astype(img.dtype))
     vecs = vecs.at[2].set(ln_scale.astype(img.dtype))
     vecs = vecs.at[3].set(ln_bias.astype(img.dtype))
+    wkvt = (None if w_kv_next is None
+            else jnp.transpose(w_kv_next, (1, 0)).astype(img.dtype))
     return _i2t_call(img, peq, kbd, vbd, w, vecs, t, float(eps), blk,
-                     img.shape[0] == 1, interpret)
+                     img.shape[0] == 1, interpret, wkvt=wkvt)
 
 
 def attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

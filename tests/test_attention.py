@@ -175,3 +175,35 @@ def test_i2t_update_matches_xla(rng):
                 jnp.asarray(ln_b), heads, eps=eps, block=128))
             np.testing.assert_allclose(out, ref(img), atol=3e-4,
                                        rtol=1e-4)
+
+
+def test_i2t_update_emits_next_kv(rng):
+    """i2t_update(w_kv_next=...) must return kvt equal to the transposed
+    k|v projection of the updated image branch."""
+    import jax.numpy as jnp
+    from revisit_anything_tpu.ops.attention import i2t_update
+
+    b, t, heads, m, d = 2, 7, 4, 256, 64
+    da = d // 2
+    hd = da // heads
+    img = jnp.asarray(rng.standard_normal((b, m, d)), jnp.float32)
+    peq = jnp.asarray(rng.standard_normal((1, m, da)), jnp.float32)
+    tok_k = jnp.asarray(rng.standard_normal((b, t, da)), jnp.float32)
+    tok_v = jnp.asarray(rng.standard_normal((b, t, da)), jnp.float32)
+    w_q = jnp.asarray(rng.standard_normal((d, da)) * 0.1, jnp.float32)
+    b_q = jnp.asarray(rng.standard_normal((da,)), jnp.float32)
+    w_out = jnp.asarray(rng.standard_normal((da, d)) * 0.1, jnp.float32)
+    b_out = jnp.asarray(rng.standard_normal((d,)), jnp.float32)
+    ln_s = jnp.asarray(rng.standard_normal((d,)) + 1.0, jnp.float32)
+    ln_b = jnp.asarray(rng.standard_normal((d,)), jnp.float32)
+    w_kv = jnp.asarray(rng.standard_normal((d, 2 * da)) * 0.1, jnp.float32)
+
+    ref_keys = i2t_update(img, peq, tok_k, tok_v, w_q, b_q, w_out, b_out,
+                          ln_s, ln_b, heads, block=128)
+    keys2, kvt = i2t_update(img, peq, tok_k, tok_v, w_q, b_q, w_out,
+                            b_out, ln_s, ln_b, heads, block=128,
+                            w_kv_next=w_kv)
+    np.testing.assert_allclose(np.asarray(keys2), np.asarray(ref_keys),
+                               atol=1e-5)
+    want = np.einsum("dk,bmd->bkm", np.asarray(w_kv), np.asarray(ref_keys))
+    np.testing.assert_allclose(np.asarray(kvt), want, atol=2e-4, rtol=1e-4)
