@@ -597,6 +597,7 @@ def cmd_build_index(args):
     np.savez_compressed(
         args.output,
         db=db.astype(np.float32),
+        db_dtype=np.asarray(args.db_dtype),
         db_image_ids=bank.image_indices,
         image_keys=np.asarray(banks["r"][1]),
         centers=centers,
@@ -740,6 +741,11 @@ def main(argv=None):
     p.add_argument("--finetuned", action="store_true")
     p.add_argument("--cache-root", default="./cache")
     p.add_argument("--output", required=True)
+    p.add_argument("--db-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="device storage dtype for the database rows; "
+                        "bfloat16 halves serving HBM (kNN still "
+                        "accumulates f32)")
     p.set_defaults(func=cmd_build_index)
 
     p = sub.add_parser("query", help="online query: one image vs a "

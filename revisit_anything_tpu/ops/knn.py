@@ -52,8 +52,16 @@ def _knn_scores(query: jnp.ndarray, db: jnp.ndarray, db_norms: jnp.ndarray,
     def body(carry, tile):
         best_s, best_i = carry
         d_tile, n_tile, tile_no = tile
-        s = jnp.dot(query, d_tile.T, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+        if db.dtype == jnp.bfloat16:
+            # half-memory database: bf16 x bf16 multiplies are exact into
+            # the MXU's f32 accumulator; only the one-time bf16 rounding
+            # of the operands applies (≤4e-3 relative per element)
+            s = jnp.dot(query.astype(jnp.bfloat16), d_tile.T,
+                        preferred_element_type=jnp.float32)
+        else:
+            s = jnp.dot(query, d_tile.T,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
         s = s - 0.5 * n_tile[None, :]
         idx = tile_no * db_tile + jnp.arange(db_tile, dtype=jnp.int32)
         cand_s = jnp.concatenate([best_s, s], axis=1)

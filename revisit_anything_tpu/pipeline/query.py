@@ -87,7 +87,10 @@ def query_topk_images(desc: jnp.ndarray,
     k = min(knn_topk, nd)
     tile = min(db_tile, max(128, nd))
     db_p = _pad_rows(db, tile, 0.0)
-    norms = jnp.sum(db_p * db_p, axis=1)
+    # f32 norms regardless of db storage dtype (bf16 dbs halve HBM; their
+    # norms must still accumulate in f32 to match the kNN dot's values)
+    norms = jnp.sum(db_p.astype(jnp.float32) * db_p.astype(jnp.float32),
+                    axis=1)
     if db_p.shape[0] > nd:
         pad_mask = jnp.arange(db_p.shape[0]) >= nd
         norms = jnp.where(pad_mask, jnp.inf, norms)

@@ -141,6 +141,13 @@ class ServingIndex:
     db_image_ids: np.ndarray       # [Nd]
     num_ref_images: int
     order: int = 3
+    # device storage dtype for the database rows. "bfloat16" halves HBM
+    # (a 1M-segment 1024-d db: 4 GB f32 → 2 GB) — the kNN matmul still
+    # accumulates f32 on the MXU, only the one-time bf16 rounding of the
+    # stored rows applies (≤4e-3 relative; rank flips only at near-ties).
+    # Databases beyond one chip shard over the mesh's data axis instead
+    # (SegVLADServer mesh handling below).
+    db_dtype: str = "float32"
 
     @classmethod
     def from_npz(cls, path: str) -> "ServingIndex":
@@ -151,7 +158,9 @@ class ServingIndex:
                    pca_whiten=bool(z["pca_whiten"]), db=z["db"],
                    db_image_ids=z["db_image_ids"],
                    num_ref_images=int(z["db_image_ids"].max()) + 1,
-                   order=int(z["order"]))
+                   order=int(z["order"]),
+                   db_dtype=str(z["db_dtype"]) if "db_dtype" in z
+                   else "float32")
 
 
 class SegVLADServer:
@@ -242,7 +251,8 @@ class SegVLADServer:
         self._pca_comps = jnp.asarray(index.pca_components.astype(np.float32))
         self._pca_var = jnp.asarray(index.pca_variance.astype(np.float32))
         self._whiten = bool(index.pca_whiten)
-        db = index.db.astype(np.float32)
+        db_np_dtype = jnp.dtype(index.db_dtype)
+        db = index.db.astype(db_np_dtype)
         db_ids = index.db_image_ids.astype(np.int32)
         if self._mesh is not None and self._mesh.devices.size > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -256,7 +266,7 @@ class SegVLADServer:
                 # harmless: duplicate the last row's vector with id of the
                 # last image would distort votes, so use +inf-norm rows.
                 db = np.concatenate(
-                    [db, np.full((pad, db.shape[1]), 1e6, np.float32)])
+                    [db, np.full((pad, db.shape[1]), 1e6, db_np_dtype)])
                 db_ids = np.concatenate(
                     [db_ids, np.full((pad,), db_ids[-1], np.int32)])
             self._db = jax.device_put(

@@ -183,3 +183,27 @@ def test_serving_sharded_db_matches_unsharded(models):
     img = _image(rng)
     np.testing.assert_array_equal(srv_single.query(img),
                                   srv_mesh.query(img))
+
+
+def test_bf16_db_matches_f32_topk(models):
+    """db_dtype='bfloat16' (half-HBM serving database) must produce the
+    same top-k images as f32 storage on separated synthetic data."""
+    import dataclasses
+    sam_params, dino_params = models
+    rng = np.random.default_rng(11)
+    amg = AmgConfig(points_per_side=6, points_per_batch=36,
+                    pred_iou_thresh=-1e9, stability_score_thresh=0.0)
+    idx32 = _index(rng)
+    idx16 = dataclasses.replace(idx32, db_dtype="bfloat16")
+
+    def build(index):
+        return SegVLADServer(
+            sam_params=sam_params, sam_cfg=SAM_SMALL,
+            dino_params=dino_params, dino_cfg=DINO_SMALL, index=index,
+            full_hw=(H, W), sam_hw=(H // 2, W // 2), amg=amg,
+            dino_layer=1, max_masks=32, top_images=5)
+
+    img = _image(np.random.default_rng(4))
+    top32 = build(idx32).query(img)
+    top16 = build(idx16).query(img)
+    np.testing.assert_array_equal(top32, top16)
