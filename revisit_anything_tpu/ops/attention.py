@@ -359,35 +359,43 @@ def _i2t_call(img, peq, kbd, vbd, w, vecs, n_tok: int, eps: float,
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
 
 
 def _token_attn_kv_kernel(q_ref, kvt_ref, pek_ref, vb_ref, o_ref, *,
-                          heads: int, hd: int, scale: float):
-    """Like _token_attn_kernel but k/v arrive CONCATENATED ([1, 2D, M],
+                          heads: int, hd: int, scale: float,
+                          group: int):
+    """Like _token_attn_kernel but k/v arrive CONCATENATED ([G, 2D, M],
     one projection pass over the image branch instead of two) with the
-    positional term and value bias folded in here, inside VMEM."""
+    positional term and value bias folded in here, inside VMEM. ``group``
+    prompts run per grid step (one step per prompt drowned in per-step
+    DMA/setup overhead)."""
     d = heads * hd
-    kv = kvt_ref[0]                     # [2D, M]
-    kt = kv[:d] + pek_ref[0]
-    vt = kv[d:] + vb_ref[...][:, 0:1]
-    q = q_ref[0]                        # [n_pad, D]
-    for h in range(heads):
-        qh = q[:, h * hd:(h + 1) * hd]
-        kh = kt[h * hd:(h + 1) * hd, :]
-        s = jax.lax.dot_general(
-            qh, kh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale   # [n_pad, M]
-        mx = jnp.max(s, axis=1, keepdims=True)
-        e = jnp.exp(s - mx)
-        z = jnp.sum(e, axis=1, keepdims=True)
-        p = (e / z).astype(kvt_ref.dtype)
-        vh = vt[h * hd:(h + 1) * hd, :]
-        oh = jax.lax.dot_general(
-            p, vh, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        o_ref[0, :, h * hd:(h + 1) * hd] = oh.astype(o_ref.dtype)
+    pe = pek_ref[0]
+    vb = vb_ref[...][:, 0:1]
+    for g in range(group):
+        kv = kvt_ref[g] if kvt_ref.shape[0] > 1 else kvt_ref[0]
+        kt = kv[:d] + pe
+        vt = kv[d:] + vb
+        q = q_ref[g]                    # [n_pad, D]
+        for h in range(heads):
+            qh = q[:, h * hd:(h + 1) * hd]
+            kh = kt[h * hd:(h + 1) * hd, :]
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # [n_pad, M]
+            mx = jnp.max(s, axis=1, keepdims=True)
+            e = jnp.exp(s - mx)
+            z = jnp.sum(e, axis=1, keepdims=True)
+            p = (e / z).astype(kvt_ref.dtype)
+            vh = vt[h * hd:(h + 1) * hd, :]
+            oh = jax.lax.dot_general(
+                p, vh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[g, :, h * hd:(h + 1) * hd] = oh.astype(o_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("heads", "hd", "scale", "interpret",
@@ -396,14 +404,25 @@ def _token_cross_kv(q, kvt, pek, vb, heads: int, hd: int, scale: float,
                     interpret: bool, kv_shared: bool):
     b, n, d = q.shape
     m = kvt.shape[2]
-    kernel = partial(_token_attn_kv_kernel, heads=heads, hd=hd, scale=scale)
+    # group size bounded by VMEM: per-prompt kv block is 2·d·m bytes
+    # (bf16) and Pallas double-buffers inputs; stay within ~48 MB scoped
+    # vmem (v5e has 128 MB physical; the 16 MB default is conservative)
+    kv_bytes = 2 * d * m * q.dtype.itemsize
+    group = next(g for g in (8, 4, 2, 1)
+                 if b % g == 0 and (1 if kv_shared else g)
+                 * kv_bytes * 2 <= 48 * 1024 * 1024)
+    kernel = partial(_token_attn_kv_kernel, heads=heads, hd=hd,
+                     scale=scale, group=group)
     return pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // group,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
-            pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((group, n, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * d, m),
+            pl.BlockSpec((1, 2 * d, m) if kv_shared
+                         else (group, 2 * d, m),
                          (lambda i: (0, 0, 0)) if kv_shared
                          else (lambda i: (i, 0, 0)),
                          memory_space=pltpu.VMEM),
@@ -412,7 +431,7 @@ def _token_cross_kv(q, kvt, pek, vb, heads: int, hd: int, scale: float,
             pl.BlockSpec((d, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((group, n, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, d), q.dtype),
         interpret=interpret,

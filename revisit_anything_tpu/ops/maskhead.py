@@ -153,7 +153,7 @@ def fused_mask_head(keys: jnp.ndarray, hyper: jnp.ndarray,
                     ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
                     up2_w: jnp.ndarray, up2_b: jnp.ndarray,
                     eps: float = 1e-6,
-                    block: int = 512,
+                    block: int = 2048,
                     interpret: bool = False) -> jnp.ndarray:
     """Mask logits in block layout via the fused kernel.
 
