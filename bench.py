@@ -33,7 +33,10 @@ MFU: per-stage FLOPs come from XLA's compiled cost analysis
 (jit(...).lower().compile().cost_analysis()), peak from BENCH_PEAK_FLOPS
 (default 197e12 — TPU v5e bf16). Stage times are sync-measured minus the
 measured host↔device round-trip latency (the axon tunnel RTT dominates
-single-op timings).
+single-op timings). cost_analysis cannot see inside Pallas kernels; the
+decode stage (whose matmuls now live almost entirely in kernels) adds an
+analytic per-prompt count (_decode_kernel_flops) — encode/DINO kernel
+flops are <1% of their totals and are left uncounted.
 """
 
 import json
@@ -45,6 +48,23 @@ import numpy as np
 
 BASELINE_QPS = 0.45
 PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))
+
+
+def _decode_kernel_flops(n_prompts: int) -> float:
+    """Matmul FLOPs executed inside the decode-path Pallas kernels
+    (invisible to XLA cost_analysis), per prompt batch — SAM ViT-H dims:
+    M=4096 image positions, D=256, DA=128 cross-attn dim, H*T=56
+    block-diagonal token lanes, mask head c1=64/c2=32."""
+    m, d, da, ht = 4096, 256, 128, 56
+    i2t = (m * d * da * 2          # q projection
+           + m * da * ht * 2 * 2   # logits + p@v (block-diagonal)
+           + m * da * d * 2        # out projection
+           + m * d * 2 * da * 2)   # next-attention k|v emission
+    t2i = 8 * 8 * 16 * m * 2 * 2 * 3        # 3 attends, tokens tiny
+    mask_head = (m * d * d * 2               # conv1
+                 + m * d * 512 * 2           # conv2 (block-diag, w/ zeros)
+                 + m * 512 * 48 * 2)         # hypernetwork
+    return float(n_prompts) * (2 * i2t + t2i + mask_head)
 
 
 def _flops(jitted, *args, **kwargs):
@@ -177,9 +197,9 @@ def main():
             _flops(encode_image, sam_params, SAM_VIT_H, pre)),
         "sam_decode_all": (
             timed(decode_once) * n_batches,
-            _flops(_decode_batch, sam_params, SAM_VIT_H, emb,
-                   server._image_pe, pts0, server.input_hw, sam_hw,
-                   amg) * n_batches),
+            (_flops(_decode_batch, sam_params, SAM_VIT_H, emb,
+                    server._image_pe, pts0, server.input_hw, sam_hw, amg)
+             + _decode_kernel_flops(server._bsz)) * n_batches),
         "dino_extract": (
             timed(lambda: _dino_desc_device(dino_params, dino_cfg, img_dev,
                                             31, "value", server._crop)),
