@@ -50,11 +50,11 @@ BASELINE_QPS = 0.45
 PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))
 
 
-def _decode_kernel_flops(n_prompts: int) -> float:
+def _decode_kernel_flops(n_prompts: int, orig_hw=(240, 320)) -> float:
     """Matmul FLOPs executed inside the decode-path Pallas kernels
     (invisible to XLA cost_analysis), per prompt batch — SAM ViT-H dims:
     M=4096 image positions, D=256, DA=128 cross-attn dim, H*T=56
-    block-diagonal token lanes, mask head c1=64/c2=32."""
+    block-diagonal token lanes, mask head c1=64/c2=32, resize g=64."""
     m, d, da, ht = 4096, 256, 128, 56
     i2t = (m * d * da * 2          # q projection
            + m * da * ht * 2 * 2   # logits + p@v (block-diagonal)
@@ -64,7 +64,10 @@ def _decode_kernel_flops(n_prompts: int) -> float:
     mask_head = (m * d * d * 2               # conv1
                  + m * d * 512 * 2           # conv2 (block-diag, w/ zeros)
                  + m * 512 * 48 * 2)         # hypernetwork
-    return float(n_prompts) * (2 * i2t + t2i + mask_head)
+    oh, ow = orig_hw
+    resize = (oh * 256 * 768 * 2             # row contraction [H,4g]x[4g,3·4g]
+              + 3 * oh * 256 * ow * 2)       # 3 column contractions
+    return float(n_prompts) * (2 * i2t + t2i + mask_head + resize)
 
 
 def _flops(jitted, *args, **kwargs):
@@ -199,7 +202,7 @@ def main():
             timed(decode_once) * n_batches,
             (_flops(_decode_batch, sam_params, SAM_VIT_H, emb,
                     server._image_pe, pts0, server.input_hw, sam_hw, amg)
-             + _decode_kernel_flops(server._bsz)) * n_batches),
+             + _decode_kernel_flops(server._bsz, sam_hw)) * n_batches),
         "dino_extract": (
             timed(lambda: _dino_desc_device(dino_params, dino_cfg, img_dev,
                                             31, "value", server._crop)),

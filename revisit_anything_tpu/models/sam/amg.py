@@ -168,39 +168,38 @@ def _decode_batch(params: Params, cfg: SamArchConfig,
 
     # postprocess_masks (sam.py:144-174): lowres → 1024² → unpad → original.
     # The chain (bilinear 256→1024, slice to input, bilinear → original) is
-    # a composition of per-axis linear maps — fused here into ONE exact
+    # a composition of per-axis linear maps — fused into ONE exact
     # [orig, 256] matrix per axis, never materializing the 1024² tensor
     # (which at 256 prompts × 3 masks is 3.2 GB f32). The decoder's 2x2
-    # block layout is folded in as well (spatial row = 4i + 2a1 + a2, so
-    # wh.reshape(orig, g, 2, 2) indexes [o, i, a1, a2] directly): the
-    # spatial 256² lowres tensor and its layout copies never exist.
+    # block layout is folded in as well (spatial row = 4i + 2a1 + a2): the
+    # spatial 256² lowres tensor and its layout copies never exist. On TPU
+    # the whole resize + the three thresholdings (mask, stability hi/lo)
+    # run in one Pallas pass (ops/maskresize.py) so the f32 logits at
+    # original resolution never touch HBM either — only uint8 flags do.
+    from revisit_anything_tpu.ops.maskresize import (fused_resize_flags,
+                                                     resize_flags_reference)
     from revisit_anything_tpu.ops.resize import bilinear_weight_matrix
     up_h = bilinear_weight_matrix(cfg.image_size, cfg.lowres_size)
     wh = (bilinear_weight_matrix(orig_hw[0], input_hw[0])
           @ up_h[:input_hw[0]])
     ww = (bilinear_weight_matrix(orig_hw[1], input_hw[1])
           @ up_h[:input_hw[1]])
-    g = cfg.grid
-    wh_blk = jnp.asarray(wh.reshape(orig_hw[0], g, 2, 2))
-    ww_blk = jnp.asarray(ww.reshape(orig_hw[1], g, 2, 2))
-    # lowres_blk [Np, g², 16(=a1 b1 a2 b2), 3] →
-    # [N, i, j, a1, b1, a2, b2, m] (contiguous reshape, no data movement)
-    m = lowres_blk.reshape(-1, g, g, 2, 2, 2, 2, 3)
-    m = jnp.einsum("oiac,nijabcdm->nojbdm", wh_blk.astype(m.dtype), m,
-                   preferred_element_type=jnp.float32)
-    m = jnp.einsum("pjbd,nojbdm->nmop", ww_blk.astype(jnp.float32),
-                   m.astype(jnp.float32),
-                   precision=jax.lax.Precision.HIGHEST)
-    m = m.reshape(-1, orig_hw[0], orig_hw[1])
-
-    # Stability score (utils/amg.py:156-176) on the logits.
     thr = cfg.mask_threshold
     off = amg.stability_score_offset
-    hi = jnp.sum(m > (thr + off), axis=(1, 2)).astype(jnp.float32)
-    lo = jnp.sum(m > (thr - off), axis=(1, 2)).astype(jnp.float32)
+    if jax.default_backend() == "tpu":
+        flags = fused_resize_flags(lowres_blk, wh, ww, thr, off)
+    else:
+        flags = resize_flags_reference(lowres_blk, wh, ww, thr, off)
+    flags = flags.reshape(-1, orig_hw[0], orig_hw[1])
+
+    # Stability score (utils/amg.py:156-176) from the flag counts.
+    hi = jnp.sum(flags >> 2, axis=(1, 2), dtype=jnp.int32
+                 ).astype(jnp.float32)
+    lo = jnp.sum(flags & 1, axis=(1, 2), dtype=jnp.int32
+                 ).astype(jnp.float32)
     stability = hi / jnp.maximum(lo, 1.0)
 
-    masks_bool = m > thr
+    masks_bool = (flags & 2).astype(bool)
     # batched_mask_to_box (utils/amg.py:303-346): XYXY where x2/y2 are the
     # LAST true pixel indices (no +1); empty masks → [0,0,0,0].
     hgt, wid = orig_hw

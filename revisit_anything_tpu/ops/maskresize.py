@@ -1,0 +1,141 @@
+"""Fused lowres→original mask resize + threshold flags, one Pallas pass.
+
+amg._decode_batch turns the decoder's block-layout mask logits into
+original-resolution candidate masks plus per-candidate statistics
+(postprocess_masks, sam.py:144-174; stability score, utils/amg.py:156-176).
+As XLA einsums that chain materializes two large f32 intermediates per
+prompt batch — the row-contracted [Np, H, 4g, M] tensor and the final
+[Np·M, H, W] logits (~750 MB f32 per 128-prompt batch at 240×320) — and
+the logits are then re-read by the threshold/stability/box reductions.
+Decode is bandwidth-bound, so those bytes are wall-clock.
+
+This kernel keeps the whole per-prompt chain in VMEM. Per grid step it
+loads one prompt's block logits (re-arranged so both resize contractions
+are lane-aligned matmuls), applies the two per-axis bilinear matrices,
+and emits only a uint8 *flag* image per mask encoding the three
+thresholdings the caller needs:
+
+  bit 0:  logits > threshold − offset   (stability denominator)
+  bit 1:  logits > threshold            (the mask itself)
+  bit 2:  logits > threshold + offset   (stability numerator)
+
+HBM traffic becomes block-logits-in (bf16) + flags-out (uint8) — the f32
+intermediates never exist. Downstream, the mask is `flags & 2`, and the
+stability counts are tiny integer reductions over uint8.
+
+Parity: the row contraction runs bf16×bf16 with f32 accumulation and the
+column contraction f32×f32, exactly like the einsum path (whose first
+einsum casts the resize matrix to the logits dtype), so flags match the
+XLA chain bit-for-bit up to f32 matmul associativity (tested in
+interpret mode and vs the einsum chain).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _resize_flags_kernel(lx_ref, wh_ref, wwt_ref, o_ref, *, thr: float,
+                         off: float, n_masks: int):
+    """One prompt: [4g, M·4g] block logits → [M, H, W] uint8 flags.
+
+    lx_ref:  [1, 4g, M·4g]  logits, rows (i,a,c), cols (m,j,b,d)
+    wh_ref:  [H, 4g]        row-resize matrix (logits dtype)
+    wwt_ref: [4g, W]        column-resize matrix, transposed (f32)
+    o_ref:   [1, M, H, W]   uint8 threshold flags
+    """
+    tmp = jax.lax.dot_general(
+        wh_ref[...], lx_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [H, M·4g]
+    k = tmp.shape[1] // n_masks
+    for m in range(n_masks):
+        logits = jax.lax.dot_general(
+            tmp[:, m * k:(m + 1) * k], wwt_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [H, W]
+        # flag arithmetic in i32 (Mosaic has no i8 vector add), one
+        # truncating cast at the store
+        flags = ((logits > thr - off).astype(jnp.int32)
+                 + (logits > thr).astype(jnp.int32) * 2
+                 + (logits > thr + off).astype(jnp.int32) * 4)
+        o_ref[0, m] = flags.astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("thr", "off", "interpret"))
+def fused_resize_flags(lowres_blk: jnp.ndarray, wh: jnp.ndarray,
+                       ww: jnp.ndarray, thr: float, off: float,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Resize block-layout mask logits and threshold, fused.
+
+    Args:
+      lowres_blk: [Np, g², 16, M] decoder block-layout logits, where the
+        16 dim is (a1, b1, a2, b2) — decoder._upscale_masks_blocks.
+      wh: [H, 4g] composed row-axis bilinear matrix whose column index is
+        (i, a1, a2) = 4i + 2a1 + a2 (amg._decode_batch's ``wh``).
+      ww: [W, 4g] same for columns, index (j, b1, b2).
+      thr: mask_threshold; off: stability_score_offset.
+
+    Returns:
+      [Np, M, H, W] uint8 flags (see module docstring).
+    """
+    np_, gg, sixteen, n_masks = lowres_blk.shape
+    assert sixteen == 16, lowres_blk.shape
+    g = math.isqrt(gg)
+    h, w = wh.shape[0], ww.shape[0]
+
+    # [n, i, j, a, b, c, d, m] → rows (i, a, c), cols (m, j, b, d): both
+    # contractions become lane-aligned matmuls and the per-mask column
+    # slice is contiguous.
+    lx = lowres_blk.reshape(np_, g, g, 2, 2, 2, 2, n_masks)
+    lx = lx.transpose(0, 1, 3, 5, 7, 2, 4, 6).reshape(
+        np_, 4 * g, n_masks * 4 * g)
+
+    wh_d = jnp.asarray(wh, lowres_blk.dtype)             # match einsum path
+    wwt = jnp.asarray(ww, jnp.float32).T
+
+    kernel = partial(_resize_flags_kernel, thr=float(thr), off=float(off),
+                     n_masks=n_masks)
+    return pl.pallas_call(
+        kernel,
+        grid=(np_,),
+        in_specs=[
+            pl.BlockSpec((1, 4 * g, n_masks * 4 * g), lambda n: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, 4 * g), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * g, w), lambda n: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n_masks, h, w), lambda n: (n, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, n_masks, h, w), jnp.uint8),
+        interpret=interpret,
+    )(lx, wh_d, wwt)
+
+
+def resize_flags_reference(lowres_blk: jnp.ndarray, wh: np.ndarray,
+                           ww: np.ndarray, thr: float,
+                           off: float) -> jnp.ndarray:
+    """The XLA einsum chain the kernel replaces (amg._decode_batch's
+    original math), emitting the same uint8 flags — the fallback for
+    non-TPU backends and the kernel's parity oracle."""
+    np_, gg, _, n_masks = lowres_blk.shape
+    g = math.isqrt(gg)
+    h, w = wh.shape[0], ww.shape[0]
+    wh_blk = jnp.asarray(wh.reshape(h, g, 2, 2), lowres_blk.dtype)
+    ww_blk = jnp.asarray(ww.reshape(w, g, 2, 2), jnp.float32)
+    m = lowres_blk.reshape(-1, g, g, 2, 2, 2, 2, n_masks)
+    m = jnp.einsum("oiac,nijabcdm->nojbdm", wh_blk, m,
+                   preferred_element_type=jnp.float32)
+    m = jnp.einsum("pjbd,nojbdm->nmop", ww_blk, m.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST)
+    return ((m > thr - off).astype(jnp.uint8)
+            + (m > thr).astype(jnp.uint8) * 2
+            + (m > thr + off).astype(jnp.uint8) * 4)

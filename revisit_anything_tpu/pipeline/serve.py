@@ -259,12 +259,9 @@ class SegVLADServer:
             d = int(self._mesh.devices.size)
             pad = (-len(db)) % d
             if pad:
-                # padding rows: zero vectors with an out-of-range image id
-                # mapped to a dead bin (num_ref_images) — they are masked
-                # out by the kNN's +inf norm guard in query_topk_images
-                # only for rows >= nd, so instead keep them retrievable but
-                # harmless: duplicate the last row's vector with id of the
-                # last image would distort votes, so use +inf-norm rows.
+                # shard-padding rows: huge-norm vectors score -inf in the
+                # kNN (score = q·d − ||d||²/2) so they can never surface;
+                # their image id is never read
                 db = np.concatenate(
                     [db, np.full((pad, db.shape[1]), 1e6, db_np_dtype)])
                 db_ids = np.concatenate(
