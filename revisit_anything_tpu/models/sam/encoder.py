@@ -73,6 +73,18 @@ def _rel_pos_gather(rel_pos: jnp.ndarray, q_size: int, k_size: int) -> jnp.ndarr
     return rel_pos[jnp.asarray(rel.astype(np.int64))]
 
 
+# flash-attention gate: minimum token count. 1024 = global layers only;
+# 196 also routes the 14x14 windowed layers through the kernel — measured
+# 38% SLOWER end-to-end (50.4 -> 69.5 ms encode): at N=196 the [B*nW,
+# nh, 196, 196] score tensor fits VMEM-friendly XLA fusions, while the
+# kernel pays its grid/pipeline overhead 28 times. Keep 1024.
+_FLASH_MIN_TOKENS = 1024
+
+
+def _round_up_flash(n: int) -> int:
+    return -(-n // 128) * 128
+
+
 def _attention(x: jnp.ndarray, blk: Params, cfg: SamArchConfig) -> jnp.ndarray:
     """Windowed/global attention over NHWC tokens with decomposed rel-pos
     bias (image_encoder.py:185-240, :292-361).
@@ -91,7 +103,7 @@ def _attention(x: jnp.ndarray, blk: Params, cfg: SamArchConfig) -> jnp.ndarray:
     v = qkv[..., 2 * d:].reshape(b, h * w, nh, hd)
 
     use_flash = (jax.default_backend() == "tpu" and h == w
-                 and h * w >= 1024)
+                 and h * w >= _FLASH_MIN_TOKENS)
     if use_flash:
         from revisit_anything_tpu.ops.attention import attend
         rh = _rel_pos_gather(blk["rel_pos_h"], h, h)
@@ -105,10 +117,11 @@ def _attention(x: jnp.ndarray, blk: Params, cfg: SamArchConfig) -> jnp.ndarray:
                             preferred_element_type=jnp.float32
                             ).astype(x.dtype).reshape(b, nh, h * w, w)
         # block_q=512: halves the kernel's K/V re-fetch traffic per query
-        # block (measured faster than the 256 default at N=4096)
+        # block (measured faster than the 256 default at N=4096); small
+        # windowed layers (N=196) fit one block
         out = attend(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                      v.transpose(0, 2, 1, 3), bias_h, bias_w, side=h,
-                     block_q=512)
+                     block_q=min(512, _round_up_flash(h * w)))
         out = out.transpose(0, 2, 1, 3).reshape(b, h * w, nh * hd)
         return _dense(out, blk["proj"]).reshape(b, h, w, d)
 
