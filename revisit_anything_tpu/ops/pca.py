@@ -111,3 +111,64 @@ def pca_fit(x: jnp.ndarray, num_components: int, whiten: bool = True,
     components = components * signs[:, None]
 
     return PCAParams(mean, components, explained_variance, whiten)
+
+
+def pca_fit_full(x: jnp.ndarray) -> PCAParams:
+    """Full-spectrum PCA (sklearn ``svd_solver='full'`` semantics): all
+    min(N, D) components via exact SVD of the centered data, svd_flip
+    sign determinism. Used by :func:`reduce_pca`'s split-spectrum mode,
+    which needs the LOWEST-eigenvalue components too."""
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[0]
+    mean = jnp.mean(x, axis=0)
+    _, s, vt = jnp.linalg.svd(x - mean, full_matrices=False)
+    idx = jnp.argmax(jnp.abs(vt), axis=1)
+    signs = jnp.sign(vt[jnp.arange(vt.shape[0]), idx])
+    components = vt * signs[:, None]
+    return PCAParams(mean, components, (s ** 2) / (n - 1), False)
+
+
+def reduce_pca(train_descs: np.ndarray, test_descs: np.ndarray,
+               lower_dim: int, low_factor: float = 0.0,
+               fallback: int = 256,
+               whitening: bool = False) -> tuple:
+    """Reduce train/test descriptors with PCA fit on the train set —
+    the AnyLoc helper (utilities.py:522-589), TPU-native.
+
+    ``low_factor`` > 0 takes that fraction of the ``lower_dim`` basis
+    vectors from the BOTTOM of the spectrum (least eigenvalues) and the
+    rest from the top; when the train set has fewer samples than
+    features, both sets are first projected to ``fallback`` dims with a
+    PCA fit on their concatenation (reference behavior).
+    """
+    assert 0.0 <= low_factor <= 1.0
+    train = jnp.asarray(train_descs, jnp.float32)
+    test = jnp.asarray(test_descs, jnp.float32)
+    if low_factor == 0.0:
+        params = pca_fit_full(train)
+        params = PCAParams(params.mean, params.components[:lower_dim],
+                           params.explained_variance[:lower_dim],
+                           whitening)
+        return (np.asarray(pca_apply(train, params)),
+                np.asarray(pca_apply(test, params)))
+
+    n_samples, n_feat = train.shape
+    if n_samples < n_feat:
+        both = jnp.concatenate([train, test])
+        params = pca_fit_full(both)
+        params = PCAParams(params.mean, params.components[:fallback],
+                           params.explained_variance[:fallback], False)
+        down = pca_apply(both, params)
+        train, test = down[:n_samples], down[n_samples:]
+
+    n_down = int(low_factor * lower_dim)
+    n_up = lower_dim - n_down
+    params = pca_fit_full(train)
+    if n_down == 0:       # arr[-0:] would be the whole spectrum
+        comps = params.components[:lower_dim]
+    else:
+        comps = jnp.concatenate([params.components[:n_up],
+                                 params.components[-n_down:]])
+    tf = PCAParams(params.mean, comps, jnp.ones((comps.shape[0],)), False)
+    return (np.asarray(pca_apply(train, tf)),
+            np.asarray(pca_apply(test, tf)))

@@ -57,3 +57,38 @@ def test_whitened_output_is_decorrelated(rng):
     y = np.asarray(pca_apply(x, params))
     cov = np.cov(y.T)
     np.testing.assert_allclose(cov, np.eye(8), atol=0.15)
+
+
+def test_reduce_pca_matches_sklearn(rng):
+    from revisit_anything_tpu.ops.pca import reduce_pca
+    train = rng.standard_normal((300, 48)).astype(np.float32)
+    test = rng.standard_normal((40, 48)).astype(np.float32)
+    ours_tr, ours_te = reduce_pca(train, test, 16)
+    ref = PCA(16, svd_solver="full")
+    ref_tr = ref.fit_transform(train)
+    ref_te = ref.transform(test)
+    np.testing.assert_allclose(ours_tr, ref_tr, atol=2e-3)
+    np.testing.assert_allclose(ours_te, ref_te, atol=2e-3)
+
+
+def test_reduce_pca_split_spectrum(rng):
+    """low_factor mode: bottom-of-spectrum components are included
+    (utilities.py:565-586 semantics)."""
+    from revisit_anything_tpu.ops.pca import reduce_pca
+    train = rng.standard_normal((300, 48)).astype(np.float32)
+    test = rng.standard_normal((40, 48)).astype(np.float32)
+    ours_tr, ours_te = reduce_pca(train, test, 10, low_factor=0.3)
+    assert ours_tr.shape == (300, 10) and ours_te.shape == (40, 10)
+    ref = PCA(48, svd_solver="full").fit(train)
+    tf = np.concatenate([ref.components_[:7], ref.components_[-3:]])
+    np.testing.assert_allclose(ours_tr, (train - ref.mean_) @ tf.T,
+                               atol=2e-3)
+
+
+def test_reduce_pca_fallback_few_samples(rng):
+    from revisit_anything_tpu.ops.pca import reduce_pca
+    train = rng.standard_normal((30, 64)).astype(np.float32)
+    test = rng.standard_normal((10, 64)).astype(np.float32)
+    out_tr, out_te = reduce_pca(train, test, 8, low_factor=0.25,
+                                fallback=20)
+    assert out_tr.shape == (30, 8) and out_te.shape == (10, 8)
