@@ -143,3 +143,17 @@ def global_vlad(desc: jnp.ndarray, centers: jnp.ndarray,
     """
     mask = jnp.ones((1, desc.shape[0]), dtype=bool)
     return segment_vlad(desc, centers, mask, None, num_clusters)[0]
+
+
+@jax.jit
+def concat_center_residuals(centers: jnp.ndarray,
+                            desc: jnp.ndarray) -> jnp.ndarray:
+    """Concatenated per-center residual directions — the AnyLoc pooling
+    variant ``concat_desc_dists_clusters`` (utilities.py:590-621): each
+    descriptor's residual to EVERY center, intra-normalized per center,
+    concatenated, then L2-normalized per descriptor. Returns [N, C*D]."""
+    res = desc[:, None, :].astype(jnp.float32) \
+        - centers[None].astype(jnp.float32)               # [N, C, D]
+    res = l2_normalize(res, axis=-1)
+    flat = res.reshape(desc.shape[0], -1)
+    return l2_normalize(flat, axis=-1)

@@ -96,3 +96,18 @@ def test_l2_normalize_zero_safe():
     x = np.zeros((2, 4), dtype=np.float32)
     out = np.asarray(l2_normalize(x))
     np.testing.assert_array_equal(out, 0.0)
+
+
+def test_concat_center_residuals_matches_torch():
+    import torch
+    from revisit_anything_tpu.ops.vlad import concat_center_residuals
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((8, 16)).astype(np.float32)
+    desc = rng.standard_normal((20, 16)).astype(np.float32)
+    tc, td = torch.tensor(centers), torch.tensor(desc)
+    all_d = td[:, None, :] - tc[None]
+    nall = all_d / all_d.norm(dim=-1, keepdim=True)
+    cat = nall.reshape(20, -1)
+    want = (cat / cat.norm(dim=-1, keepdim=True)).numpy()
+    got = np.asarray(concat_center_residuals(centers, desc))
+    np.testing.assert_allclose(got, want, atol=1e-5)
