@@ -24,6 +24,64 @@ from revisit_anything_tpu.ops.vlad import (expand_super_masks,
                                            hard_assignment, l2_normalize)
 
 
+def _segment_rows(desc, patch_masks, adjacency, centers, pca_mean,
+                  pca_components, pca_variance, num_clusters: int,
+                  whiten: bool):
+    """Dense features + masks → PCA-projected, row-normalized segment
+    descriptors [M, dim] and validity flags [M] (the shared front half of
+    the fused query and of incremental index insertion)."""
+    desc = desc.astype(jnp.float32)
+    labels = hard_assignment(desc, centers)
+    residuals = desc - centers.astype(jnp.float32)[labels]
+    super_mask = expand_super_masks(patch_masks, adjacency).astype(
+        jnp.float32)
+    onehot = jax.nn.one_hot(labels, num_clusters, dtype=jnp.float32)
+
+    # one-matmul VLAD (see ops/vlad.segment_vlad): [P, M, C] 0/1 factor
+    # against residuals replaces the 32-step per-cluster scan
+    g = super_mask.T[:, :, None] * onehot[:, None, :]
+    vlads = jnp.einsum("pmc,pd->mcd", g, residuals,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    vlads = l2_normalize(vlads, axis=-1)
+    flat = vlads.reshape(patch_masks.shape[0], -1)
+    flat = l2_normalize(flat, axis=-1)
+
+    proj = jnp.dot(flat - pca_mean, pca_components.T,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    if whiten:
+        proj = proj / jnp.sqrt(pca_variance)
+    proj = l2_normalize(proj, axis=-1)
+
+    # valid segments: any true patch (padded mask rows vote zero)
+    valid = jnp.any(patch_masks, axis=1)
+    return proj, valid
+
+
+@partial(jax.jit, static_argnames=("num_clusters", "whiten"))
+def query_segment_rows(desc: jnp.ndarray,
+                       patch_masks: jnp.ndarray,
+                       adjacency: Optional[jnp.ndarray],
+                       centers: jnp.ndarray,
+                       pca_mean: jnp.ndarray,
+                       pca_components: jnp.ndarray,
+                       pca_variance: jnp.ndarray,
+                       num_clusters: int,
+                       whiten: bool = True,
+                       guard_value: float = 1e6):
+    """Database-insertable segment rows for ONE image: invalid (padding)
+    rows are replaced by huge-norm guard vectors that can never surface
+    in the kNN (score = q·d − ||d||²/2). Returns (rows [M, dim] f32,
+    valid [M] bool) — valid rows come first (mask selection orders them
+    score-descending with padding after)."""
+    proj, valid = _segment_rows(desc, patch_masks, adjacency, centers,
+                                pca_mean, pca_components, pca_variance,
+                                num_clusters, whiten)
+    rows = jnp.where(valid[:, None], proj, guard_value)
+    return rows, valid
+
+
 @partial(jax.jit, static_argnames=("num_clusters", "knn_topk", "borda_topk",
                                    "top_images", "num_ref_images",
                                    "db_tile", "whiten"))
@@ -56,32 +114,9 @@ def query_topk_images(desc: jnp.ndarray,
 
     Returns [top_images] database image ids, best first.
     """
-    desc = desc.astype(jnp.float32)
-    labels = hard_assignment(desc, centers)
-    residuals = desc - centers.astype(jnp.float32)[labels]
-    super_mask = expand_super_masks(patch_masks, adjacency).astype(
-        jnp.float32)
-    onehot = jax.nn.one_hot(labels, num_clusters, dtype=jnp.float32)
-
-    # one-matmul VLAD (see ops/vlad.segment_vlad): [P, M, C] 0/1 factor
-    # against residuals replaces the 32-step per-cluster scan
-    g = super_mask.T[:, :, None] * onehot[:, None, :]
-    vlads = jnp.einsum("pmc,pd->mcd", g, residuals,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
-    vlads = l2_normalize(vlads, axis=-1)
-    flat = vlads.reshape(patch_masks.shape[0], -1)
-    flat = l2_normalize(flat, axis=-1)
-
-    proj = jnp.dot(flat - pca_mean, pca_components.T,
-                   preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
-    if whiten:
-        proj = proj / jnp.sqrt(pca_variance)
-    proj = l2_normalize(proj, axis=-1)
-
-    # valid segments: any true patch (padded mask rows vote zero)
-    valid = jnp.any(patch_masks, axis=1)
+    proj, valid = _segment_rows(desc, patch_masks, adjacency, centers,
+                                pca_mean, pca_components, pca_variance,
+                                num_clusters, whiten)
 
     nd = db.shape[0]
     k = min(knn_topk, nd)
@@ -100,10 +135,17 @@ def query_topk_images(desc: jnp.ndarray,
 
     kk = min(borda_topk, k)
     sims = 2.0 - sq_l2[:, :kk]
-    s_min = jnp.min(sims)
-    s_max = jnp.max(sims)
+    # Guard/padding rows (capacity or shard padding, removed entries)
+    # carry huge norms; when the real database is smaller than the kNN
+    # depth they reach the top-k with enormously negative sims and would
+    # collapse the min-max normalization. Real sims of row-normalized
+    # vectors lie in [-2, 2] — anything below is a guard hit: excluded
+    # from the normalization statistics and voting zero.
+    real = sims > -4.0
+    s_min = jnp.min(jnp.where(real, sims, jnp.inf))
+    s_max = jnp.max(jnp.where(real, sims, -jnp.inf))
     norm_s = (sims - s_min) / jnp.maximum(s_max - s_min, 1e-30)
-    norm_s = norm_s * valid[:, None]
+    norm_s = jnp.where(real, norm_s, 0.0) * valid[:, None]
     ref_ids = db_image_ids[idx[:, :kk]]
     votes = jax.ops.segment_sum(norm_s.reshape(-1), ref_ids.reshape(-1),
                                 num_segments=num_ref_images)

@@ -54,7 +54,32 @@ from revisit_anything_tpu.ops.adjacency import delaunay_adjacency
 from revisit_anything_tpu.ops.masks import mask_pool_matrices
 from revisit_anything_tpu.ops.nms import nms_keep_mask
 from revisit_anything_tpu.ops.resize import bilinear_weight_matrix
-from revisit_anything_tpu.pipeline.query import query_topk_images
+from revisit_anything_tpu.pipeline.query import (query_segment_rows,
+                                                 query_topk_images)
+
+# huge-norm guard rows can never surface in the kNN
+# (score = q·d − ||d||²/2); used for capacity padding, shard padding and
+# removed entries alike
+_GUARD = 1e6
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _db_insert(db, db_ids, rows, cursor, image_id):
+    """Write one image's segment rows into the capacity-padded database
+    at ``cursor`` (donated buffers — in-place on device). Guard rows in
+    ``rows`` keep their (unused) image id: they can never be retrieved."""
+    db = jax.lax.dynamic_update_slice(db, rows.astype(db.dtype),
+                                      (cursor, 0))
+    ids = jnp.full((rows.shape[0],), image_id, db_ids.dtype)
+    db_ids = jax.lax.dynamic_update_slice(db_ids, ids, (cursor,))
+    return db, db_ids
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _db_remove(db, db_ids, image_id):
+    """Turn an image's rows into guard rows (its votes drop to zero)."""
+    kill = db_ids == image_id
+    return jnp.where(kill[:, None], jnp.asarray(_GUARD, db.dtype), db)
 
 
 @partial(jax.jit, static_argnames=("cfg", "pad_to"))
@@ -184,7 +209,9 @@ class SegVLADServer:
                  max_masks: int = 128,
                  knn_topk: int = KNN_TOPK, borda_topk: int = BORDA_TOPK,
                  top_images: int = RECALL_TOPK,
-                 mesh="auto"):
+                 mesh="auto",
+                 db_capacity: Optional[int] = None,
+                 max_ref_images: Optional[int] = None):
         self.sam_params = sam_params
         self.sam_cfg = sam_cfg
         self.dino_params = dino_params
@@ -254,16 +281,41 @@ class SegVLADServer:
         db_np_dtype = jnp.dtype(index.db_dtype)
         db = index.db.astype(db_np_dtype)
         db_ids = index.db_image_ids.astype(np.int32)
+
+        # Incremental mode: pad the database to a static row capacity with
+        # guard rows; adds/removes then never change shapes (ONE compiled
+        # query program for the life of the server) and run as donated
+        # in-place device updates. Single-device only.
+        self._cursor = None
+        if db_capacity is not None:
+            if self._mesh is not None and self._mesh.devices.size > 1:
+                raise ValueError("db_capacity (incremental index) is "
+                                 "single-device; shard a frozen index "
+                                 "instead")
+            if db_capacity < len(db):
+                raise ValueError(f"db_capacity {db_capacity} < existing "
+                                 f"database rows {len(db)}")
+            self._cursor = len(db)
+            self._capacity = int(db_capacity)
+            # Borda bin capacity: one id per added image, each consuming
+            # >= 1 row in practice; explicit max_ref_images overrides.
+            self.num_ref_images = int(
+                max_ref_images if max_ref_images is not None
+                else index.num_ref_images + (db_capacity - len(db)))
+            self._next_image_id = index.num_ref_images
+            pad = db_capacity - len(db)
+            db = np.concatenate(
+                [db, np.full((pad, db.shape[1]), _GUARD, db_np_dtype)])
+            db_ids = np.concatenate(
+                [db_ids, np.zeros((pad,), np.int32)])
         if self._mesh is not None and self._mesh.devices.size > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
             d = int(self._mesh.devices.size)
             pad = (-len(db)) % d
             if pad:
-                # shard-padding rows: huge-norm vectors score -inf in the
-                # kNN (score = q·d − ||d||²/2) so they can never surface;
-                # their image id is never read
+                # shard padding: guard rows, never surface
                 db = np.concatenate(
-                    [db, np.full((pad, db.shape[1]), 1e6, db_np_dtype)])
+                    [db, np.full((pad, db.shape[1]), _GUARD, db_np_dtype)])
                 db_ids = np.concatenate(
                     [db_ids, np.full((pad,), db_ids[-1], np.int32)])
             self._db = jax.device_put(
@@ -342,3 +394,64 @@ class SegVLADServer:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=workers) as pool:
             return list(pool.map(self.query, imgs))
+
+    # ----- incremental index updates (db_capacity mode) -----
+
+    def add_reference_images(self,
+                             imgs: Sequence[np.ndarray]) -> List[int]:
+        """Extract + aggregate NEW database images on the live server and
+        insert their segment rows in place — no index rebuild, no
+        recompile (the database keeps its static capacity shape; inserts
+        are donated in-place device writes at a row cursor).
+
+        Each image runs the same device path as a query (AMG → DINO →
+        pool → Delaunay → VLAD → PCA → normalize); its kept-mask rows
+        land at the cursor (kept rows come first in the static mask
+        block, so consecutive inserts compact). Returns the assigned
+        database image ids. Requires ``db_capacity=...`` at construction.
+        """
+        if self._cursor is None:
+            raise ValueError("incremental inserts need SegVLADServer("
+                             "db_capacity=...)")
+        ids: List[int] = []
+        for img in imgs:
+            assert img.shape[:2] == self.full_hw, (
+                f"expected {self.full_hw}, got {img.shape[:2]}")
+            if self._cursor + self.kmax > self._capacity:
+                raise RuntimeError(
+                    f"serving index capacity exhausted "
+                    f"({self._cursor}+{self.kmax} > {self._capacity})")
+            if self._next_image_id >= self.num_ref_images:
+                raise RuntimeError("image-id (Borda bin) capacity "
+                                   "exhausted — raise max_ref_images")
+            img_dev = jax.device_put(img)
+            masks_dev, stats = self._amg_device(img_dev)
+            desc = _dino_desc_device(self.dino_params, self.dino_cfg,
+                                     img_dev, self.dino_layer,
+                                     self.dino_facet, self._crop)
+            stats_np = np.asarray(stats)
+            adj, n_kept = self._adjacency(stats_np)
+            pm = self._pool(masks_dev, self._pool_a, self._pool_b)
+            rows, _ = query_segment_rows(
+                desc, pm, jnp.asarray(adj), self._centers, self._pca_mean,
+                self._pca_comps, self._pca_var,
+                num_clusters=self.num_clusters, whiten=self._whiten,
+                guard_value=_GUARD)
+            self._db, self._db_ids = _db_insert(
+                self._db, self._db_ids, rows,
+                np.int32(self._cursor), np.int32(self._next_image_id))
+            # kept rows are the leading n_kept of the static block; the
+            # guard tail just written is overwritten by the next insert
+            self._cursor += int(n_kept)
+            ids.append(self._next_image_id)
+            self._next_image_id += 1
+        return ids
+
+    def remove_reference_image(self, image_id: int) -> None:
+        """Drop a database image from retrieval: its rows become guard
+        rows (zero votes, never in any top-k). Rows are not reclaimed —
+        capacity is append-only; rebuild the index to compact."""
+        if self._cursor is None:
+            raise ValueError("incremental removal needs SegVLADServer("
+                             "db_capacity=...)")
+        self._db = _db_remove(self._db, self._db_ids, np.int32(image_id))

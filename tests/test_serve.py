@@ -207,3 +207,76 @@ def test_bf16_db_matches_f32_topk(models):
     top32 = build(idx32).query(img)
     top16 = build(idx16).query(img)
     np.testing.assert_array_equal(top32, top16)
+
+
+def test_incremental_add_then_retrieve(models):
+    """db_capacity mode: images added to the LIVE server are retrievable
+    (an identical query ranks its own image first), and removal drops
+    them from the top-k."""
+    sam_params, dino_params = models
+    rng = np.random.default_rng(7)
+    amg = AmgConfig(points_per_side=6, points_per_batch=36,
+                    pred_iou_thresh=-1e9, stability_score_thresh=0.0)
+    idx = _index(rng)
+    srv = SegVLADServer(
+        sam_params=sam_params, sam_cfg=SAM_SMALL,
+        dino_params=dino_params, dino_cfg=DINO_SMALL,
+        index=idx, full_hw=(H, W), sam_hw=(H // 2, W // 2),
+        amg=amg, dino_layer=1, max_masks=32, top_images=5,
+        db_capacity=600, mesh=None)
+    new_imgs = [_image(rng) for _ in range(3)]
+    ids = srv.add_reference_images(new_imgs)
+    assert ids == [20, 21, 22]      # appended after the 20 index images
+
+    def rank(top, iid):
+        pos = np.flatnonzero(np.asarray(top) == iid)
+        return int(pos[0]) if len(pos) else len(top)
+
+    # an identical query must rank its own image above the other added
+    # images (absolute top-1 is not guaranteed against the random
+    # prebuilt rows: with random weights their vote volume competes)
+    for img, iid in zip(new_imgs, ids):
+        top = srv.query(img)
+        assert rank(top, iid) < min(rank(top, o)
+                                    for o in ids if o != iid), (top, iid)
+
+    srv.remove_reference_image(ids[1])
+    top = srv.query(new_imgs[1])
+    # removed image votes zero: the surviving added images outrank it
+    assert rank(top, ids[1]) == len(top)
+
+
+def test_incremental_matches_prebuilt(models):
+    """A server whose rows arrived incrementally answers exactly like one
+    whose index was built with those rows up front."""
+    sam_params, dino_params = models
+    rng = np.random.default_rng(11)
+    amg = AmgConfig(points_per_side=6, points_per_batch=36,
+                    pred_iou_thresh=-1e9, stability_score_thresh=0.0)
+    idx = _index(rng)
+    srv_inc = SegVLADServer(
+        sam_params=sam_params, sam_cfg=SAM_SMALL,
+        dino_params=dino_params, dino_cfg=DINO_SMALL,
+        index=idx, full_hw=(H, W), sam_hw=(H // 2, W // 2),
+        amg=amg, dino_layer=1, max_masks=32, top_images=5,
+        db_capacity=400, mesh=None)
+    new_img = _image(rng)
+    (new_id,) = srv_inc.add_reference_images([new_img])
+    used = srv_inc._cursor
+
+    # prebuilt: same rows, same Borda bin count
+    db2 = np.asarray(srv_inc._db[:used], np.float32)
+    ids2 = np.asarray(srv_inc._db_ids[:used])
+    import dataclasses
+    idx2 = dataclasses.replace(
+        idx, db=db2, db_image_ids=ids2,
+        num_ref_images=srv_inc.num_ref_images)
+    srv_pre = SegVLADServer(
+        sam_params=sam_params, sam_cfg=SAM_SMALL,
+        dino_params=dino_params, dino_cfg=DINO_SMALL,
+        index=idx2, full_hw=(H, W), sam_hw=(H // 2, W // 2),
+        amg=amg, dino_layer=1, max_masks=32, top_images=5, mesh=None)
+    q = _image(rng)
+    np.testing.assert_array_equal(srv_inc.query(q), srv_pre.query(q))
+    np.testing.assert_array_equal(srv_inc.query(new_img),
+                                  srv_pre.query(new_img))
