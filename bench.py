@@ -145,6 +145,14 @@ def main():
     dt = time.perf_counter() - t0
     qps = n_iters / dt
 
+    # ---- single-query latency (unpipelined, includes tunnel RTTs) ----
+    lat = []
+    for im in imgs[:8]:
+        t0 = time.perf_counter()
+        server.query(im)
+        lat.append(time.perf_counter() - t0)
+    lat_ms = sorted(1000 * t for t in lat)
+
     # ---- per-stage device time (sync-measured minus RTT) and FLOPs ----
     trivial = jax.jit(lambda x: x + 1.0)
     xtriv = jnp.zeros((8, 8))
@@ -237,6 +245,8 @@ def main():
         "unit": "queries/sec/chip",
         "vs_baseline": round(qps / BASELINE_QPS, 3),
         "e2e_mfu": round(total_flops * qps / PEAK_FLOPS, 4),
+        "latency_ms_p50": round(lat_ms[len(lat_ms) // 2], 1),
+        "latency_ms_max": round(lat_ms[-1], 1),
         "rtt_ms": round(1000 * rtt_s, 1),
         "stages": stage_report,
     }))

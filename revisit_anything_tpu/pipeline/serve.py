@@ -455,3 +455,38 @@ class SegVLADServer:
             raise ValueError("incremental removal needs SegVLADServer("
                              "db_capacity=...)")
         self._db = _db_remove(self._db, self._db_ids, np.int32(image_id))
+
+    def snapshot_index(self, path: Optional[str] = None) -> ServingIndex:
+        """Freeze the current database — incremental adds/removes
+        included — into a ServingIndex (compacted: removed images' guard
+        rows are dropped). With ``path``, also writes the build-index npz
+        (loadable by ``ServingIndex.from_npz`` / the query CLI)."""
+        n = self._cursor if self._cursor is not None else len(
+            np.asarray(self._db_ids))
+        db = np.asarray(self._db[:n], np.float32)
+        db_ids = np.asarray(self._db_ids[:n])
+        live = np.all(db < _GUARD / 2, axis=1)         # drop guard rows
+        db, db_ids = db[live], db_ids[live]
+        idx = ServingIndex(
+            centers=np.asarray(self._centers),
+            pca_mean=np.asarray(self._pca_mean),
+            pca_components=np.asarray(self._pca_comps),
+            pca_variance=np.asarray(self._pca_var),
+            pca_whiten=self._whiten, db=db, db_image_ids=db_ids,
+            num_ref_images=self.num_ref_images, order=self.order)
+        if path is not None:
+            np.savez_compressed(
+                path, db=db.astype(np.float32),
+                db_dtype=np.asarray("float32"),
+                db_image_ids=db_ids,
+                image_keys=np.asarray([], dtype=str),
+                centers=idx.centers, pca_mean=idx.pca_mean,
+                pca_components=idx.pca_components,
+                pca_variance=idx.pca_variance,
+                pca_whiten=np.asarray(bool(idx.pca_whiten)),
+                order=np.asarray(self.order),
+                mask_h=np.asarray(self.sam_hw[0]),
+                mask_w=np.asarray(self.sam_hw[1]),
+                dino_h=np.asarray(self.full_hw[0]),
+                dino_w=np.asarray(self.full_hw[1]))
+        return idx

@@ -280,3 +280,35 @@ def test_incremental_matches_prebuilt(models):
     np.testing.assert_array_equal(srv_inc.query(q), srv_pre.query(q))
     np.testing.assert_array_equal(srv_inc.query(new_img),
                                   srv_pre.query(new_img))
+
+
+def test_snapshot_roundtrip(models, tmp_path):
+    """snapshot_index after incremental add+remove reloads into a server
+    that answers identically (removed image's guard rows compacted)."""
+    sam_params, dino_params = models
+    rng = np.random.default_rng(13)
+    amg = AmgConfig(points_per_side=6, points_per_batch=36,
+                    pred_iou_thresh=-1e9, stability_score_thresh=0.0)
+    srv = SegVLADServer(
+        sam_params=sam_params, sam_cfg=SAM_SMALL,
+        dino_params=dino_params, dino_cfg=DINO_SMALL,
+        index=_index(rng), full_hw=(H, W), sam_hw=(H // 2, W // 2),
+        amg=amg, dino_layer=1, max_masks=32, top_images=5,
+        db_capacity=400, mesh=None)
+    a, b = _image(rng), _image(rng)
+    ids = srv.add_reference_images([a, b])
+    srv.remove_reference_image(ids[0])
+
+    path = str(tmp_path / "snap.npz")
+    idx2 = srv.snapshot_index(path)
+    assert not np.any(np.all(idx2.db >= 5e5, axis=1))   # compacted
+    loaded = ServingIndex.from_npz(path)
+    np.testing.assert_array_equal(loaded.db, idx2.db)
+
+    srv2 = SegVLADServer(
+        sam_params=sam_params, sam_cfg=SAM_SMALL,
+        dino_params=dino_params, dino_cfg=DINO_SMALL,
+        index=idx2, full_hw=(H, W), sam_hw=(H // 2, W // 2),
+        amg=amg, dino_layer=1, max_masks=32, top_images=5, mesh=None)
+    q = _image(rng)
+    np.testing.assert_array_equal(srv.query(q), srv2.query(q))
