@@ -334,7 +334,11 @@ def cmd_train(args):
                          antiburst=not args.no_antiburst,
                          lr=args.lr, total_steps=args.steps,
                          warmup_steps=max(1, args.steps // 20),
-                         imgs_per_place=args.img_per_place)
+                         imgs_per_place=args.img_per_place,
+                         optimizer=args.optimizer,
+                         lr_sched=args.lr_sched,
+                         milestones=tuple(args.milestones),
+                         gamma=args.gamma)
     state = create_train_state(cfg, jax.random.PRNGKey(args.seed))
     params, opt_state, step = state.params, state.opt_state, state.step
 
@@ -774,6 +778,12 @@ def main(argv=None):
     p.add_argument("--clusters", type=int, default=64)
     p.add_argument("--no-antiburst", action="store_true")
     p.add_argument("--lr", type=float, default=6e-5)
+    p.add_argument("--optimizer", default="adamw",
+                   choices=["sgd", "adam", "adamw"])
+    p.add_argument("--lr-sched", default="linear",
+                   choices=["linear", "multistep", "cosine"])
+    p.add_argument("--milestones", type=int, nargs="+", default=[5, 10, 15])
+    p.add_argument("--gamma", type=float, default=0.3)
     p.add_argument("--steps", type=int, default=20000)
     p.add_argument("--batch-places", type=int, default=16)
     p.add_argument("--img-per-place", type=int, default=4)

@@ -44,6 +44,16 @@ class VPRTrainConfig:
     warmup_steps: int = 600
     total_steps: int = 20000
     imgs_per_place: int = 4
+    # vpr_model.py configure_optimizers (:187-227): sgd | adam | adamw
+    # ("adam" is AdamW in the reference too, vpr_model.py:200-203) and
+    # linear | multistep | cosine schedules
+    optimizer: str = "adamw"               # train.py --optimizer
+    momentum: float = 0.9                  # train.py --momentum (sgd)
+    lr_sched: str = "linear"               # train.py --lr_sched
+    milestones: tuple = (5, 10, 15)        # multistep (unit: epochs->steps
+    steps_per_epoch: int = 0               # 0: milestones are raw steps
+    gamma: float = 0.3                     # multistep decay
+    cosine_t_max: int = 0                  # cosine; 0 -> total_steps
 
 
 @dataclasses.dataclass
@@ -99,13 +109,38 @@ def _trainable_mask(params: Params, cfg: VPRTrainConfig) -> Params:
                                        params["aggregator"])}
 
 
+def make_schedule(cfg: VPRTrainConfig):
+    """linear (warmup/warmdown), multistep (MultiStepLR) or cosine
+    (CosineAnnealingLR) — vpr_model.py:209-226."""
+    sched = cfg.lr_sched.lower()
+    if sched == "linear":
+        return optax.linear_onecycle_schedule(
+            transition_steps=cfg.total_steps, peak_value=cfg.lr,
+            pct_start=cfg.warmup_steps / max(cfg.total_steps, 1))
+    if sched == "multistep":
+        unit = cfg.steps_per_epoch if cfg.steps_per_epoch > 0 else 1
+        return optax.piecewise_constant_schedule(
+            cfg.lr, {int(m * unit): cfg.gamma for m in cfg.milestones})
+    if sched == "cosine":
+        t_max = cfg.cosine_t_max or cfg.total_steps
+        return optax.cosine_decay_schedule(cfg.lr, t_max)
+    raise ValueError(f"unknown lr_sched {cfg.lr_sched!r}")
+
+
 def make_optimizer(cfg: VPRTrainConfig, params: Params):
-    """AdamW + linear warmup/warmdown, frozen-prefix masked out
-    (vpr_model.py configure_optimizers + lr warmdown)."""
-    schedule = optax.linear_onecycle_schedule(
-        transition_steps=cfg.total_steps, peak_value=cfg.lr,
-        pct_start=cfg.warmup_steps / max(cfg.total_steps, 1))
-    tx = optax.adamw(schedule, weight_decay=cfg.weight_decay)
+    """sgd/adam/adamw + schedule, frozen-prefix masked out
+    (vpr_model.py configure_optimizers; "adam" is AdamW in the reference
+    too, vpr_model.py:200-203)."""
+    schedule = make_schedule(cfg)
+    opt = cfg.optimizer.lower()
+    if opt == "sgd":
+        tx = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.sgd(schedule, momentum=cfg.momentum))
+    elif opt in ("adamw", "adam"):
+        tx = optax.adamw(schedule, weight_decay=cfg.weight_decay)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
     return optax.masked(tx, _trainable_mask(params, cfg))
 
 

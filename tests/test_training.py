@@ -312,3 +312,43 @@ def test_crn_matches_torch_oracle(rng):
     vlad = F.normalize(vlad, p=2, dim=2).reshape(2, -1)
     ref = F.normalize(vlad, p=2, dim=1).numpy()
     np.testing.assert_allclose(ours, ref, atol=3e-5)
+
+
+def test_lr_schedules_and_optimizers():
+    """multistep/cosine schedules and sgd parity (vpr_model.py:187-226)."""
+    import numpy as np
+    from revisit_anything_tpu.training.train import (VPRTrainConfig,
+                                                     make_schedule)
+    import dataclasses
+    base = VPRTrainConfig(lr=1.0, total_steps=100)
+
+    ms = dataclasses.replace(base, lr_sched="multistep",
+                             milestones=(10, 20), gamma=0.5)
+    s = make_schedule(ms)
+    assert float(s(5)) == 1.0
+    assert float(s(15)) == 0.5
+    assert float(s(25)) == 0.25
+
+    cos = dataclasses.replace(base, lr_sched="cosine", cosine_t_max=50)
+    s = make_schedule(cos)
+    assert float(s(0)) == 1.0
+    np.testing.assert_allclose(float(s(50)), 0.0, atol=1e-6)
+
+    # sgd builds and takes a step on a tiny pytree
+    import jax.numpy as jnp
+    import optax
+    from revisit_anything_tpu.training.train import make_optimizer
+    from revisit_anything_tpu.models import dinov2 as dn
+    tiny = dn.DinoV2Config(embed_dim=32, depth=2, num_heads=2,
+                           ffn="mlp", pretrain_grid=(4, 4))
+    cfg = dataclasses.replace(base, backbone=tiny,
+                              num_trainable_blocks=1, clusters=4,
+                              optimizer="sgd", lr=0.01)
+    from revisit_anything_tpu.training.train import create_train_state
+    import jax
+    st = create_train_state(cfg, jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg, st.params)
+    grads = jax.tree.map(jnp.ones_like, st.params)
+    updates, _ = tx.update(grads, st.opt_state, st.params)
+    agg_upd = jax.tree_util.tree_leaves(updates["aggregator"])
+    assert any(float(jnp.abs(u).max()) > 0 for u in agg_upd)
