@@ -338,7 +338,9 @@ def cmd_train(args):
                          optimizer=args.optimizer,
                          lr_sched=args.lr_sched,
                          milestones=tuple(args.milestones),
-                         gamma=args.gamma)
+                         gamma=args.gamma, momentum=args.momentum,
+                         steps_per_epoch=args.steps_per_epoch,
+                         cosine_t_max=args.cosine_t_max)
     state = create_train_state(cfg, jax.random.PRNGKey(args.seed))
     params, opt_state, step = state.params, state.opt_state, state.step
 
@@ -657,7 +659,8 @@ def cmd_query(args):
     top = server.query(img)
     keys = z["image_keys"]
     print(json.dumps({"query": args.image,
-                      "matches": [str(keys[i]) for i in top],
+                      "matches": [str(keys[i]) if i < len(keys)
+                                  else f"image_{int(i)}" for i in top],
                       "image_ids": top.tolist()}))
 
 
@@ -784,6 +787,11 @@ def main(argv=None):
                    choices=["linear", "multistep", "cosine"])
     p.add_argument("--milestones", type=int, nargs="+", default=[5, 10, 15])
     p.add_argument("--gamma", type=float, default=0.3)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--steps-per-epoch", type=int, default=0,
+                   help="multistep milestone unit (0: milestones are "
+                        "raw steps)")
+    p.add_argument("--cosine-t-max", type=int, default=0)
     p.add_argument("--steps", type=int, default=20000)
     p.add_argument("--batch-places", type=int, default=16)
     p.add_argument("--img-per-place", type=int, default=4)

@@ -81,10 +81,6 @@ def _rel_pos_gather(rel_pos: jnp.ndarray, q_size: int, k_size: int) -> jnp.ndarr
 _FLASH_MIN_TOKENS = 1024
 
 
-def _round_up_flash(n: int) -> int:
-    return -(-n // 128) * 128
-
-
 def _attention(x: jnp.ndarray, blk: Params, cfg: SamArchConfig) -> jnp.ndarray:
     """Windowed/global attention over NHWC tokens with decomposed rel-pos
     bias (image_encoder.py:185-240, :292-361).
@@ -117,11 +113,10 @@ def _attention(x: jnp.ndarray, blk: Params, cfg: SamArchConfig) -> jnp.ndarray:
                             preferred_element_type=jnp.float32
                             ).astype(x.dtype).reshape(b, nh, h * w, w)
         # block_q=512: halves the kernel's K/V re-fetch traffic per query
-        # block (measured faster than the 256 default at N=4096); small
-        # windowed layers (N=196) fit one block
+        # block (measured faster than the 256 default at N=4096)
         out = attend(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                      v.transpose(0, 2, 1, 3), bias_h, bias_w, side=h,
-                     block_q=min(512, _round_up_flash(h * w)))
+                     block_q=512)
         out = out.transpose(0, 2, 1, 3).reshape(b, h * w, nh * hd)
         return _dense(out, blk["proj"]).reshape(b, h, w, d)
 

@@ -56,10 +56,15 @@ def _resize_flags_kernel(lx_ref, wh_ref, wwt_ref, o_ref, *, thr: float,
         preferred_element_type=jnp.float32)              # [H, M·4g]
     k = tmp.shape[1] // n_masks
     for m in range(n_masks):
+        # f32 x f32 contraction at HIGHEST precision: this build's default
+        # matmul precision is LOW (bf16-class) and the replaced einsum ran
+        # HIGHEST — without it, near-threshold pixels flip vs the
+        # reference path on real TPUs (invisible to interpret-mode tests)
         logits = jax.lax.dot_general(
             tmp[:, m * k:(m + 1) * k], wwt_ref[...],
             (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [H, W]
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)         # [H, W]
         # flag arithmetic in i32 (Mosaic has no i8 vector add), one
         # truncating cast at the store
         flags = ((logits > thr - off).astype(jnp.int32)

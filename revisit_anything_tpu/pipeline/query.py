@@ -23,6 +23,12 @@ from revisit_anything_tpu.ops.knn import _knn_scores, _pad_rows
 from revisit_anything_tpu.ops.vlad import (expand_super_masks,
                                            hard_assignment, l2_normalize)
 
+# Magnitude of database guard rows (capacity/shard padding, removed
+# entries): their kNN score (q·d − ||d||²/2) is hugely negative, so they
+# can never surface, and their sims fall far below the [-2, 2] range of
+# row-normalized vectors — the voting cutoff below detects them by that.
+DB_GUARD = 1e6
+
 
 def _segment_rows(desc, patch_masks, adjacency, centers, pca_mean,
                   pca_components, pca_variance, num_clusters: int,
@@ -69,7 +75,7 @@ def query_segment_rows(desc: jnp.ndarray,
                        pca_variance: jnp.ndarray,
                        num_clusters: int,
                        whiten: bool = True,
-                       guard_value: float = 1e6):
+                       guard_value: float = DB_GUARD):
     """Database-insertable segment rows for ONE image: invalid (padding)
     rows are replaced by huge-norm guard vectors that can never surface
     in the kNN (score = q·d − ||d||²/2). Returns (rows [M, dim] f32,

@@ -59,15 +59,21 @@ from revisit_anything_tpu.pipeline.query import (query_segment_rows,
 
 # huge-norm guard rows can never surface in the kNN
 # (score = q·d − ||d||²/2); used for capacity padding, shard padding and
-# removed entries alike
-_GUARD = 1e6
+# removed entries alike. Single definition shared with the fused query's
+# guard detection (sims < -4 cutoff).
+from revisit_anything_tpu.pipeline.query import DB_GUARD as _GUARD
 
 
-@partial(jax.jit, donate_argnums=(0, 1))
+# NOT donated: concurrent query threads may still hold the previous
+# database array (query_many pipelines); donation would delete it under
+# them. An insert therefore copies the db once on device (~1 ms for a
+# 1M-row f32 db) and in-flight queries keep answering from the
+# pre-insert snapshot — inserts are rare next to queries.
+@jax.jit
 def _db_insert(db, db_ids, rows, cursor, image_id):
     """Write one image's segment rows into the capacity-padded database
-    at ``cursor`` (donated buffers — in-place on device). Guard rows in
-    ``rows`` keep their (unused) image id: they can never be retrieved."""
+    at ``cursor``. Guard rows in ``rows`` keep their (unused) image id:
+    they can never be retrieved."""
     db = jax.lax.dynamic_update_slice(db, rows.astype(db.dtype),
                                       (cursor, 0))
     ids = jnp.full((rows.shape[0],), image_id, db_ids.dtype)
@@ -75,7 +81,7 @@ def _db_insert(db, db_ids, rows, cursor, image_id):
     return db, db_ids
 
 
-@partial(jax.jit, donate_argnums=(0,))
+@jax.jit
 def _db_remove(db, db_ids, image_id):
     """Turn an image's rows into guard rows (its votes drop to zero)."""
     kill = db_ids == image_id
@@ -177,12 +183,17 @@ class ServingIndex:
     @classmethod
     def from_npz(cls, path: str) -> "ServingIndex":
         z = np.load(path)
+        ids = z["db_image_ids"]
+        if "num_ref_images" in z:                  # persisted (snapshots)
+            n_ref = int(z["num_ref_images"])
+        else:
+            n_ref = int(ids.max()) + 1 if len(ids) else 0
         return cls(centers=z["centers"], pca_mean=z["pca_mean"],
                    pca_components=z["pca_components"],
                    pca_variance=z["pca_variance"],
                    pca_whiten=bool(z["pca_whiten"]), db=z["db"],
-                   db_image_ids=z["db_image_ids"],
-                   num_ref_images=int(z["db_image_ids"].max()) + 1,
+                   db_image_ids=ids,
+                   num_ref_images=n_ref,
                    order=int(z["order"]),
                    db_dtype=str(z["db_dtype"]) if "db_dtype" in z
                    else "float32")
@@ -456,11 +467,16 @@ class SegVLADServer:
                              "db_capacity=...)")
         self._db = _db_remove(self._db, self._db_ids, np.int32(image_id))
 
-    def snapshot_index(self, path: Optional[str] = None) -> ServingIndex:
+    def snapshot_index(self, path: Optional[str] = None,
+                       image_keys: Optional[Sequence[str]] = None
+                       ) -> ServingIndex:
         """Freeze the current database — incremental adds/removes
         included — into a ServingIndex (compacted: removed images' guard
         rows are dropped). With ``path``, also writes the build-index npz
-        (loadable by ``ServingIndex.from_npz`` / the query CLI)."""
+        (loadable by ``ServingIndex.from_npz`` / the query CLI).
+
+        ``image_keys``: display names per image id for the query CLI;
+        defaults to ``image_<id>`` for every Borda bin."""
         n = self._cursor if self._cursor is not None else len(
             np.asarray(self._db_ids))
         db = np.asarray(self._db[:n], np.float32)
@@ -475,11 +491,15 @@ class SegVLADServer:
             pca_whiten=self._whiten, db=db, db_image_ids=db_ids,
             num_ref_images=self.num_ref_images, order=self.order)
         if path is not None:
+            if image_keys is None:
+                image_keys = [f"image_{i}"
+                              for i in range(self.num_ref_images)]
             np.savez_compressed(
                 path, db=db.astype(np.float32),
                 db_dtype=np.asarray("float32"),
                 db_image_ids=db_ids,
-                image_keys=np.asarray([], dtype=str),
+                image_keys=np.asarray(list(image_keys), dtype=str),
+                num_ref_images=np.asarray(self.num_ref_images),
                 centers=idx.centers, pca_mean=idx.pca_mean,
                 pca_components=idx.pca_components,
                 pca_variance=idx.pca_variance,

@@ -312,3 +312,27 @@ def test_snapshot_roundtrip(models, tmp_path):
         amg=amg, dino_layer=1, max_masks=32, top_images=5, mesh=None)
     q = _image(rng)
     np.testing.assert_array_equal(srv.query(q), srv2.query(q))
+
+
+def test_snapshot_empty_database_roundtrip(models, tmp_path):
+    """Removing every image then snapshotting yields an empty-but-loadable
+    index (from_npz must not crash on empty db_image_ids)."""
+    sam_params, dino_params = models
+    rng = np.random.default_rng(17)
+    amg = AmgConfig(points_per_side=6, points_per_batch=36,
+                    pred_iou_thresh=-1e9, stability_score_thresh=0.0)
+    idx = _index(rng, n_segs=20, n_images=4)
+    srv = SegVLADServer(
+        sam_params=sam_params, sam_cfg=SAM_SMALL,
+        dino_params=dino_params, dino_cfg=DINO_SMALL,
+        index=idx, full_hw=(H, W), sam_hw=(H // 2, W // 2),
+        amg=amg, dino_layer=1, max_masks=32, top_images=5,
+        db_capacity=100, mesh=None)
+    for i in range(4):
+        srv.remove_reference_image(i)
+    path = str(tmp_path / "empty.npz")
+    snap = srv.snapshot_index(path)
+    assert len(snap.db) == 0
+    loaded = ServingIndex.from_npz(path)
+    assert len(loaded.db) == 0
+    assert loaded.num_ref_images == srv.num_ref_images
