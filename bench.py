@@ -124,10 +124,12 @@ def main():
 
     amg = AmgConfig(points_per_batch=128,
                     pred_iou_thresh=-1e9, stability_score_thresh=0.0)
+    # mesh=None: the reported unit is queries/sec/CHIP — on a multi-chip
+    # host the auto mesh would shard the retrieval db and inflate it
     server = SegVLADServer(
         sam_params=sam_params, sam_cfg=SAM_VIT_H,
         dino_params=dino_params, dino_cfg=dino_cfg, index=index,
-        full_hw=(H, W), sam_hw=sam_hw, amg=amg)
+        full_hw=(H, W), sam_hw=sam_hw, amg=amg, mesh=None)
 
     img = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
     print("[bench] warmup (compiles)...", file=sys.stderr, flush=True)
@@ -202,6 +204,11 @@ def main():
             knn_topk=200, borda_topk=50, top_images=5, whiten=True)
 
     n_batches = server._pts_dev.shape[0] // server._bsz
+    # the analytic kernel-FLOP term applies only where the Pallas kernels
+    # actually run; on other backends the XLA fallback paths put those
+    # matmuls in cost_analysis already (adding both would double-count)
+    kernel_flops = (_decode_kernel_flops(server._bsz, sam_hw)
+                    if jax.default_backend() == "tpu" else 0.0)
     stages = {
         "sam_encode": (
             timed(lambda: encode_image(sam_params, SAM_VIT_H, pre)),
@@ -210,7 +217,7 @@ def main():
             timed(decode_once) * n_batches,
             (_flops(_decode_batch, sam_params, SAM_VIT_H, emb,
                     server._image_pe, pts0, server.input_hw, sam_hw, amg)
-             + _decode_kernel_flops(server._bsz, sam_hw)) * n_batches),
+             + kernel_flops) * n_batches),
         "dino_extract": (
             timed(lambda: _dino_desc_device(dino_params, dino_cfg, img_dev,
                                             31, "value", server._crop)),

@@ -484,6 +484,9 @@ def cmd_evaluate_global(args):
         hw = tuple(args.image_size)
         ds = None
     else:
+        if not args.dataset:
+            raise SystemExit("evaluate-global needs --dataset or "
+                             "--benchmark")
         ds = get_dataset(args.dataset)
         refs, queries = list_dataset_images(ds, args.data_root)
         gt = get_gt(args.dataset, args.data_root, refs, queries)
@@ -635,7 +638,7 @@ def cmd_query(args):
                                                      ServingIndex)
 
     z = np.load(args.index)
-    index = ServingIndex.from_npz(args.index)
+    index = ServingIndex.from_npz(z)       # single read of the npz
     sam_cfg = SAM_REGISTRY[args.sam_variant]
     dino_cfg = dn.CONFIGS[args.dino_model]
     sam_params = (load_sam_checkpoint(args.sam_checkpoint, sam_cfg)

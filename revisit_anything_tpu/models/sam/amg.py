@@ -290,6 +290,18 @@ def generate_masks(params: Params, cfg: SamArchConfig,
                                     image_rgb.shape[:2], amg, max_masks)
 
 
+# Stable per-config encoder callables: data_parallel_apply keys its jit
+# cache on function identity, so a fresh closure per batch would retrace
+# (and recompile) the ViT encoder on every generate_masks_batch call.
+_ENCODE_FNS: dict = {}
+
+
+def _encode_fn_for(cfg: SamArchConfig):
+    if cfg not in _ENCODE_FNS:
+        _ENCODE_FNS[cfg] = lambda p, xb: encode_image(p, cfg, xb)
+    return _ENCODE_FNS[cfg]
+
+
 def generate_masks_batch(params: Params, cfg: SamArchConfig,
                          images_rgb: List[np.ndarray],
                          amg: AmgConfig = AmgConfig(),
@@ -307,12 +319,8 @@ def generate_masks_batch(params: Params, cfg: SamArchConfig,
     batched = jnp.concatenate([p[0] for p in pre], axis=0)
     if mesh is not None and mesh.devices.size > 1:
         from revisit_anything_tpu.parallel import data_parallel_apply
-
-        def enc(p, xb):
-            return encode_image(p, cfg, xb)
-
         embeddings = jnp.asarray(data_parallel_apply(
-            enc, params, np.asarray(batched), mesh))
+            _encode_fn_for(cfg), params, np.asarray(batched), mesh))
     else:
         embeddings = encode_image(params, cfg, batched)
     return [
@@ -387,7 +395,7 @@ def _crop_candidates(params: Params, cfg: SamArchConfig,
 
 
 def _assemble_records(final_masks, iou, stab, points, crop_boxes_per_mask,
-                      amg: AmgConfig, orig_wh) -> List[MaskRecord]:
+                      amg: AmgConfig) -> List[MaskRecord]:
     """MaskRecord assembly incl. the reference's final area filter
     (generate(): ann kept only if area > min_mask_region_area,
     automatic_mask_generator.py:192-194)."""
@@ -423,15 +431,14 @@ def _generate_from_embedding(params: Params, cfg: SamArchConfig,
         amg.points_per_side)
     if len(masks) == 0:
         return []
-    final_masks = [masks[j] for j in range(len(masks))]
+    final_masks = list(masks)
     keep = np.arange(len(final_masks))
     if amg.min_mask_region_area > 0 and final_masks:
         final_masks, keep = _postprocess_small_regions(
             final_masks, amg.min_mask_region_area, amg.box_nms_thresh)
     return _assemble_records(final_masks, iou[keep], stab[keep],
                              points[keep],
-                             [(0, 0, w, h)] * len(final_masks), amg,
-                             (w, h))
+                             [(0, 0, w, h)] * len(final_masks), amg)
 
 
 def _generate_multicrop(params: Params, cfg: SamArchConfig,
@@ -496,16 +503,21 @@ def _generate_multicrop(params: Params, cfg: SamArchConfig,
         points = points[keep]
         all_cb = [all_cb[k] for k in keep]
 
-    final_masks = [masks[j] for j in range(len(masks))]
+    final_masks = list(masks)
     keep2 = np.arange(len(final_masks))
     if amg.min_mask_region_area > 0 and final_masks:
         final_masks, keep2 = _postprocess_small_regions(
             final_masks, amg.min_mask_region_area,
             max(amg.box_nms_thresh, amg.crop_nms_thresh))
-    return _assemble_records(final_masks, iou[keep2], stab[keep2],
-                             points[keep2],
-                             [all_cb[k] for k in keep2], amg,
-                             (orig_w, orig_h))
+    records = _assemble_records(final_masks, iou[keep2], stab[keep2],
+                                points[keep2],
+                                [all_cb[k] for k in keep2], amg)
+    if len(records) > max_masks:
+        # per-crop capping can admit up to (#crops)·max_masks candidates;
+        # honor the documented overall cap, best predicted IoU first
+        records.sort(key=lambda r: -r.predicted_iou)
+        records = records[:max_masks]
+    return records
 
 
 def _postprocess_small_regions(masks: List[np.ndarray], min_area: int,

@@ -9,11 +9,17 @@ data axis with replicated params; XLA partitions the forward automatically
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Dict, Tuple
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# jax.jit(fn) builds a NEW wrapper (with an empty trace cache) on every
+# call; cache wrappers by (fn, mesh, axis) so repeated batches reuse the
+# compiled program instead of retracing per call. Callers must pass a
+# STABLE fn object (no fresh closures per batch).
+_JITTED: Dict[Tuple, Callable] = {}
 
 
 def data_parallel_apply(fn: Callable, params, batch: np.ndarray,
@@ -36,6 +42,9 @@ def data_parallel_apply(fn: Callable, params, batch: np.ndarray,
     batch_dev = jax.device_put(batch, batch_sharding)
     params_dev = jax.device_put(params, repl)
 
-    out = jax.jit(fn, in_shardings=(repl, batch_sharding),
-                  out_shardings=batch_sharding)(params_dev, batch_dev)
+    key = (fn, mesh, axis)
+    if key not in _JITTED:
+        _JITTED[key] = jax.jit(fn, in_shardings=(repl, batch_sharding),
+                               out_shardings=batch_sharding)
+    out = _JITTED[key](params_dev, batch_dev)
     return np.asarray(out)[:n]

@@ -181,8 +181,10 @@ class ServingIndex:
     db_dtype: str = "float32"
 
     @classmethod
-    def from_npz(cls, path: str) -> "ServingIndex":
-        z = np.load(path)
+    def from_npz(cls, path) -> "ServingIndex":
+        """Load from a path OR an already-opened np.load result (callers
+        that also need auxiliary keys avoid reading the npz twice)."""
+        z = path if hasattr(path, "files") else np.load(path)
         ids = z["db_image_ids"]
         if "num_ref_images" in z:                  # persisted (snapshots)
             n_ref = int(z["num_ref_images"])
@@ -324,11 +326,12 @@ class SegVLADServer:
             d = int(self._mesh.devices.size)
             pad = (-len(db)) % d
             if pad:
-                # shard padding: guard rows, never surface
+                # shard padding: guard rows, never surface (id unread —
+                # guard hits vote zero in query_topk_images)
                 db = np.concatenate(
                     [db, np.full((pad, db.shape[1]), _GUARD, db_np_dtype)])
                 db_ids = np.concatenate(
-                    [db_ids, np.full((pad,), db_ids[-1], np.int32)])
+                    [db_ids, np.zeros((pad,), np.int32)])
             self._db = jax.device_put(
                 jnp.asarray(db), NamedSharding(self._mesh, P("data", None)))
             self._db_ids = jax.device_put(

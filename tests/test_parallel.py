@@ -130,6 +130,6 @@ def test_multihost_helpers_single_process():
     multi-process path is jax.distributed's own contract)."""
     from revisit_anything_tpu.parallel import host_shard, process_info
     pi, pc, local, glob = process_info()
-    assert pi == 0 and pc == 1 and local == glob == 8
+    assert pi == 0 and pc == 1 and local == glob >= 1
     s = host_shard(13)
     assert list(range(13))[s] == list(range(13))
