@@ -22,7 +22,6 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from revisit_anything_tpu.config import NUM_CLUSTERS
 
 _EPS = 1e-12  # torch F.normalize default eps
 
@@ -63,7 +62,7 @@ def segment_vlad(desc: jnp.ndarray,
                  centers: jnp.ndarray,
                  patch_masks: jnp.ndarray,
                  adjacency: Optional[jnp.ndarray] = None,
-                 num_clusters: int = NUM_CLUSTERS,
+                 num_clusters: Optional[int] = None,
                  intra_norm: bool = True) -> jnp.ndarray:
     """Per-segment VLAD descriptors.
 
@@ -78,6 +77,12 @@ def segment_vlad(desc: jnp.ndarray,
       [M, C*D] L2-normalized segment VLADs. All-false mask rows (padding)
       yield zero rows.
     """
+    # derive the cluster count from the vocabulary itself: a stale
+    # explicit value would silently drop the clusters past it (one_hot
+    # zero-rows), so a mismatch is an error
+    if num_clusters is None:
+        num_clusters = centers.shape[0]
+    assert num_clusters == centers.shape[0], (num_clusters, centers.shape)
     desc = desc.astype(jnp.float32)
     centers = centers.astype(jnp.float32)
     labels = hard_assignment(desc, centers)
@@ -133,7 +138,7 @@ def soft_global_vlad(desc: jnp.ndarray, centers: jnp.ndarray,
 
 
 def global_vlad(desc: jnp.ndarray, centers: jnp.ndarray,
-                num_clusters: int = NUM_CLUSTERS) -> jnp.ndarray:
+                num_clusters: Optional[int] = None) -> jnp.ndarray:
     """AnyLoc-style whole-image VLAD (utilities.py VLAD.generate, hard mode).
 
     Equivalent to segment_vlad with a single all-true mask: per-cluster sums

@@ -100,10 +100,15 @@ def run_segloc_retrieval(db_bank: SegmentBank,
     with timer.stage("retrieval.vote"):
         sims = 2.0 - sq_l2[:, :borda_topk]
         m50 = matches[:, :borda_topk]
+        # query/image counts must cover EVERY query in gt: a trailing
+        # image with zero segments never appears in image_indices, and
+        # silently dropping it would inflate recall (the reference
+        # iterates range(len(gt)) — such a query counts as a miss)
+        n_q = max(len(gt), int(query_bank.image_indices.max()) + 1
+                  if len(query_bank.image_indices) else 0)
         if device_voting:
             from revisit_anything_tpu.retrieval.matching import (
                 weighted_borda_predict)
-            n_q = int(query_bank.image_indices.max()) + 1
             n_r = int(db_bank.image_indices.max()) + 1
             preds_arr = np.asarray(weighted_borda_predict(
                 jnp.asarray(sims), jnp.asarray(m50),
@@ -112,7 +117,10 @@ def run_segloc_retrieval(db_bank: SegmentBank,
                 n_q, n_r, n=recall_topk))
             preds = [row for row in preds_arr]
         else:
-            preds = get_matches_host(m50, sims, query_bank.seg_ranges,
+            ranges = query_bank.seg_ranges
+            ranges += [np.zeros((0,), np.int64)
+                       for _ in range(n_q - len(ranges))]
+            preds = get_matches_host(m50, sims, ranges,
                                      db_bank.image_indices, n=recall_topk,
                                      method="max_seg_topk_wt_borda_Im")
     recalls = calc_recall(preds, gt, recall_topk)

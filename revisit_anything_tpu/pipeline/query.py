@@ -20,8 +20,7 @@ import numpy as np
 
 from revisit_anything_tpu.config import BORDA_TOPK, KNN_TOPK, RECALL_TOPK
 from revisit_anything_tpu.ops.knn import _knn_scores, _pad_rows
-from revisit_anything_tpu.ops.vlad import (expand_super_masks,
-                                           hard_assignment, l2_normalize)
+from revisit_anything_tpu.ops.vlad import l2_normalize, segment_vlad
 
 # Magnitude of database guard rows (capacity/shard padding, removed
 # entries): their kNN score (q·d − ||d||²/2) is hugely negative, so they
@@ -35,23 +34,11 @@ def _segment_rows(desc, patch_masks, adjacency, centers, pca_mean,
                   whiten: bool):
     """Dense features + masks → PCA-projected, row-normalized segment
     descriptors [M, dim] and validity flags [M] (the shared front half of
-    the fused query and of incremental index insertion)."""
-    desc = desc.astype(jnp.float32)
-    labels = hard_assignment(desc, centers)
-    residuals = desc - centers.astype(jnp.float32)[labels]
-    super_mask = expand_super_masks(patch_masks, adjacency).astype(
-        jnp.float32)
-    onehot = jax.nn.one_hot(labels, num_clusters, dtype=jnp.float32)
-
-    # one-matmul VLAD (see ops/vlad.segment_vlad): [P, M, C] 0/1 factor
-    # against residuals replaces the 32-step per-cluster scan
-    g = super_mask.T[:, :, None] * onehot[:, None, :]
-    vlads = jnp.einsum("pmc,pd->mcd", g, residuals,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
-    vlads = l2_normalize(vlads, axis=-1)
-    flat = vlads.reshape(patch_masks.shape[0], -1)
-    flat = l2_normalize(flat, axis=-1)
+    the fused query and of incremental index insertion). The VLAD math is
+    ops/vlad.segment_vlad — ONE implementation serves both the offline
+    bank build and this fused path, so they cannot drift."""
+    flat = segment_vlad(desc, centers, patch_masks, adjacency,
+                        num_clusters=num_clusters)
 
     proj = jnp.dot(flat - pca_mean, pca_components.T,
                    preferred_element_type=jnp.float32,

@@ -17,6 +17,7 @@ Two implementations:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import List, Sequence
 
 import jax
@@ -232,9 +233,6 @@ def get_matches_for_single_image_pair(matches: np.ndarray,
     return seg_idx, matches[rows][seg_idx, rank_idx]
 
 
-from functools import partial
-
-
 @partial(jax.jit, static_argnames=("num_query_images", "num_ref_images", "n"))
 def weighted_borda_predict(sims: jnp.ndarray,
                            matches: jnp.ndarray,
@@ -252,8 +250,20 @@ def weighted_borda_predict(sims: jnp.ndarray,
       ref_img_ids: [n_db_segs] db image id per db segment.
 
     Returns:
-      [num_query_images, n] predicted db image ids, best first.
+      [num_query_images, n] predicted db image ids, best first. Query
+      images with zero accumulated votes (no segments, or none in this
+      sims matrix) predict -1 rows — a miss, matching the host path
+      which predicts nothing for them.
+
+    Scale note: votes live in a dense [num_query_images x
+    num_ref_images] f32 bin space (vectorized scatter-add). For image
+    counts where that exceeds int32 indexing this raises — use
+    get_matches_host there.
     """
+    if num_query_images * num_ref_images >= 2**31:
+        raise ValueError(
+            f"dense Borda bin space {num_query_images}x{num_ref_images} "
+            "exceeds int32 indexing; use get_matches_host at this scale")
     sims = sims.astype(jnp.float32)
     s_min = jnp.min(sims)
     s_max = jnp.max(sims)
@@ -267,4 +277,5 @@ def weighted_borda_predict(sims: jnp.ndarray,
         num_segments=num_query_images * num_ref_images)
     scores = scores.reshape(num_query_images, num_ref_images)
     _, top = jax.lax.top_k(scores, min(n, num_ref_images))
-    return top
+    voted = jnp.max(scores, axis=1, keepdims=True) > 0.0
+    return jnp.where(voted, top, -1)

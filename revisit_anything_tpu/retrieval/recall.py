@@ -34,12 +34,14 @@ def calc_recall(preds: Sequence[Sequence[int]],
 
 def calculate_map(preds: Sequence[Sequence[int]],
                   gt: Sequence[Sequence[int]]) -> float:
-    """Mean average precision over queries (func_vpr.py:360-392)."""
+    """Mean average precision over queries (func_vpr.py:360-392).
+
+    Empty-gt queries contribute AP=0 and stay in the denominator —
+    the reference averages `calculate_ap` over ALL queries
+    (func_vpr.py:391-392)."""
     ap_sum = 0.0
     num_eval = 0
     for pred_i, gt_i in zip(preds, gt):
-        if len(gt_i) == 0:
-            continue
         num_eval += 1
         gt_set = set(int(g) for g in gt_i)
         hits = 0
@@ -48,7 +50,7 @@ def calculate_map(preds: Sequence[Sequence[int]],
             if int(p) in gt_set:
                 hits += 1
                 precision_sum += hits / rank
-        ap_sum += precision_sum / max(1, hits) if hits else 0.0
+        ap_sum += precision_sum / hits if hits else 0.0
     return ap_sum / max(1, num_eval)
 
 

@@ -90,3 +90,12 @@ def test_prediction_comparison_and_grids(tmp_path, rng):
     assert os.path.exists(csv_path) and n == 2
     assert len(os.listdir(os.path.join(out, "correct"))) == 1
     assert len(os.listdir(os.path.join(out, "incorrect"))) == 1
+
+
+def test_map_counts_empty_gt_queries_in_denominator():
+    """Reference calculate_map averages AP over ALL queries, including
+    empty-gt ones (func_vpr.py:391-392)."""
+    from revisit_anything_tpu.retrieval.recall import calculate_map
+    preds = [[0], [1], [2], [3]]
+    gt = [[0], [1], [], []]          # two perfect hits, two empty-gt
+    assert calculate_map(preds, gt) == 0.5

@@ -217,3 +217,34 @@ def test_single_image_pair_matches(rng):
     eq, er = np.unravel_index(order, s.shape)
     np.testing.assert_array_equal(qseg, eq)
     np.testing.assert_array_equal(dbseg, matches[rows][eq, er])
+
+
+def test_weighted_borda_zero_vote_rows_predict_minus_one():
+    """Query images with no segments (or whose votes are all zero) must
+    predict -1 rows — a miss — not arbitrary low image ids (the host
+    path predicts nothing for them)."""
+    import jax.numpy as jnp
+    from revisit_anything_tpu.retrieval.matching import (
+        weighted_borda_predict)
+    rng = np.random.default_rng(0)
+    sims = jnp.asarray(rng.random((6, 4)), jnp.float32)
+    matches = jnp.asarray(rng.integers(0, 20, (6, 4)))
+    # segments belong to query images 0 and 2; image 1 has none
+    q_ids = jnp.asarray(np.array([0, 0, 0, 2, 2, 2], np.int32))
+    ref_ids = jnp.asarray(np.repeat(np.arange(5), 4).astype(np.int32))
+    preds = np.asarray(weighted_borda_predict(sims, matches, q_ids,
+                                              ref_ids, 3, 5, n=3))
+    assert preds.shape == (3, 3)
+    assert (preds[1] == -1).all()
+    assert (preds[0] >= 0).all() and (preds[2] >= 0).all()
+
+
+def test_weighted_borda_rejects_int32_bin_overflow():
+    import jax.numpy as jnp
+    from revisit_anything_tpu.retrieval.matching import (
+        weighted_borda_predict)
+    with np.testing.assert_raises(ValueError):
+        weighted_borda_predict(jnp.zeros((1, 1)), jnp.zeros((1, 1), jnp.int32),
+                               jnp.zeros((1,), jnp.int32),
+                               jnp.zeros((1,), jnp.int32),
+                               70000, 70000, n=5)
