@@ -51,7 +51,11 @@ def natsorted_keys(keys) -> List[str]:
 
 
 def list_image_keys(h5: h5py.File) -> List[str]:
-    return list(h5.keys())
+    """Image keys in NATURAL order: h5py iterates alphabetically
+    ('img_10' before 'img_2'), while ground-truth rows and the reference
+    (aggFt natsorts f.keys(), func_vpr.py:888) are natural-sorted —
+    alphabetical order would pair predictions with the wrong gt rows."""
+    return natsorted_keys(h5.keys())
 
 
 def read_image_masks(h5: h5py.File, image_key: str,

@@ -315,6 +315,12 @@ def generate_masks_batch(params: Params, cfg: SamArchConfig,
     device extraction; prompt decoding stays per image on the default
     device)."""
     assert len({im.shape for im in images_rgb}) == 1, "same-shape batch"
+    if amg.crop_n_layers > 0:
+        # multicrop needs one encoder pass PER crop — no shared-batch
+        # encode to amortize; fall through to the per-image path rather
+        # than silently ignoring crop_n_layers
+        return [_generate_multicrop(params, cfg, im, amg, max_masks)
+                for im in images_rgb]
     pre = [_preprocess_any(im, cfg) for im in images_rgb]
     batched = jnp.concatenate([p[0] for p in pre], axis=0)
     if mesh is not None and mesh.devices.size > 1:

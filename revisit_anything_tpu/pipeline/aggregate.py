@@ -137,21 +137,14 @@ def compute_segment_vlads(masks_h5_path: str,
 def global_vlads_from_h5(dino_h5_path: str,
                          image_keys: Sequence[str],
                          centers: np.ndarray,
-                         desired_hw: Tuple[int, int],
+                         desired_hw: Tuple[int, int] = None,
                          num_clusters: int = None) -> np.ndarray:
-    """AnyLoc whole-image VLADs (func_vpr.py aggFt :886-956): features are
-    bilinearly upsampled (align_corners=True) to full resolution before
-    aggregation in the reference — equivalent on the patch grid to
-    weighting patches by their pixel multiplicity; we reproduce the exact
-    semantics by upsampling the assignment domain.
-
-    To stay faithful AND fast, we aggregate on the pixel grid implicitly:
-    the reference's upsample+VLAD equals a patch-weighted VLAD where each
-    patch contributes with the number of pixels mapping to it — but
-    bilinear interpolation mixes neighboring patch descriptors, so exact
-    parity requires the upsample. We upsample on-device then aggregate.
+    """AnyLoc whole-image VLADs (func_vpr.py aggFt :949-956, aggType
+    'vlad', segment=False): the reference aggregates the RAW [dh·dw]
+    patch grid — its upsample call in this branch is commented out
+    (func_vpr.py:950-951) — so no interpolation happens here either.
+    ``desired_hw`` is accepted and ignored for call-site compatibility.
     """
-    from revisit_anything_tpu.ops.resize import bilinear_resize_align_corners
     from revisit_anything_tpu.ops.vlad import global_vlad
 
     num_clusters = num_clusters or centers.shape[0]
@@ -159,10 +152,9 @@ def global_vlads_from_h5(dino_h5_path: str,
     with h5py.File(dino_h5_path, "r") as f:
         for key in image_keys:
             feats = read_dino_features(f, key)[0]        # [D, dh, dw]
-            up = bilinear_resize_align_corners(jnp.asarray(feats),
-                                               desired_hw)
-            d = up.shape[0]
-            desc = l2_normalize(up.reshape(d, -1).T, axis=1)
+            d = feats.shape[0]
+            desc = l2_normalize(
+                jnp.asarray(feats.reshape(d, -1).T), axis=1)
             out.append(np.asarray(
                 global_vlad(desc, jnp.asarray(centers), num_clusters)))
     return np.stack(out)

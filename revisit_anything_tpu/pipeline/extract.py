@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from revisit_anything_tpu.io.h5io import (write_dino_features,
                                           write_image_masks)
 from revisit_anything_tpu.models import dinov2 as dn
-from revisit_anything_tpu.models.sam.amg import AmgConfig, generate_masks
+from revisit_anything_tpu.models.sam.amg import AmgConfig
 from revisit_anything_tpu.models.sam.config import SamArchConfig
 from revisit_anything_tpu.ops.vlad import l2_normalize
 from revisit_anything_tpu.utils.profiling import stage_timer
@@ -99,6 +99,25 @@ def extract_sam_masks(image_paths: Sequence[str],
                               flush=True)
 
 
+# Stable per-config forward callables: data_parallel_apply keys its jit
+# cache on function identity — a fresh closure per call would recompile
+# the ViT forward on every ref/query set (see parallel/data_parallel.py).
+_DINO_FWD_FNS: dict = {}
+
+
+def _dino_fwd_for(dino_cfg, layer, facet, dh, dw):
+    key = (dino_cfg, layer, facet, dh, dw)
+    if key not in _DINO_FWD_FNS:
+        def fwd(p, xb):
+            feats = dn.extract_dense(p, dino_cfg, xb, layer, facet)
+            # [B, dh*dw, D] → [B, D, dh, dw], L2 over D
+            feats = jnp.transpose(feats, (0, 2, 1)).reshape(
+                xb.shape[0], -1, dh, dw)
+            return l2_normalize(feats, axis=1)
+        _DINO_FWD_FNS[key] = fwd
+    return _DINO_FWD_FNS[key]
+
+
 def extract_dino_features(image_paths: Sequence[str],
                           image_keys: Sequence[str],
                           out_h5_path: str,
@@ -120,13 +139,7 @@ def extract_dino_features(image_paths: Sequence[str],
     mesh = resolve_mesh(mesh)
     timer = stage_timer()
     dh, dw = target_hw[0] // 14, target_hw[1] // 14
-
-    def fwd(p, xb):
-        feats = dn.extract_dense(p, dino_cfg, xb, layer, facet)
-        # [B, dh*dw, D] → [B, D, dh, dw], L2 over D
-        feats = jnp.transpose(feats, (0, 2, 1)).reshape(
-            xb.shape[0], -1, dh, dw)
-        return l2_normalize(feats, axis=1)
+    fwd = _dino_fwd_for(dino_cfg, layer, facet, dh, dw)
 
     with h5py.File(out_h5_path, "w") as f:
         for s in range(0, len(image_paths), batch_size):

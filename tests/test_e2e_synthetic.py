@@ -149,3 +149,48 @@ def test_device_voting_matches_host(artifacts):
     assert host.recalls == dev.recalls
     for a, b in zip(host.predictions, dev.predictions):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_global_vlads_match_reference_patchgrid_semantics(tmp_path):
+    """aggFt's AnyLoc vlad branch aggregates the RAW patch grid — the
+    upsample in that branch is commented out (func_vpr.py:949-956)."""
+    import h5py
+    import torch
+    from revisit_anything_tpu.io.h5io import write_dino_features
+    from revisit_anything_tpu.pipeline.aggregate import global_vlads_from_h5
+
+    rng = np.random.default_rng(3)
+    D, dh, dw, C = 32, 6, 8, 4
+    feats = rng.standard_normal((1, D, dh, dw)).astype(np.float32)
+    centers = rng.standard_normal((C, D)).astype(np.float32)
+    path = str(tmp_path / "dino.h5")
+    with h5py.File(path, "w") as f:
+        write_dino_features(f, "im0", feats)
+
+    got = global_vlads_from_h5(path, ["im0"], centers, (dh * 14, dw * 14),
+                               C)[0]
+
+    # torch oracle of the reference branch: reshape to [N, D], normalize
+    # over D, hard-assign VLAD (utilities.py VLAD.generate hard mode)
+    t = torch.tensor(feats.reshape(1, D, dh * dw))
+    tn = torch.nn.functional.normalize(t, dim=1)[0].T      # [N, D]
+    cn = torch.nn.functional.normalize(torch.tensor(centers), dim=1)
+    labels = (tn @ cn.T).argmax(1)
+    vlad = torch.zeros(C, D, dtype=torch.float64)
+    for n in range(dh * dw):
+        vlad[labels[n]] += (tn[n] - torch.tensor(centers)[labels[n]]).double()
+    vlad = torch.nn.functional.normalize(vlad, dim=1).reshape(-1)
+    want = torch.nn.functional.normalize(vlad, dim=0).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_list_image_keys_natural_order(tmp_path):
+    import h5py
+    from revisit_anything_tpu.io.h5io import list_image_keys
+    path = str(tmp_path / "k.h5")
+    with h5py.File(path, "w") as f:
+        for k in ("img_1.jpg", "img_2.jpg", "img_10.jpg"):
+            f.create_group(k)
+    with h5py.File(path) as f:
+        assert list_image_keys(f) == ["img_1.jpg", "img_2.jpg",
+                                      "img_10.jpg"]
