@@ -48,6 +48,12 @@ class DinoV2Config:
     eps: float = 1e-6
     pretrain_grid: Tuple[int, int] = (37, 37)  # 518 // 14
     num_register_tokens: int = 0
+    # hub DINOv2 interpolates pos embeddings with scale_factor =
+    # (grid + 0.1) / pretrain_grid (interpolate_offset default 0.1,
+    # dinov2 vision_transformer.py) — torch then maps coordinates by the
+    # PROVIDED factor, not out/in. 0.0 reproduces size-based semantics
+    # (HF Dinov2Model).
+    interpolate_offset: float = 0.1
 
     @property
     def head_dim(self) -> int:
@@ -205,7 +211,9 @@ def _block(x, blk, cfg: DinoV2Config):
 def interpolate_pos_embed(params: Params, cfg: DinoV2Config,
                           grid_hw: Tuple[int, int]) -> jnp.ndarray:
     """Resize the pretrain patch position grid to ``grid_hw`` (bicubic),
-    keeping the cls position — dinov2's interpolate_pos_encoding."""
+    keeping the cls position — dinov2's interpolate_pos_encoding with
+    the hub scale-factor semantics (cfg.interpolate_offset; src coord =
+    (dst+0.5)·pretrain/(grid+offset) − 0.5)."""
     pos = params["pos_embed"].astype(jnp.float32)
     cls_pos, patch_pos = pos[:, :1], pos[:, 1:]
     gh0, gw0 = cfg.pretrain_grid
@@ -213,7 +221,10 @@ def interpolate_pos_embed(params: Params, cfg: DinoV2Config,
     if (gh, gw) != (gh0, gw0):
         from revisit_anything_tpu.ops.resize import bicubic_resize_torch
         grid = patch_pos.reshape(gh0, gw0, cfg.embed_dim)
-        grid = bicubic_resize_torch(grid, (gh, gw))
+        off = cfg.interpolate_offset
+        scales = ((gh0 / (gh + off), gw0 / (gw + off)) if off
+                  else (None, None))
+        grid = bicubic_resize_torch(grid, (gh, gw), coord_scales=scales)
         patch_pos = grid.reshape(1, gh * gw, cfg.embed_dim)
     return jnp.concatenate([cls_pos, patch_pos], axis=1)
 

@@ -39,7 +39,8 @@ def _ln(sd, prefix):
 
 def _convt_w(sd, prefix):
     """ConvTranspose2d(k=2,s=2) weight [in, out, 2, 2] → [in, 4*out]
-    matching decoder._upscale's matmul+reshape layout (kh, kw, cout)."""
+    matching the decoder upscaler's matmul+reshape layout (kh, kw, cout)
+    (see decoder._upscale_masks_blocks)."""
     w = _np(sd, prefix + ".weight")
     cin, cout = w.shape[0], w.shape[1]
     return (jnp.asarray(w.transpose(0, 2, 3, 1).reshape(cin, 4 * cout)),

@@ -311,31 +311,6 @@ def _attn_preprojected(attn_p, q, k, v, num_heads: int):
     return _dense(out.reshape(b, nq, d), attn_p["out"])
 
 
-def _upscale(src_map: jnp.ndarray, dec: Params, cfg: SamArchConfig):
-    """Output upscaler: two ConvTranspose(k=2, s=2) as matmul+reshape,
-    channel-LN + GELU between (mask_decoder.py:55-62)."""
-    b, g, _, d = src_map.shape
-
-    def convt(x, w, bias):
-        # w: [in, out*2*2] — each input pixel expands to a 2x2 block.
-        bb, hh, ww_, cin = x.shape
-        cout = w.shape[1] // 4
-        y = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
-        y = y.reshape(bb, hh, ww_, 2, 2, cout)
-        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(bb, 2 * hh, 2 * ww_, cout)
-        return y + bias
-
-    x = convt(src_map, dec["up1_w"], dec["up1_b"])
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    x = (x - mu) * jax.lax.rsqrt(var + cfg.eps) * dec["up_ln"]["scale"] \
-        + dec["up_ln"]["bias"]
-    x = jax.nn.gelu(x, approximate=False)
-    x = convt(x, dec["up2_w"], dec["up2_b"])
-    x = jax.nn.gelu(x, approximate=False)
-    return x                                            # [B, 4g, 4g, d/8]
-
-
 def _upscale_masks_blocks(src_flat: jnp.ndarray, hyper: jnp.ndarray,
                           dec: Params, cfg: SamArchConfig,
                           interleave: bool = True) -> jnp.ndarray:
@@ -347,7 +322,9 @@ def _upscale_masks_blocks(src_flat: jnp.ndarray, hyper: jnp.ndarray,
     input pixel (i, j). The whole chain therefore runs on [Np, g², *]
     tensors with the 2x2 block structure kept in the channel axis; only
     the final (small, f32) mask tensor is interleaved back to spatial
-    layout. Bit-equivalent to _upscale + the mask einsum.
+    layout. Bit-equivalent to running the two ConvTranspose(k=2, s=2)
+    stages spatially (each is a per-position matmul whose output expands
+    to a 2x2 block — zero spatial mixing) followed by the mask einsum.
 
     Args:
       src_flat: [Np, g², D].
@@ -404,7 +381,7 @@ def _upscale_masks_blocks(src_flat: jnp.ndarray, hyper: jnp.ndarray,
     return masks.reshape(np_, m, 4 * g, 4 * g)
 
 
-def _mlp(x, layers, final_act=None):
+def _mlp(x, layers):
     for i, p in enumerate(layers):
         x = _dense(x, p)
         if i < len(layers) - 1:

@@ -189,14 +189,9 @@ def _block(x: jnp.ndarray, blk: Params, cfg: SamArchConfig,
     return x + y
 
 
-def _channel_ln(x, p, eps=1e-6):
-    """LayerNorm over the channel (last) axis of NHWC maps — the neck's
-    LayerNorm2d (modeling/common.py:28-43). f32 compute, input dtype out."""
-    xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.var(xf, axis=-1, keepdims=True)
-    y = (xf - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
-    return y.astype(x.dtype)
+# The neck's LayerNorm2d (modeling/common.py:28-43) normalizes the same
+# (last, channel) axis of NHWC maps as the block LN — one implementation.
+_channel_ln = _layer_norm
 
 
 @partial(jax.jit, static_argnames=("cfg",))

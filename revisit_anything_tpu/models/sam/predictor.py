@@ -40,6 +40,14 @@ class SamPredictor:
         self._orig_hw = image_rgb.shape[:2]
         batched, self._input_hw = _preprocess_any(image_rgb, self.cfg)
         self._embedding = encode_image(self.params, self.cfg, batched)[0]
+        # fused lowres→original resize matrices depend only on image
+        # geometry: build once per set_image, not per predict
+        cfg = self.cfg
+        up = bilinear_weight_matrix(cfg.image_size, cfg.lowres_size)
+        self._wh = jnp.asarray(bilinear_weight_matrix(
+            self._orig_hw[0], self._input_hw[0]) @ up[:self._input_hw[0]])
+        self._ww = jnp.asarray(bilinear_weight_matrix(
+            self._orig_hw[1], self._input_hw[1]) @ up[:self._input_hw[1]])
 
     @property
     def is_image_set(self) -> bool:
@@ -80,6 +88,9 @@ class SamPredictor:
 
         sparse_parts = []
         if point_coords is not None:
+            assert point_labels is not None, (
+                "point_labels must be supplied if point_coords is "
+                "supplied.")                      # predictor.py:128-130
             pts = (np.asarray(point_coords, np.float32) * scale)[None]
             labels = np.asarray(point_labels, np.int32)[None]
             sparse_parts.append(embed_points(
@@ -104,14 +115,15 @@ class SamPredictor:
                                    multimask=multimask_output)
         lowres = lowres[0]                              # [M, 256, 256]
 
-        # postprocess_masks to original resolution (fused linear maps)
-        up = bilinear_weight_matrix(cfg.image_size, cfg.lowres_size)
-        wh = jnp.asarray(bilinear_weight_matrix(
-            self._orig_hw[0], self._input_hw[0]) @ up[:self._input_hw[0]])
-        ww = jnp.asarray(bilinear_weight_matrix(
-            self._orig_hw[1], self._input_hw[1]) @ up[:self._input_hw[1]])
-        m = jnp.einsum("oh,nhw->now", wh, lowres.astype(jnp.float32))
-        m = jnp.einsum("pw,now->nop", ww, m)
+        # postprocess_masks to original resolution (fused linear maps,
+        # precomputed in set_image). HIGHEST precision: near-threshold
+        # pixels flip vs torch at the build's bf16-class f32 default.
+        import jax
+        m = jnp.einsum("oh,nhw->now", self._wh,
+                       lowres.astype(jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST)
+        m = jnp.einsum("pw,now->nop", self._ww, m,
+                       precision=jax.lax.Precision.HIGHEST)
         masks = np.asarray(m)
         if not return_logits:
             masks = masks > cfg.mask_threshold

@@ -24,7 +24,11 @@ def _fourier_pe(coords01: jnp.ndarray, gaussian: jnp.ndarray) -> jnp.ndarray:
     """coords in [0,1] (...x2) → [..., 2*num_feats] via the random Fourier
     matrix (PositionEmbeddingRandom._pe_encoding)."""
     c = 2.0 * coords01 - 1.0
-    c = jnp.dot(c.astype(jnp.float32), gaussian.astype(jnp.float32))
+    # HIGHEST precision: the build's bf16-class f32 default would perturb
+    # every prompt coordinate by ~2^-9 before sin/cos (a pixels-level
+    # click shift at 1024 res); the K=2 contraction costs nothing
+    c = jnp.dot(c.astype(jnp.float32), gaussian.astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST)
     c = 2.0 * np.pi * c
     return jnp.concatenate([jnp.sin(c), jnp.cos(c)], axis=-1)
 

@@ -46,12 +46,19 @@ def _cubic_conv_weights(t: np.ndarray, a: float = -0.75) -> np.ndarray:
 
 
 def bicubic_weight_matrix(out_size: int, in_size: int,
-                          a: float = -0.75) -> np.ndarray:
+                          a: float = -0.75,
+                          coord_scale: float = None) -> np.ndarray:
     """[out, in] dense interpolation matrix reproducing torch
-    F.interpolate(mode='bicubic', align_corners=False, antialias=False)."""
-    if out_size == in_size:
+    F.interpolate(mode='bicubic', align_corners=False, antialias=False).
+
+    ``coord_scale``: explicit source-coordinate scale — torch uses the
+    CALLER-PROVIDED scale_factor when one is given (src = (dst+0.5)·
+    in/(in·scale_factor) − 0.5), which differs from out/in when the
+    scale_factor is fractional (DINOv2's interpolate_offset). Default:
+    in/out (the size-based mapping)."""
+    if out_size == in_size and coord_scale is None:
         return np.eye(out_size, dtype=np.float32)
-    scale = in_size / out_size
+    scale = in_size / out_size if coord_scale is None else coord_scale
     x = (np.arange(out_size) + 0.5) * scale - 0.5
     f = np.floor(x).astype(np.int64)
     t = x - f
@@ -63,17 +70,22 @@ def bicubic_weight_matrix(out_size: int, in_size: int,
     return mat.astype(np.float32)
 
 
-def bicubic_resize_torch(x: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+def bicubic_resize_torch(x: jnp.ndarray, out_hw: Tuple[int, int],
+                         coord_scales: Tuple[float, float] = (None, None)
+                         ) -> jnp.ndarray:
     """Bicubic resize of the FIRST two dims of ``x`` [H, W, ...], matching
     torch bicubic (align_corners=False) — used for DINOv2 position-embedding
-    grid interpolation."""
+    grid interpolation. ``coord_scales`` forwards explicit per-axis
+    source-coordinate scales (see bicubic_weight_matrix)."""
     in_h, in_w = x.shape[0], x.shape[1]
     out_h, out_w = out_hw
-    if (in_h, in_w) == (out_h, out_w):
+    if (in_h, in_w) == (out_h, out_w) and coord_scales == (None, None):
         return x
     import jax
-    wh = jnp.asarray(bicubic_weight_matrix(out_h, in_h))
-    ww = jnp.asarray(bicubic_weight_matrix(out_w, in_w))
+    wh = jnp.asarray(bicubic_weight_matrix(out_h, in_h,
+                                           coord_scale=coord_scales[0]))
+    ww = jnp.asarray(bicubic_weight_matrix(out_w, in_w,
+                                           coord_scale=coord_scales[1]))
     y = jnp.einsum("oi,ij...->oj...", wh, x.astype(jnp.float32),
                    precision=jax.lax.Precision.HIGHEST)
     return jnp.einsum("pj,oj...->op...", ww, y,

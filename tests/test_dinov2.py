@@ -88,7 +88,10 @@ def test_token_facet_matches_hidden_state(rng):
 
 
 def test_pos_embed_interpolation_matches_torch_bicubic(rng):
+    """offset=0 reproduces size-based F.interpolate (HF semantics)."""
+    import dataclasses
     _, cfg, params = make_pair(depth=1, grid=6)
+    cfg = dataclasses.replace(cfg, interpolate_offset=0.0)
     pos = np.asarray(params["pos_embed"])  # [1, 1+36, 64]
     ours = np.asarray(dn.interpolate_pos_embed(params, cfg, (3, 8)))
     grid = torch.from_numpy(pos[:, 1:].reshape(1, 6, 6, 64).transpose(0, 3, 1, 2))
@@ -97,6 +100,29 @@ def test_pos_embed_interpolation_matches_torch_bicubic(rng):
     ).permute(0, 2, 3, 1).reshape(1, 24, 64).numpy()
     np.testing.assert_allclose(ours[:, 1:], ref_patch, atol=1e-5)
     np.testing.assert_allclose(ours[:, :1], pos[:, :1], atol=0)
+
+
+def test_pos_embed_interpolation_hub_offset_semantics(rng):
+    """The default (interpolate_offset=0.1) must match hub DINOv2's
+    scale_factor-based F.interpolate (dinov2 vision_transformer.py
+    interpolate_pos_encoding), which maps coordinates by the PROVIDED
+    fractional factor — not by out/in."""
+    _, cfg, params = make_pair(depth=1, grid=6)
+    assert cfg.interpolate_offset == 0.1
+    pos = np.asarray(params["pos_embed"])
+    gh, gw = 3, 8
+    ours = np.asarray(dn.interpolate_pos_embed(params, cfg, (gh, gw)))
+    grid = torch.from_numpy(pos[:, 1:].reshape(1, 6, 6, 64).transpose(0, 3, 1, 2))
+    sy, sx = (gh + 0.1) / 6, (gw + 0.1) / 6
+    ref_patch = torch.nn.functional.interpolate(
+        grid, scale_factor=(sy, sx), mode="bicubic", align_corners=False
+    ).permute(0, 2, 3, 1).reshape(1, gh * gw, 64).numpy()
+    np.testing.assert_allclose(ours[:, 1:], ref_patch, atol=1e-5)
+    # and it must genuinely differ from the size-based mapping
+    ref_size = torch.nn.functional.interpolate(
+        grid, size=(gh, gw), mode="bicubic", align_corners=False
+    ).permute(0, 2, 3, 1).reshape(1, gh * gw, 64).numpy()
+    assert np.abs(ref_patch - ref_size).max() > 1e-4
 
 
 def test_nonsquare_input(rng):
