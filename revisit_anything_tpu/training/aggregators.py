@@ -93,13 +93,26 @@ def _nv_pca_project(params: Params, x: jnp.ndarray,
 
 
 def netvlad_init_from_cluster_centers(centers: jnp.ndarray,
-                                      alpha: float = 30.0,
+                                      descriptors=None,
+                                      alpha: float = None,
                                       antiburst: bool = True) -> Params:
-    """NetVLAD init from kmeans centers (initialize_netvlad_layer,
-    aggregation.py:392-468): assign weights = 2·alpha·normalized centers."""
+    """NetVLAD init from kmeans centers (init_params,
+    aggregation.py:239-257): assign weights = alpha · normalized centers
+    (no bias), with alpha derived from the sample descriptors when given
+    — alpha = −log(0.01) / mean(top1−top2 assignment dot gap); a fixed
+    alpha (default 30, the open-NetVLAD convention) otherwise."""
     cn = l2_normalize(centers, axis=1)
+    if alpha is None:
+        if descriptors is not None:
+            dots = jnp.dot(cn, jnp.asarray(descriptors, jnp.float32).T,
+                           precision=jax.lax.Precision.HIGHEST)
+            top2 = jax.lax.top_k(dots.T, 2)[0]           # [N, 2]
+            gap = jnp.mean(top2[:, 0] - top2[:, 1])
+            alpha = float(-jnp.log(0.01) / jnp.maximum(gap, 1e-12))
+        else:
+            alpha = 30.0
     p: Params = {
-        "assign_w": (2.0 * alpha * cn).T.astype(jnp.float32),
+        "assign_w": (alpha * cn).T.astype(jnp.float32),
         "centroids": centers.astype(jnp.float32),
     }
     if antiburst:
@@ -164,33 +177,45 @@ def spoc_pool(features: jnp.ndarray) -> jnp.ndarray:
 
 
 def rmac_pool(features: jnp.ndarray, levels: int = 3,
-              eps: float = 1e-12) -> jnp.ndarray:
-    """R-MAC (aggregation.py RMAC): multi-scale regional max pooling with
-    ~40% overlap, per-region L2, summed, final L2. [B, D, H, W] → [B, D]."""
+              eps: float = 1e-6) -> jnp.ndarray:
+    """R-MAC, cirtorch layers.functional.rmac semantics — the reference
+    RMAC class is a direct `LF.rmac(x, L, eps)` call (aggregation.py:
+    98-108; the LF import is missing there, so the cirtorch original is
+    the ground truth): global max-pool region, then per-level region
+    grids of size floor(2·min(H,W)/(l+1)) whose long-axis surplus count
+    Wd/Hd comes from the ~40% overlap search over steps 2..7, centers by
+    the floor arithmetic, each region's max-pool L2-scaled by
+    (norm + eps). Final L2 matches cirtorch's norm-after-pool net.
+    [B, D, H, W] → [B, D]."""
     b, d, hgt, wid = features.shape
-    out = jnp.zeros((b, d), jnp.float32)
     ovr = 0.4
-    steps = np.array([2, 3, 4, 5, 6, 7])
-    w_min = min(hgt, wid)
-    # region size per level follows the cnnimageretrieval recipe
+    steps = np.array([2, 3, 4, 5, 6, 7], np.float64)
+    w = min(hgt, wid)
+    if max(hgt, wid) != w:
+        bdist = (max(hgt, wid) - w) / (steps - 1)
+        idx = int(np.argmin(np.abs((w * w - w * bdist) / (w * w) - ovr)))
+    else:
+        idx = -1
+    wd = idx + 1 if hgt < wid else 0
+    hd = idx + 1 if hgt > wid else 0
+
+    v = jnp.max(features, axis=(2, 3))                 # global region
+    out = v / (jnp.linalg.norm(v, axis=1, keepdims=True) + eps)
     for lvl in range(1, levels + 1):
-        wl = int(2 * w_min / (lvl + 1))
+        wl = int(np.floor(2 * w / (lvl + 1)))
         if wl == 0:
             continue
-        if lvl == 1:
-            nh = nw = 1
-        else:
-            nw = lvl + (1 if wid > hgt else 0)
-            nh = lvl + (1 if hgt > wid else 0)
-        xs = (np.linspace(0, wid - wl, nw)).astype(int)
-        ys = (np.linspace(0, hgt - wl, nh)).astype(int)
-        for y0 in ys:
-            for x0 in xs:
+        wl2 = int(np.floor(wl / 2 - 1))
+        b_w = 0.0 if lvl + wd == 1 else (wid - wl) / (lvl + wd - 1)
+        cen_w = (np.floor(wl2 + np.arange(lvl + wd) * b_w) - wl2).astype(int)
+        b_h = 0.0 if lvl + hd == 1 else (hgt - wl) / (lvl + hd - 1)
+        cen_h = (np.floor(wl2 + np.arange(lvl + hd) * b_h) - wl2).astype(int)
+        for y0 in cen_h:
+            for x0 in cen_w:
                 reg = features[:, :, y0:y0 + wl, x0:x0 + wl]
-                v = jnp.max(reg, axis=(2, 3))
-                v = v / jnp.maximum(
-                    jnp.linalg.norm(v, axis=1, keepdims=True), eps)
-                out = out + v
+                vt = jnp.max(reg, axis=(2, 3))
+                vt = vt / (jnp.linalg.norm(vt, axis=1, keepdims=True) + eps)
+                out = out + vt
     return out / jnp.maximum(jnp.linalg.norm(out, axis=1, keepdims=True),
                              eps)
 
@@ -287,7 +312,9 @@ def mixvpr_forward(params: Params, features: jnp.ndarray) -> jnp.ndarray:
         + params["channel_proj"]["b"]                     # [B, HW, O]
     x = jnp.einsum("bpo,pr->bro", x, params["row_proj"]["w"]) \
         + params["row_proj"]["b"][:, None]                # [B, R, O]
-    return l2_normalize(x.reshape(b, -1), axis=1)
+    # torch MixVPR flattens [B, out_channels, out_rows] — (O, R) order
+    # (mixvpr.py:64-70 permutes back before flatten(1))
+    return l2_normalize(x.transpose(0, 2, 1).reshape(b, -1), axis=1)
 
 
 def rrm_init(key: jax.Array, dim: int, dtype=jnp.float32) -> Params:
@@ -355,6 +382,11 @@ def _log_optimal_transport(scores: jnp.ndarray, dustbin: jnp.ndarray,
     appended, marginals mu = [1/(m+n)]*m + (n-m)/(m+n), nu = [1/(m+n)]*n,
     final Z - norm."""
     b, m, n = scores.shape
+    if n <= m:
+        raise ValueError(
+            f"SALAD optimal transport needs more patches ({n}) than "
+            f"clusters ({m}): the dustbin marginal is log(n-m) "
+            "(salad.py:26-35) — use a larger input or fewer clusters")
     bins = jnp.broadcast_to(dustbin, (b, 1, n)).astype(scores.dtype)
     couplings = jnp.concatenate([scores, bins], axis=1)   # [B, m+1, n]
     norm = -jnp.log(float(m + n))

@@ -88,14 +88,20 @@ class PlacesBatcher:
 
 
 def prefetch(iterator, depth: int = 2):
-    """Thread prefetch: overlaps host image IO/decode with device steps."""
+    """Thread prefetch: overlaps host image IO/decode with device steps.
+    Worker exceptions (e.g. a corrupt image) are re-raised in the
+    consumer — without that the consumer would block on the queue
+    forever."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
 
     def worker():
-        for item in iterator:
-            q.put(item)
-        q.put(sentinel)
+        try:
+            for item in iterator:
+                q.put(item)
+            q.put(sentinel)
+        except BaseException as e:           # noqa: BLE001 — re-raised
+            q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -103,4 +109,6 @@ def prefetch(iterator, depth: int = 2):
         item = q.get()
         if item is sentinel:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item

@@ -53,8 +53,9 @@ def multi_similarity_loss(embeddings: jnp.ndarray,
                           base: float = 0.0,
                           use_miner: bool = True,
                           miner_epsilon: float = 0.1) -> jnp.ndarray:
-    """MS loss over dot-product similarities, averaged over anchors with at
-    least one mined pair (pytorch_metric_learning semantics)."""
+    """MS loss over dot-product similarities, averaged over ALL anchors
+    (pytorch_metric_learning MultiSimilarityLoss uses MeanReducer: zero-
+    loss anchors stay in the denominator)."""
     sims = jnp.dot(embeddings, embeddings.T,
                    preferred_element_type=jnp.float32)
     if use_miner:
@@ -69,9 +70,15 @@ def multi_similarity_loss(embeddings: jnp.ndarray,
     neg_loss = jnp.log1p(jnp.sum(neg_exp, axis=1)) / beta
 
     per_anchor = pos_loss + neg_loss
-    active = jnp.any(pos_mask, axis=1) | jnp.any(neg_mask, axis=1)
-    denom = jnp.maximum(jnp.sum(active), 1)
-    return jnp.sum(jnp.where(active, per_anchor, 0.0)) / denom
+    return jnp.mean(per_anchor)
+
+
+def _pairwise_l2(embeddings: jnp.ndarray) -> jnp.ndarray:
+    d2 = (jnp.sum(embeddings ** 2, axis=1)[:, None]
+          + jnp.sum(embeddings ** 2, axis=1)[None, :]
+          - 2 * jnp.dot(embeddings, embeddings.T,
+                        preferred_element_type=jnp.float32))
+    return jnp.sqrt(jnp.maximum(d2, 1e-12))
 
 
 @partial(jax.jit, static_argnames=("pos_margin", "neg_margin"))
@@ -80,19 +87,17 @@ def contrastive_loss(embeddings: jnp.ndarray, labels: jnp.ndarray,
                      neg_margin: float = 1.0) -> jnp.ndarray:
     """Contrastive loss over L2 distances (losses.py ContrastiveLoss
     config: pos_margin 0, neg_margin 1): positives pay max(d - pos_m, 0),
-    negatives max(neg_m - d, 0); mean over non-zero pairs."""
-    d2 = (jnp.sum(embeddings ** 2, axis=1)[:, None]
-          + jnp.sum(embeddings ** 2, axis=1)[None, :]
-          - 2 * jnp.dot(embeddings, embeddings.T,
-                        preferred_element_type=jnp.float32))
-    dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
+    negatives max(neg_m - d, 0). PML reduces the positive and negative
+    pair sets SEPARATELY (AvgNonZeroReducer each) and sums the means."""
+    dist = _pairwise_l2(embeddings)
     pos_mask, neg_mask = _pair_masks(labels)
     pos_term = jnp.where(pos_mask,
                          jnp.maximum(dist - pos_margin, 0.0), 0.0)
     neg_term = jnp.where(neg_mask,
                          jnp.maximum(neg_margin - dist, 0.0), 0.0)
-    nonzero = jnp.sum((pos_term > 0) | (neg_term > 0))
-    return jnp.sum(pos_term + neg_term) / jnp.maximum(nonzero, 1)
+    pos_mean = jnp.sum(pos_term) / jnp.maximum(jnp.sum(pos_term > 0), 1)
+    neg_mean = jnp.sum(neg_term) / jnp.maximum(jnp.sum(neg_term > 0), 1)
+    return pos_mean + neg_mean
 
 
 @partial(jax.jit, static_argnames=("margin",))
@@ -101,11 +106,7 @@ def triplet_margin_loss(embeddings: jnp.ndarray, labels: jnp.ndarray,
     """Batch-all triplet margin loss over L2 distances
     (losses.py TripletMarginLoss: margin 0.1, all triplets), averaged over
     violating triplets."""
-    d2 = (jnp.sum(embeddings ** 2, axis=1)[:, None]
-          + jnp.sum(embeddings ** 2, axis=1)[None, :]
-          - 2 * jnp.dot(embeddings, embeddings.T,
-                        preferred_element_type=jnp.float32))
-    dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
+    dist = _pairwise_l2(embeddings)
     pos_mask, neg_mask = _pair_masks(labels)
     # loss[a, p, n] = max(d_ap - d_an + margin, 0) over valid triplets
     viol = dist[:, :, None] - dist[:, None, :] + margin

@@ -17,6 +17,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 
@@ -46,12 +47,26 @@ class ValidationSet:
                    gt=[list(map(int, g)) for g in gt], image_hw=image_hw)
 
 
+# module-level jitted forward (one wrapper — a fresh jax.jit per call
+# would retrace every validation round); cfg is static, unjitted the ViT
+# forward dispatches every op individually (~30 ms tunnel RTT each)
+_JIT_FORWARD = None
+
+
+def _jit_forward():
+    global _JIT_FORWARD
+    if _JIT_FORWARD is None:
+        from revisit_anything_tpu.training.train import model_forward
+        _JIT_FORWARD = jax.jit(model_forward, static_argnames=("cfg",))
+    return _JIT_FORWARD
+
+
 def _descriptors(params, cfg, paths: Sequence[str],
                  image_hw: Tuple[int, int], batch_size: int) -> np.ndarray:
     from revisit_anything_tpu.models import dinov2 as dn
     from revisit_anything_tpu.pipeline.extract import (_resize_cv2_bilinear,
                                                        load_image_rgb)
-    from revisit_anything_tpu.training.train import model_forward
+    fwd = _jit_forward()
     out = []
     for s in range(0, len(paths), batch_size):
         imgs = np.stack([
@@ -59,7 +74,7 @@ def _descriptors(params, cfg, paths: Sequence[str],
                                  (image_hw[1], image_hw[0]))
             for p in paths[s:s + batch_size]])
         x = dn.preprocess(imgs)
-        out.append(np.asarray(model_forward(params, cfg, jnp.asarray(x))))
+        out.append(np.asarray(fwd(params, cfg, jnp.asarray(x))))
     return np.concatenate(out) if out else np.zeros((0, 1), np.float32)
 
 

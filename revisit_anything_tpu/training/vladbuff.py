@@ -78,7 +78,11 @@ def convert_vladbuff_checkpoint(state_dict: Dict[str, np.ndarray],
     wpca_keys = [k for k in state_dict if "wpca" in k.lower()
                  and k.endswith(".weight")]
     if wpca_keys:
-        wk = wpca_keys[0]
+        # add_pca.py loops over sorted --num_pcs and add_module()s each
+        # WPCA_{n} cumulatively before re-saving, so a wpca{n}_last.ckpt
+        # can contain SEVERAL WPCA_k modules: take the LARGEST output dim
+        # (= the n the checkpoint is named for), not insertion order
+        wk = max(wpca_keys, key=lambda k: state_dict[k].shape[0])
         w = g(wk)
         w = w[:, :, 0, 0] if w.ndim == 4 else w
         bk = wk[:-len(".weight")] + ".bias"

@@ -118,3 +118,98 @@ def test_max_seg_methods(rng):
         for rows, p in zip(seg_ranges, preds):
             voted = set(im_inds[matches[rows, 0]].tolist())
             assert set(p.tolist()) <= voted
+
+
+def test_rmac_matches_cirtorch_oracle(rng):
+    """Element parity with cnnimageretrieval-pytorch layers.functional
+    rmac (the reference RMAC's LF.rmac), incl. the global region and the
+    overlap-search region counts on a non-square map."""
+    import math
+    import torch
+    import torch.nn.functional as F
+
+    def cirtorch_rmac(x, L=3, eps=1e-6):
+        ovr = 0.4
+        steps = torch.Tensor([2, 3, 4, 5, 6, 7])
+        W = x.size(3); H = x.size(2)
+        w = min(W, H)
+        b = (max(H, W) - w) / (steps - 1)
+        (_, idx) = torch.min(
+            torch.abs(((w ** 2 - w * b) / w ** 2) - ovr), 0)
+        Wd = 0; Hd = 0
+        if H < W:
+            Wd = idx.item() + 1
+        elif H > W:
+            Hd = idx.item() + 1
+        v = F.max_pool2d(x, (x.size(-2), x.size(-1)))
+        v = v / (torch.norm(v, p=2, dim=1, keepdim=True) + eps).expand_as(v)
+        for l in range(1, L + 1):
+            wl = math.floor(2 * w / (l + 1))
+            if wl == 0:
+                continue
+            wl2 = math.floor(wl / 2 - 1)
+            b = 0 if l + Wd == 1 else (W - wl) / (l + Wd - 1)
+            cenW = (torch.floor(wl2 + torch.Tensor(range(l - 1 + Wd + 1))
+                                * b) - wl2)
+            b = 0 if l + Hd == 1 else (H - wl) / (l + Hd - 1)
+            cenH = (torch.floor(wl2 + torch.Tensor(range(l - 1 + Hd + 1))
+                                * b) - wl2)
+            for i_ in cenH.tolist():
+                for j_ in cenW.tolist():
+                    R = x[:, :, int(i_):int(i_) + wl, int(j_):int(j_) + wl]
+                    vt = F.max_pool2d(R, (R.size(-2), R.size(-1)))
+                    vt = vt / (torch.norm(vt, p=2, dim=1, keepdim=True)
+                               + eps).expand_as(vt)
+                    v += vt
+        return v[:, :, 0, 0]
+
+    x = rng.standard_normal((2, 16, 12, 17)).astype(np.float32)
+    want = cirtorch_rmac(torch.tensor(x)).numpy()
+    want = want / np.linalg.norm(want, axis=1, keepdims=True)
+    got = np.asarray(rmac_pool(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_mixvpr_flatten_order_matches_torch(rng):
+    """torch MixVPR flattens [B, out_channels, out_rows] — verify via a
+    minimal torch replica of the projection tail."""
+    import torch
+    p = mixvpr_init(jax.random.PRNGKey(2), in_channels=6, in_h=3, in_w=4,
+                    out_channels=5, out_rows=2, mix_depth=1)
+    x = rng.standard_normal((1, 6, 3, 4)).astype(np.float32)
+    got = np.asarray(mixvpr_forward(p, x))
+
+    xt = torch.tensor(x).flatten(2)                      # [B, C, HW]
+    # replicate the mixer
+    import torch.nn.functional as F
+    mx = p["mixers"][0]
+    h = F.layer_norm(xt, (12,), torch.tensor(np.asarray(mx["ln"]["scale"])),
+                     torch.tensor(np.asarray(mx["ln"]["bias"])), eps=1e-5)
+    h = torch.relu(h @ torch.tensor(np.asarray(mx["fc1"]["w"])) +
+                   torch.tensor(np.asarray(mx["fc1"]["b"])))
+    h = h @ torch.tensor(np.asarray(mx["fc2"]["w"])) + \
+        torch.tensor(np.asarray(mx["fc2"]["b"]))
+    xt = xt + h
+    xt = xt.permute(0, 2, 1) @ torch.tensor(np.asarray(
+        p["channel_proj"]["w"])) + torch.tensor(np.asarray(
+            p["channel_proj"]["b"]))                     # [B, HW, O]
+    xt = (xt.permute(0, 2, 1) @ torch.tensor(np.asarray(
+        p["row_proj"]["w"]))) + torch.tensor(np.asarray(
+            p["row_proj"]["b"]))                         # [B, O, R]
+    want = F.normalize(xt.flatten(1), dim=-1).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_netvlad_init_reference_alpha(rng):
+    """init_params semantics (aggregation.py:239-257): alpha from the
+    top-2 assignment gap, weights alpha * normalized centers."""
+    from revisit_anything_tpu.training.aggregators import (
+        netvlad_init_from_cluster_centers)
+    centers = rng.standard_normal((8, 16)).astype(np.float32)
+    descs = rng.standard_normal((100, 16)).astype(np.float32)
+    p = netvlad_init_from_cluster_centers(centers, descriptors=descs)
+    cn = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    dots = np.sort(cn @ descs.T, axis=0)[::-1]
+    alpha = -np.log(0.01) / np.mean(dots[0] - dots[1])
+    np.testing.assert_allclose(np.asarray(p["assign_w"]),
+                               (alpha * cn).T, rtol=1e-5)

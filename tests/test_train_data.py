@@ -75,3 +75,17 @@ def test_batcher_feeds_train_step(tmp_path, rng):
                                              imgs, labels)
     assert np.isfinite(float(loss))
     assert int(step) == 2
+
+
+def test_prefetch_reraises_worker_exception():
+    from revisit_anything_tpu.training.data import prefetch
+
+    def bad_iter():
+        yield 1
+        raise RuntimeError("corrupt image")
+
+    it = prefetch(bad_iter())
+    assert next(it) == 1
+    import pytest
+    with pytest.raises(RuntimeError, match="corrupt image"):
+        list(it)

@@ -161,3 +161,17 @@ def test_hub_vlad_buff_nv_pca_wpca_roundtrip(rng, tmp_path, monkeypatch):
     params2, _, forward2 = hub.load_model("vlad_buff", checkpoint=path)
     out2 = np.asarray(forward2(params2, jnp.asarray(imgs)))
     np.testing.assert_array_equal(out, out2)
+
+
+def test_wpca_selection_prefers_matching_num_pcs(ckpt, rng):
+    """add_pca.py add_module()s WPCA_{n} cumulatively over sorted
+    --num_pcs, so a checkpoint can hold several; the converter must bake
+    the LARGEST (the n the checkpoint is named for), not the first."""
+    C, D = 8, TINY.embed_dim
+    sd = dict(ckpt)
+    # a second, larger WPCA module alongside the fixture's WPCA_16
+    sd["aggregator.WPCA_24.weight"] = rng.standard_normal(
+        (24, C * D, 1, 1)).astype(np.float32)
+    sd["aggregator.WPCA_24.bias"] = np.zeros((24,), np.float32)
+    params = convert_vladbuff_checkpoint(sd, TINY)
+    assert params["wpca"]["w"].shape[0] == 24
