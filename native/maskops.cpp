@@ -41,10 +41,13 @@ int rle_encode(const uint8_t* mask, int h, int w, int32_t* counts_out) {
 
 // Inverse of rle_encode.
 void rle_decode(const int32_t* counts, int n, int h, int w, uint8_t* out) {
+    // bounds-checked: a corrupted artifact whose counts sum past h*w must
+    // not write outside the caller's buffer
+    const int64_t total = (int64_t)h * w;
     int64_t idx = 0;
     uint8_t cur = 0;
     for (int i = 0; i < n; ++i) {
-        for (int32_t r = 0; r < counts[i]; ++r) {
+        for (int32_t r = 0; r < counts[i] && idx < total; ++r) {
             int64_t x = idx / h, y = idx % h;
             out[y * w + x] = cur;
             ++idx;
@@ -122,6 +125,23 @@ int remove_small_regions(uint8_t* mask, int h, int w, int area_thresh,
     std::vector<int32_t> labels(n), areas(n + 1);
     int comps = connected_components(work.data(), h, w, labels.data(),
                                      areas.data());
+    if (mode == 0 && comps > 0) {
+        // islands: if EVERY foreground component is below the threshold,
+        // keep the largest one (amg.py:286-289 "If every region is below
+        // threshold, keep largest"); the reference reports modified=True
+        // because small regions existed.
+        bool any_big = false;
+        for (int l = 1; l <= comps; ++l)
+            if (areas[l] >= area_thresh) { any_big = true; break; }
+        if (!any_big) {
+            int best = 1;
+            for (int l = 2; l <= comps; ++l)
+                if (areas[l] > areas[best]) best = l;
+            for (int64_t i = 0; i < n; ++i)
+                if (labels[i] && labels[i] != best) mask[i] = 0;
+            return 1;
+        }
+    }
     int changed = 0;
     for (int64_t i = 0; i < n; ++i) {
         int lbl = labels[i];
@@ -130,7 +150,6 @@ int remove_small_regions(uint8_t* mask, int h, int w, int area_thresh,
             changed = 1;
         }
     }
-    (void)comps;
     return changed;
 }
 

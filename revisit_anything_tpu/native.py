@@ -144,6 +144,12 @@ def remove_small_regions(mask: np.ndarray, area_thresh: int,
     labels, areas = connected_components(work)
     small = np.zeros(len(areas), bool)
     small[1:] = areas[1:] < area_thresh
+    if mode == "islands" and len(areas) > 1 and small[1:].all():
+        # every foreground component below threshold: keep the largest
+        # (amg.py:286-289); modified=True because small regions existed
+        best = 1 + int(np.argmax(areas[1:]))
+        out = labels == best
+        return out, True
     target = small[labels]
     out = mask.copy()
     out[target] = mode == "holes"

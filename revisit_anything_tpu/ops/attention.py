@@ -89,11 +89,16 @@ def _flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     use_bias = bias_h is not None
 
     if not use_bias:
-        bias_h = jnp.zeros((bh_, n, 128), q.dtype)
+        # one dummy block with a constant index map — a full [BH, N, 128]
+        # zero tensor would be DMA'd into VMEM on every grid step for a
+        # kernel that never reads it
+        bias_h = jnp.zeros((1, block_q, 128), q.dtype)
         bias_w = bias_h
 
     grid = (bh_, n // block_q)
     sideb = bias_h.shape[2]
+    bias_map = ((lambda b, i: (b, i, 0)) if use_bias
+                else (lambda b, i: (0, 0, 0)))
 
     # 0/1 expansion maps: eh[i, k] = [k // side == i], ew[j, k] = [k % side
     # == j]; zero rows for the sideb padding.
@@ -116,9 +121,9 @@ def _flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, sideb), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, block_q, sideb), bias_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, sideb), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, block_q, sideb), bias_map,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((sideb, n), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -133,7 +138,7 @@ def _flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def _token_attn_kernel(q_ref, kt_ref, vt_ref, o_ref, *, heads: int,
-                       hd: int, valid_n: int, scale: float):
+                       hd: int, scale: float):
     """One batch element: few token queries attend to M image keys for all
     heads. k/v arrive TRANSPOSED [H*hd, M] so the 16-wide head dim lives
     in sublanes (a [*, M, hd] layout would pad hd 16→128 lanes: 8x the
@@ -167,7 +172,7 @@ def _token_cross(q, kt, vt, heads: int, hd: int, scale: float,
     d = q.shape[2]
     m = kt.shape[2]
     kernel = partial(_token_attn_kernel, heads=heads, hd=hd,
-                     valid_n=n, scale=scale)
+                     scale=scale)
     return pl.pallas_call(
         kernel,
         grid=(b,),
@@ -271,7 +276,16 @@ def _i2t_kernel(img_ref, peq_ref, kbd_ref, vbd_ref, w_ref, vecs_ref,
     s = jax.lax.dot_general(
         q, kbd_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale       # [BLK, H·T]
-    mx = jnp.max(s, axis=1, keepdims=True)                # global row max
+    # PER-HEAD row max (a global row max underflows exp to 0 for a head
+    # whose logits sit >~88 below the strongest head's → 0/0 NaN; the
+    # per-head shift cancels in p = e/zb exactly)
+    head_of_lane = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                    // n_tok)
+    mx = jnp.full_like(s, -jnp.inf)
+    for h in range(n_heads):
+        in_h = head_of_lane == h
+        m_h = jnp.max(jnp.where(in_h, s, -jnp.inf), axis=1, keepdims=True)
+        mx = jnp.where(in_h, m_h, mx)
     e = jnp.exp(s - mx)
     lane = jax.lax.broadcasted_iota(jnp.int32, (ht, n_heads), 0) // n_tok
     grp = jax.lax.broadcasted_iota(jnp.int32, (ht, n_heads), 1)
@@ -292,7 +306,10 @@ def _i2t_kernel(img_ref, peq_ref, kbd_ref, vbd_ref, w_ref, vecs_ref,
 
     y = (x + out).astype(jnp.float32)                     # residual
     mu = jnp.mean(y, axis=1, keepdims=True)
-    var = jnp.mean(y * y, axis=1, keepdims=True) - mu * mu
+    # one-pass variance can go slightly negative from f32 cancellation
+    # (|mean| >> std) and NaN through rsqrt — clamp like jnp.var can't
+    var = jnp.maximum(jnp.mean(y * y, axis=1, keepdims=True) - mu * mu,
+                      0.0)
     y = (y - mu) * jax.lax.rsqrt(var + eps) \
         * vecs_ref[2:3, :].astype(jnp.float32) \
         + vecs_ref[3:4, :].astype(jnp.float32)
@@ -408,9 +425,14 @@ def _token_cross_kv(q, kvt, pek, vb, heads: int, hd: int, scale: float,
     # (bf16) and Pallas double-buffers inputs; stay within ~48 MB scoped
     # vmem (v5e has 128 MB physical; the 16 MB default is conservative)
     kv_bytes = 2 * d * m * q.dtype.itemsize
-    group = next(g for g in (8, 4, 2, 1)
-                 if b % g == 0 and (1 if kv_shared else g)
-                 * kv_bytes * 2 <= 48 * 1024 * 1024)
+    group = next((g for g in (8, 4, 2, 1)
+                  if b % g == 0 and (1 if kv_shared else g)
+                  * kv_bytes * 2 <= 48 * 1024 * 1024), None)
+    if group is None:
+        raise ValueError(
+            f"token-cross k|v block ({kv_bytes / 2 ** 20:.0f} MB per "
+            f"prompt, d={d}, m={m}) exceeds the 48 MB VMEM budget even "
+            "ungrouped — reduce the image-branch width or sequence")
     kernel = partial(_token_attn_kv_kernel, heads=heads, hd=hd,
                      scale=scale, group=group)
     return pl.pallas_call(

@@ -92,3 +92,15 @@ def test_native_nms_matches_host(rng):
     ours = native.nms_native(boxes, scores, 0.5)
     ref = nms_host(boxes, scores, 0.5)
     np.testing.assert_array_equal(ours, ref)
+
+
+def test_islands_keeps_largest_when_all_small():
+    """amg.py:286-289: if every foreground region is below threshold,
+    keep the largest instead of emptying the mask."""
+    from revisit_anything_tpu.native import remove_small_regions
+    m = np.zeros((20, 20), bool)
+    m[2:5, 2:5] = True          # 9 px
+    m[10:14, 10:14] = True      # 16 px — the largest
+    out, changed = remove_small_regions(m, 50, "islands")
+    assert changed
+    assert out.sum() == 16 and out[10:14, 10:14].all()
