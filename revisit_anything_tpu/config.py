@@ -122,10 +122,18 @@ class RetrievalConfig:
 
 @dataclasses.dataclass(frozen=True)
 class WorkdirConfig:
-    """Filesystem roots: datasets, artifact workdir, vocabulary cache."""
-    data_root: str = os.environ.get("RAT_DATA_ROOT", "/root/data")
-    workdir: str = os.environ.get("RAT_WORKDIR", "/root/workdir")
-    cache_root: str = os.environ.get("RAT_CACHE_ROOT", "/root/repo/cache")
+    """Filesystem roots: datasets, artifact workdir, vocabulary cache.
+    Env vars are read at INSTANTIATION (default_factory), not import —
+    setting RAT_* after importing the package still takes effect."""
+    data_root: str = dataclasses.field(
+        default_factory=lambda: os.environ.get("RAT_DATA_ROOT",
+                                               "/root/data"))
+    workdir: str = dataclasses.field(
+        default_factory=lambda: os.environ.get("RAT_WORKDIR",
+                                               "/root/workdir"))
+    cache_root: str = dataclasses.field(
+        default_factory=lambda: os.environ.get("RAT_CACHE_ROOT",
+                                               "/root/repo/cache"))
 
     def vocab_path(self, vocab_id: str, finetuned: bool = False) -> str:
         """Cluster-center file path, mirroring the reference cache layout

@@ -61,6 +61,20 @@ def _vpair_gt(data_root: str) -> List[np.ndarray]:
     return [np.asarray(entry[1]) for entry in gt]
 
 
+def msls_city_of(name) -> "Optional[str]":
+    """Reference per-city classification (MapillaryDatasetVal.py:137-154):
+    cph is checked FIRST — image keys are random strings that can contain
+    'sf' by accident (a shipped cph query key does), so 'sf' means
+    "contains 'sf' and not 'cph'". A plain substring test put that query
+    in BOTH cities and broke the expected 242-query SF count."""
+    s = str(name)
+    if "cph" in s:
+        return "cph"
+    if "sf" in s:
+        return "sf"
+    return None
+
+
 def _msls_gt(city: str, gt_root: str) -> List[np.ndarray]:
     """MSLS val gt from the SALAD npy files with the reference's per-city
     filtering + natsort re-indexing (MapillaryDatasetVal.py:31-180)."""
@@ -70,9 +84,10 @@ def _msls_gt(city: str, gt_root: str) -> List[np.ndarray]:
     p_idx = np.load(os.path.join(gt_root, "msls_val_pIdx.npy"),
                     allow_pickle=True)
 
-    in_city = lambda name: city in str(name)
-    db_sel = [i for i, p in enumerate(db_images) if in_city(p)]
-    q_sel = [i for i, p in enumerate(q_images) if in_city(p)]
+    db_sel = [i for i, p in enumerate(db_images)
+              if msls_city_of(p) == city]
+    q_sel = [i for i, p in enumerate(q_images)
+             if msls_city_of(p) == city]
     db_old2new = {old: new for new, old in enumerate(db_sel)}
 
     db_city = [str(db_images[i]) for i in db_sel]

@@ -26,9 +26,10 @@ def city_image_lists(gt_root: str, city: str) -> Tuple[List[str], List[str]]:
     db_images = np.load(os.path.join(gt_root, "msls_val_dbImages.npy"))
     q_idx = np.load(os.path.join(gt_root, "msls_val_qIdx.npy"))
     q_images = np.load(os.path.join(gt_root, "msls_val_qImages.npy"))[q_idx]
-    db = sorted((str(p) for p in db_images if city in str(p)),
+    from revisit_anything_tpu.datasets.gt import msls_city_of
+    db = sorted((str(p) for p in db_images if msls_city_of(p) == city),
                 key=_natural_key)
-    q = sorted((str(p) for p in q_images if city in str(p)),
+    q = sorted((str(p) for p in q_images if msls_city_of(p) == city),
                key=_natural_key)
     return db, q
 

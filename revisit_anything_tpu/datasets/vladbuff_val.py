@@ -43,7 +43,7 @@ REGISTRY = {
                        "pitts250k_test_qImages.npy",
                        ("npy", "pitts250k_test_gt.npy")),
     "amstertime": ("amstertime", "amstertime_dbImages.npy",
-                   "amstertime_qImages.npy", ("utm", 10.0)),
+                   "amstertime_qImages.npy", ("utm", 25.0)),
     "st_lucia": ("st_lucia", "st_lucia_dbImages.npy",
                  "st_lucia_qImages.npy", ("utm", 25.0)),
     "tokyo247": ("tokyo247", "tokyo247_dbImages.npy",
@@ -76,21 +76,6 @@ class VladBuffValSet:
         return list(self.db_images) + list(self.q_images)
 
 
-def _utm_from_names(names) -> np.ndarray:
-    """UTM (east, north) from "...@east@north@..." filenames
-    (val/*Dataset.py:42-47)."""
-    return np.array([(n.split("@")[1], n.split("@")[2]) for n in names],
-                    dtype=np.float64)
-
-
-def _radius_positives(db_utm: np.ndarray, q_utm: np.ndarray,
-                      radius: float) -> List[np.ndarray]:
-    from sklearn.neighbors import NearestNeighbors
-    knn = NearestNeighbors(n_jobs=-1).fit(db_utm)
-    return list(knn.radius_neighbors(q_utm, radius=radius,
-                                     return_distance=False))
-
-
 def load_vladbuff_val(name: str,
                       gt_root: Optional[str] = None) -> VladBuffValSet:
     """Load one benchmark set's image lists + ground truth."""
@@ -105,14 +90,20 @@ def load_vladbuff_val(name: str,
     q = [str(s) for s in np.load(os.path.join(base, q_npy),
                                  allow_pickle=True)]
 
+    from revisit_anything_tpu.datasets.gt import (radius_positives,
+                                                  utm_from_paths)
     mode = gt_spec[0]
     if mode == "npy":
         gt_path = os.path.join(base, gt_spec[1])
-        gt = (list(np.load(gt_path, allow_pickle=True))
-              if os.path.exists(gt_path) else None)
+        if not os.path.exists(gt_path):
+            raise FileNotFoundError(
+                f"{name} ground truth not found: {gt_path} — download the "
+                "VLAD-BuFF gt npys (its README) into the gt root; only "
+                "'none'-mode sets are genuinely gt-less")
+        gt = list(np.load(gt_path, allow_pickle=True))
     elif mode == "utm":
-        gt = _radius_positives(_utm_from_names(db), _utm_from_names(q),
-                               gt_spec[1])
+        gt = radius_positives(utm_from_paths(db), utm_from_paths(q),
+                              gt_spec[1])
     elif mode == "none":
         gt = None
     else:
@@ -132,8 +123,12 @@ def load_msls_val(gt_root: Optional[str] = None,
     p_idx = np.load(os.path.join(base, "msls_val_pIdx.npy"),
                     allow_pickle=True)
     db_path = os.path.join(base, "msls_val_dbImages.npy")
-    db = ([str(s) for s in np.load(db_path, allow_pickle=True)]
-          if os.path.exists(db_path) else [])
+    if not os.path.exists(db_path):
+        raise FileNotFoundError(
+            f"msls_val database list not found: {db_path} — the shipped "
+            "reference directory has only qIdx/pIdx/qImages; download "
+            "msls_val_dbImages.npy (gt indices are db positions)")
+    db = [str(s) for s in np.load(db_path, allow_pickle=True)]
     queries = [q[i] for i in q_idx]
     gt = [np.asarray(p, dtype=np.int64) for p in p_idx]
     return VladBuffValSet("msls_val", db, queries, gt)

@@ -123,6 +123,14 @@ def test_vladbuff_val_real_npys():
         if not os.path.exists(os.path.join(DEFAULT_GT_ROOT, subdir,
                                            db_npy)):
             continue
+        if (gt_spec[0] == "npy"
+                and not os.path.exists(os.path.join(DEFAULT_GT_ROOT,
+                                                    subdir, gt_spec[1]))):
+            # gt npys aren't downloadable here; a missing one now raises
+            # a clear FileNotFoundError instead of silently gt=None
+            with pytest.raises(FileNotFoundError):
+                load_vladbuff_val(name)
+            continue
         ds = load_vladbuff_val(name)
         assert ds.num_references > 0 and ds.num_queries > 0
         assert len(ds.images) == ds.num_references + ds.num_queries
@@ -134,8 +142,10 @@ def test_vladbuff_val_real_npys():
         loaded += 1
     assert loaded >= 4, f"only {loaded} benchmarks loadable"
 
-    mv = load_msls_val()
-    assert mv.num_queries > 0 and len(mv.ground_truth) == mv.num_queries
+    # the shipped msls_val dir has no dbImages.npy: gt would index an
+    # empty database, so loading must fail loudly
+    with pytest.raises(FileNotFoundError):
+        load_msls_val()
 
 
 def test_vladbuff_val_utm_radius(tmp_path):
@@ -151,3 +161,29 @@ def test_vladbuff_val_utm_radius(tmp_path):
     # 25 m radius around (105, 200): db indices with |100+i-105| <= 25 → all
     assert sorted(ds.ground_truth[0].tolist()) == list(range(10))
     assert len(ds.ground_truth[1]) == 0
+
+
+def test_msls_city_classifier_cph_first():
+    """Image keys are random strings that can contain 'sf'; the reference
+    classifies cph FIRST (MapillaryDatasetVal.py:137-154), so such keys
+    must not leak into the SF subset (a shipped cph query key does —
+    plain substring filtering produced 243 SF queries vs the expected
+    242)."""
+    from revisit_anything_tpu.datasets.gt import msls_city_of
+    assert msls_city_of(
+        "train_val/cph/query/images/LDPdkYSQGgUsflOXmFS2gw.jpg") == "cph"
+    assert msls_city_of("train_val/sf/database/images/abc.jpg") == "sf"
+    assert msls_city_of("train_val/other/images/x.jpg") is None
+
+
+def test_msls_gt_counts_match_reference_subsets():
+    """With the real npys, per-city query counts must equal the
+    msls_data_clean expected sizes (README.md:20-36): CPH 498, SF 242."""
+    import os
+    import pytest
+    from revisit_anything_tpu.datasets.gt import _msls_gt
+    root = "/root/reference/VLAD-BuFF/datasets/msls_val"
+    if not os.path.exists(os.path.join(root, "msls_val_dbImages.npy")):
+        pytest.skip("reference msls npys not mounted")
+    assert len(_msls_gt("cph", root)) == 498
+    assert len(_msls_gt("sf", root)) == 242
