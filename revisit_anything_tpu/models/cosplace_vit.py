@@ -112,12 +112,9 @@ def load_checkpoint(path: str, cfg: HfViTConfig = VIT_BASE) -> Params:
         {k: v.numpy() for k, v in sd.items()}, cfg)
 
 
-def _layer_norm(x, p, eps):
-    xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.var(xf, axis=-1, keepdims=True)
-    return ((xf - mu) * jax.lax.rsqrt(var + eps) * p["scale"]
-            + p["bias"]).astype(x.dtype)
+# the f32-compute LN and mixed-precision dense primitives are identical
+# to dinov2's (which carry the measured-perf rationale) — one definition
+from revisit_anything_tpu.models.dinov2 import _layer_norm  # noqa: E402
 
 
 def _dense(x, p):

@@ -19,7 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from revisit_anything_tpu.models import dinov2 as dn
-from revisit_anything_tpu.ops.resize import bicubic_resize_torch
 
 # DINOv1 variants (facebookresearch/dino): trained at 224px.
 VIT_S8 = dn.DinoV2Config(embed_dim=384, depth=12, num_heads=6, patch_size=8,
@@ -63,14 +62,11 @@ def embed_patches_strided(params, cfg: dn.DinoV2Config, images: jnp.ndarray,
                            (b, 1, cfg.embed_dim))
     x = jnp.concatenate([cls, x], axis=1)
 
-    pos = params["pos_embed"].astype(jnp.float32)
-    cls_pos, patch_pos = pos[:, :1], pos[:, 1:]
-    gh0, gw0 = cfg.pretrain_grid
-    if (gh, gw) != (gh0, gw0):
-        grid = patch_pos.reshape(gh0, gw0, cfg.embed_dim)
-        patch_pos = bicubic_resize_torch(grid, (gh, gw)).reshape(
-            1, gh * gw, cfg.embed_dim)
-    pos = jnp.concatenate([cls_pos, patch_pos], axis=1)
+    # pos-embed resample via dn.interpolate_pos_embed: DINOv1's
+    # _fix_pos_enc uses the same +0.1 interpolate-offset scale-factor
+    # semantics as DINOv2's hub code (cfg.interpolate_offset) — a plain
+    # size-based bicubic drops the offset and breaks feature parity
+    pos = dn.interpolate_pos_embed(params, cfg, (gh, gw))
     return x + pos.astype(x.dtype)
 
 
@@ -114,7 +110,6 @@ def _avg_pool_excl_pad(x: jnp.ndarray, win: int) -> jnp.ndarray:
             feature_group_count=feature_count,
             preferred_element_type=jnp.float32)
 
-    kernel_c = jnp.broadcast_to(kernel, (win, win, 1, x.shape[1]))
     # depthwise sum then divide by per-position valid counts
     sums = jax.lax.conv_general_dilated(
         x, jnp.ones((win, win, 1, x.shape[1]), x.dtype),
@@ -131,7 +126,9 @@ def log_bin(features: jnp.ndarray, grid_hw: Tuple[int, int],
             hierarchy: int = 2) -> jnp.ndarray:
     """GSP log-binned descriptors (_log_bin :288-358): per location,
     concatenate ring samples of avg-pooled maps at scales 3^k with edge
-    clamping; bin 0 is the location itself.
+    clamping; bins are emitted in raster (k, di, dj) order, so the
+    location itself is the CENTER of the k=0 ring (index 4), matching
+    the reference ordering.
 
     Args:
       features: [B, P, D] dense facet features (P = gh*gw).

@@ -159,10 +159,6 @@ def convert_original_sam_state_dict(sd: Dict[str, np.ndarray],
     def conv_hwio(key):
         return jnp.asarray(_np(sd, key).transpose(2, 3, 1, 0))
 
-    def ln_pair(prefix):
-        return {"scale": jnp.asarray(_np(sd, prefix + ".weight")),
-                "bias": jnp.asarray(_np(sd, prefix + ".bias"))}
-
     prompt = {
         "pe_gaussian": jnp.asarray(_np(
             sd, "prompt_encoder.pe_layer.positional_encoding_gaussian_matrix")),
@@ -177,11 +173,11 @@ def convert_original_sam_state_dict(sd: Dict[str, np.ndarray],
             "conv1_w": conv_hwio("prompt_encoder.mask_downscaling.0.weight"),
             "conv1_b": jnp.asarray(
                 _np(sd, "prompt_encoder.mask_downscaling.0.bias")),
-            "ln1": ln_pair("prompt_encoder.mask_downscaling.1"),
+            "ln1": _ln(sd, "prompt_encoder.mask_downscaling.1"),
             "conv2_w": conv_hwio("prompt_encoder.mask_downscaling.3.weight"),
             "conv2_b": jnp.asarray(
                 _np(sd, "prompt_encoder.mask_downscaling.3.bias")),
-            "ln2": ln_pair("prompt_encoder.mask_downscaling.4"),
+            "ln2": _ln(sd, "prompt_encoder.mask_downscaling.4"),
             "conv3_w": jnp.asarray(_np(
                 sd, "prompt_encoder.mask_downscaling.6.weight")[:, :, 0, 0].T),
             "conv3_b": jnp.asarray(
@@ -234,19 +230,13 @@ def convert_hf_sam_state_dict(sd: Dict[str, np.ndarray],
             ).transpose(2, 3, 1, 0)),
             "conv1_b": jnp.asarray(
                 _np(sd, "prompt_encoder.mask_embed.conv1.bias")),
-            "ln1": {"scale": jnp.asarray(_np(
-                sd, "prompt_encoder.mask_embed.layer_norm1.weight")),
-                "bias": jnp.asarray(_np(
-                    sd, "prompt_encoder.mask_embed.layer_norm1.bias"))},
+            "ln1": _ln(sd, "prompt_encoder.mask_embed.layer_norm1"),
             "conv2_w": jnp.asarray(_np(
                 sd, "prompt_encoder.mask_embed.conv2.weight"
             ).transpose(2, 3, 1, 0)),
             "conv2_b": jnp.asarray(
                 _np(sd, "prompt_encoder.mask_embed.conv2.bias")),
-            "ln2": {"scale": jnp.asarray(_np(
-                sd, "prompt_encoder.mask_embed.layer_norm2.weight")),
-                "bias": jnp.asarray(_np(
-                    sd, "prompt_encoder.mask_embed.layer_norm2.bias"))},
+            "ln2": _ln(sd, "prompt_encoder.mask_embed.layer_norm2"),
             "conv3_w": jnp.asarray(_np(
                 sd, "prompt_encoder.mask_embed.conv3.weight")[:, :, 0, 0].T),
             "conv3_b": jnp.asarray(

@@ -17,9 +17,13 @@ import jax.numpy as jnp
 from revisit_anything_tpu.ops.vlad import l2_normalize
 
 
-def _assign(x: jnp.ndarray, centers: jnp.ndarray, mode: str) -> jnp.ndarray:
+def _assign(x: jnp.ndarray, centers: jnp.ndarray, mode: str,
+            x_normalized: bool = False) -> jnp.ndarray:
     if mode == "cosine":
-        sims = jnp.dot(l2_normalize(x), l2_normalize(centers).T,
+        # argmax of cosine(x, c) does not depend on ||x|| — pass
+        # x_normalized (or not) freely; centers must still be normalized
+        xn = x if x_normalized else l2_normalize(x)
+        sims = jnp.dot(xn, l2_normalize(centers).T,
                        preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
         return jnp.argmax(sims, axis=1)
@@ -82,9 +86,12 @@ def kmeans_fit(x: jnp.ndarray,
     n, d = x.shape
     x = x.astype(jnp.float32)
     centers0 = _kmeanspp_init(x, num_clusters, key, mode)
+    # x is loop-invariant: normalize it ONCE for the cosine assignments
+    # instead of re-normalizing the full matrix every iteration
+    x_assign = l2_normalize(x) if mode == "cosine" else x
 
     def step(_, centers):
-        labels = _assign(x, centers, mode)
+        labels = _assign(x_assign, centers, mode, x_normalized=True)
         onehot = jax.nn.one_hot(labels, num_clusters, dtype=jnp.float32)
         sums = jnp.dot(onehot.T, x, preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
@@ -93,5 +100,5 @@ def kmeans_fit(x: jnp.ndarray,
         return jnp.where(counts[:, None] > 0, new_centers, centers)
 
     centers = jax.lax.fori_loop(0, num_iters, step, centers0)
-    labels = _assign(x, centers, mode)
+    labels = _assign(x_assign, centers, mode, x_normalized=True)
     return centers, labels

@@ -57,8 +57,10 @@ def fit_vocabulary(descriptors: np.ndarray,
                    seed: int = 0,
                    num_iters: int = 100) -> np.ndarray:
     """Cosine kmeans over L2-normalized descriptors → [C, D] centers."""
-    x = np.asarray(l2_normalize(jnp.asarray(descriptors), axis=1))
-    centers, _ = kmeans_fit(jnp.asarray(x), num_clusters,
+    # stays on device: a host round-trip of a multi-GB descriptor matrix
+    # costs seconds over the tunnel for nothing
+    x = l2_normalize(jnp.asarray(descriptors), axis=1)
+    centers, _ = kmeans_fit(x, num_clusters,
                             jax.random.PRNGKey(seed), num_iters=num_iters,
                             mode="cosine")
     return np.asarray(centers)

@@ -85,3 +85,27 @@ def test_log_bin_matches_oracle(rng):
 def test_configs_exist():
     assert set(d1.CONFIGS) == {"dino_vits8", "dino_vits16",
                                "dino_vitb8", "dino_vitb16"}
+
+
+def test_strided_pos_embed_uses_interpolate_offset():
+    """DINOv1's _fix_pos_enc interpolates with the +0.1 scale-factor
+    offset (same as hub DINOv2); a non-pretrain grid must match the
+    torch scale_factor oracle, not size-based interpolation."""
+    import torch
+    cfg = dn.DinoV2Config(embed_dim=32, depth=1, num_heads=2, patch_size=8,
+                          ffn="mlp", layerscale=False, pretrain_grid=(6, 6))
+    params = dn.init_params(cfg, jax.random.PRNGKey(0))
+    gh, gw = 4, 9
+    pos = np.asarray(params["pos_embed"], np.float32)
+    grid = torch.from_numpy(
+        pos[:, 1:].reshape(1, 6, 6, 32).transpose(0, 3, 1, 2))
+    sy, sx = (gh + 0.1) / 6, (gw + 0.1) / 6
+    want_pos = torch.nn.functional.interpolate(
+        grid, scale_factor=(sy, sx), mode="bicubic",
+        align_corners=False).permute(0, 2, 3, 1).reshape(
+            1, gh * gw, 32).numpy()
+    # the strided path delegates to dn.interpolate_pos_embed; check that
+    # helper against the torch scale_factor oracle at this grid
+    np.testing.assert_allclose(
+        np.asarray(dn.interpolate_pos_embed(params, cfg, (gh, gw)))[:, 1:],
+        want_pos, atol=1e-5)
