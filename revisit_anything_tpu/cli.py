@@ -328,6 +328,13 @@ def cmd_train(args):
                                                     prefetch)
 
     backbone = dn.CONFIGS[args.backbone]
+    if (args.lr_sched == "multistep" and args.steps_per_epoch == 0
+            and max(args.milestones) < 1000):
+        print("WARNING: multistep milestones are in STEPS (the reference "
+              "Lightning loop steps its scheduler per batch too); "
+              f"milestones {args.milestones} will decay the LR within the "
+              "first steps — set --steps-per-epoch to use epoch units",
+              file=sys.stderr)
     cfg = VPRTrainConfig(backbone=backbone,
                          num_trainable_blocks=args.num_trainable_blocks,
                          clusters=args.clusters,

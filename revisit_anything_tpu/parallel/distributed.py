@@ -36,7 +36,7 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     """
     import jax
 
-    if getattr(jax._src.distributed.global_state, "client", None) is not None:
+    if jax.distributed.is_initialized():
         return False
     kwargs = {}
     if coordinator_address is not None:

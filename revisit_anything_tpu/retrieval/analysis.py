@@ -50,13 +50,11 @@ def calc_margins(query_desc: np.ndarray, db_desc: np.ndarray,
     return np.asarray(margins)
 
 
-def seg_area_covered(masks: np.ndarray) -> float:
-    """Fraction of the image covered by the union of segment masks
-    (func_vpr.py segAreaCovered :1631-1645)."""
-    if len(masks) == 0:
-        return 0.0
-    union = np.any(masks, axis=0)
-    return float(union.mean())
+def seg_area_covered(masks: np.ndarray) -> list:
+    """PER-MASK covered-area fractions (func_vpr.py segAreaCovered
+    :1631-1645 — the reference reports each mask's own area / image area
+    as a flat list, not a union coverage)."""
+    return [float(np.asarray(m).mean()) for m in masks]
 
 
 def get_validation_recalls(db_desc: np.ndarray,
@@ -73,17 +71,15 @@ def get_validation_recalls(db_desc: np.ndarray,
                     jnp.asarray(db_desc, jnp.float32), min(kmax, len(db_desc)))
     idx = np.asarray(idx)
     correct = np.zeros(len(k_values))
-    num_eval = 0
     for qi, gt_q in enumerate(gt[:len(idx)]):
-        if len(gt_q) == 0:
-            continue
-        num_eval += 1
+        # empty-gt queries stay in the denominator as misses — the
+        # reference divides by len(predictions) (validation.py:48)
         gt_set = set(int(g) for g in gt_q)
         hits = [int(p) in gt_set for p in idx[qi]]
         for ki, k in enumerate(k_values):
             if any(hits[:k]):
                 correct[ki] += 1
-    recalls = {k: float(c) / max(num_eval, 1)
+    recalls = {k: float(c) / max(len(idx), 1)
                for k, c in zip(k_values, correct)}
     if print_results:
         row = " | ".join(f"R@{k}: {v * 100:.2f}" for k, v in recalls.items())

@@ -15,18 +15,22 @@ import numpy as np
 
 
 def tsne_embed(descriptors: np.ndarray, perplexity: float = 30.0,
-               seed: int = 0, max_points: int = 5000) -> np.ndarray:
-    """[N, D] → [N, 2] t-SNE embedding (sklearn backend, subsampled to
-    ``max_points`` like the reference's sampling)."""
+               seed: int = 0, max_points: int = 5000):
+    """[N, D] → ([M, 2] t-SNE embedding, [M] selected indices), where
+    M = min(N, max_points) (sklearn backend, subsampled like the
+    reference's sampling). The indices let callers subset per-descriptor
+    labels/colors to the embedded rows."""
     from sklearn.manifold import TSNE
     x = np.asarray(descriptors, np.float32)
+    idx = np.arange(len(x))
     if len(x) > max_points:
-        idx = np.random.default_rng(seed).choice(len(x), max_points,
-                                                 replace=False)
+        idx = np.sort(np.random.default_rng(seed).choice(
+            len(x), max_points, replace=False))
         x = x[idx]
     perplexity = min(perplexity, max(2.0, (len(x) - 1) / 3.0))
-    return TSNE(n_components=2, perplexity=perplexity,
-                random_state=seed, init="pca").fit_transform(x)
+    pts = TSNE(n_components=2, perplexity=perplexity,
+               random_state=seed, init="pca").fit_transform(x)
+    return pts, idx
 
 
 def cluster_usage(descriptors: np.ndarray, centers: np.ndarray,

@@ -29,7 +29,10 @@ def save_train_state(ckpt_dir: str, params: Any, opt_state: Any,
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     if not os.path.isdir(ckpt_dir):
         return None
-    steps = [d for d in os.listdir(ckpt_dir) if d.startswith("step_")]
+    # exclude orbax's atomic-save temp dirs (step_X.orbax-checkpoint-tmp-*):
+    # a crash mid-save must not make --resume pick the incomplete one
+    steps = [d for d in os.listdir(ckpt_dir)
+             if d.startswith("step_") and "orbax-checkpoint-tmp" not in d]
     if not steps:
         return None
     return os.path.join(ckpt_dir, sorted(steps)[-1])
@@ -55,12 +58,18 @@ def save_best_state(ckpt_dir: str, params: Any, opt_state: Any, step: int,
             prev = json.load(f)["metric"]
     if metric <= prev:
         return None
+    # save to a staging name, then swap: a crash mid-save must never
+    # leave the directory without the previous best
     path = os.path.join(ckpt_dir, "best")
+    staging = os.path.join(ckpt_dir, "best_next")
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(staging, {"params": params, "opt_state": opt_state,
+                             "step": np.asarray(int(step))})
     if os.path.exists(path):
         shutil.rmtree(path)
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, {"params": params, "opt_state": opt_state,
-                          "step": np.asarray(int(step))})
+    os.rename(staging, path)
     with open(meta_path, "w") as f:
         json.dump({"metric": float(metric), "monitor": monitor,
                    "step": int(step)}, f)

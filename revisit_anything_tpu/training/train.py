@@ -68,6 +68,9 @@ def backbone_forward(backbone_params: Params, cfg: dn.DinoV2Config,
     """[B, H, W, 3] → [B, D, gh, gw] patch features; gradients flow only
     through the last ``num_trainable`` blocks + final norm (VLAD-BuFF
     backbone semantics, models/backbones/dinov2.py:40-77)."""
+    if num_trainable > cfg.depth:
+        raise ValueError(f"num_trainable_blocks {num_trainable} exceeds "
+                         f"backbone depth {cfg.depth}")
     x = dn.embed_patches(backbone_params, cfg, images)
     split = cfg.depth - num_trainable
     for blk in backbone_params["blocks"][:split]:
@@ -92,6 +95,9 @@ def model_forward(params: Params, cfg: VPRTrainConfig,
 
 def _trainable_mask(params: Params, cfg: VPRTrainConfig) -> Params:
     """Pytree of bools: aggregator + last N backbone blocks + final norm."""
+    if cfg.num_trainable_blocks > cfg.backbone.depth:
+        raise ValueError(f"num_trainable_blocks {cfg.num_trainable_blocks}"
+                         f" exceeds backbone depth {cfg.backbone.depth}")
     split = cfg.backbone.depth - cfg.num_trainable_blocks
 
     def mask_backbone(path_is_trainable):
@@ -160,12 +166,9 @@ def loss_fn(params: Params, cfg: VPRTrainConfig, images: jnp.ndarray,
     return multi_similarity_loss(descriptors, labels)
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
-def train_step(params: Params, opt_state, step: jnp.ndarray,
-               cfg: VPRTrainConfig, images: jnp.ndarray,
-               labels: jnp.ndarray):
-    """One optimization step. images [B, H, W, 3] float32 (normalized),
-    labels [B] place ids (each place appears imgs_per_place times)."""
+def _step_impl(params, opt_state, step, cfg, images, labels):
+    """Shared step body for the unsharded and sharded jits — ONE place
+    for the step math so the two cannot diverge."""
     loss, grads = jax.value_and_grad(loss_fn)(params, cfg, images, labels)
     tx = make_optimizer(cfg, params)
     updates, new_opt_state = tx.update(grads, opt_state, params)
@@ -173,33 +176,47 @@ def train_step(params: Params, opt_state, step: jnp.ndarray,
     return new_params, new_opt_state, step + 1, loss
 
 
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
+def train_step(params: Params, opt_state, step: jnp.ndarray,
+               cfg: VPRTrainConfig, images: jnp.ndarray,
+               labels: jnp.ndarray):
+    """One optimization step. images [B, H, W, 3] float32 (normalized),
+    labels [B] place ids (each place appears imgs_per_place times)."""
+    return _step_impl(params, opt_state, step, cfg, images, labels)
+
+
 # ---------------------------------------------------------------------------
 # Multi-chip sharding
 # ---------------------------------------------------------------------------
 
 
+def _tp_spec_for(path, leaf):
+    """Tensor-parallel spec by path suffix: works for params AND for
+    optimizer moments (adamw's mu/nu mirror the param tree, so their
+    paths END with the same param names)."""
+    names = [getattr(p, "key", getattr(p, "idx", None))
+             for p in path]
+    names = [str(n) for n in names if n is not None]
+    joined = "/".join(names)
+    if not hasattr(leaf, "ndim") or leaf.ndim < 2:
+        return P()
+    if joined.endswith(("fc1/w", "w12/w", "lin1/w")):
+        return P(None, "model")
+    if joined.endswith(("fc2/w", "w3/w", "lin2/w")):
+        return P("model", None)
+    if joined.endswith("assign_w"):
+        return P(None, "model")
+    if joined.endswith("centroids"):
+        return P("model", None)
+    return P()
+
+
 def param_sharding_rules(mesh: Mesh, params: Params) -> Params:
     """NamedShardings: tensor-parallel over 'model' for FFN hidden dims and
     aggregator clusters; everything else replicated."""
-    def spec_for(path, leaf):
-        names = [getattr(p, "key", getattr(p, "idx", None))
-                 for p in path]
-        names = [str(n) for n in names if n is not None]
-        joined = "/".join(names)
-        if not hasattr(leaf, "ndim") or leaf.ndim < 2:
-            return P()
-        if joined.endswith(("fc1/w", "w12/w", "lin1/w")):
-            return P(None, "model")
-        if joined.endswith(("fc2/w", "w3/w", "lin2/w")):
-            return P("model", None)
-        if joined.endswith("assign_w"):
-            return P(None, "model")
-        if joined.endswith("centroids"):
-            return P("model", None)
-        return P()
-
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, spec_for(path, leaf)), params)
+        lambda path, leaf: NamedSharding(mesh, _tp_spec_for(path, leaf)),
+        params)
 
 
 def make_sharded_train_step(mesh: Mesh, cfg: VPRTrainConfig,
@@ -207,7 +224,11 @@ def make_sharded_train_step(mesh: Mesh, cfg: VPRTrainConfig,
     """jit train_step with dp ('data') batch sharding + tp ('model') param
     sharding. Returns (step_fn, sharded_params, sharded_opt_state)."""
     p_shard = param_sharding_rules(mesh, params)
-    o_shard = jax.tree.map(lambda _: NamedSharding(mesh, P()), opt_state)
+    # optimizer moments shard LIKE their params (replicating them would
+    # store 2x full-size adamw state per chip and reshard every step)
+    o_shard = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _tp_spec_for(path, leaf)),
+        opt_state)
     data = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
 
@@ -219,11 +240,7 @@ def make_sharded_train_step(mesh: Mesh, cfg: VPRTrainConfig,
              out_shardings=(p_shard, o_shard, repl, repl),
              donate_argnums=(0, 1))
     def step_fn(params_, opt_state_, step_, images_, labels_):
-        loss, grads = jax.value_and_grad(loss_fn)(params_, cfg, images_,
-                                                  labels_)
-        tx = make_optimizer(cfg, params_)
-        updates, new_opt = tx.update(grads, opt_state_, params_)
-        new_params = optax.apply_updates(params_, updates)
-        return new_params, new_opt, step_ + 1, loss
+        return _step_impl(params_, opt_state_, step_, cfg, images_,
+                          labels_)
 
     return step_fn, params_s, opt_state_s

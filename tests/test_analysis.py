@@ -24,11 +24,13 @@ def test_calc_margins(rng):
 
 
 def test_seg_area_covered():
+    """Reference semantics: PER-MASK fractions (func_vpr.py:1631-1645),
+    not a union coverage."""
     masks = np.zeros((2, 10, 10), bool)
     masks[0, :5] = True
     masks[1, :, :5] = True
-    assert abs(seg_area_covered(masks) - 0.75) < 1e-9
-    assert seg_area_covered(np.zeros((0, 4, 4), bool)) == 0.0
+    assert seg_area_covered(masks) == [0.5, 0.5]
+    assert seg_area_covered(np.zeros((0, 4, 4), bool)) == []
 
 
 def test_validation_recalls(rng):

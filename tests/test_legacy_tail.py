@@ -107,8 +107,11 @@ def test_cluster_analysis_smoke(rng, tmp_path):
         cluster_usage, save_tsne_plot, tsne_embed)
     desc = rng.standard_normal((60, 16)).astype(np.float32)
     centers = rng.standard_normal((4, 16)).astype(np.float32)
-    pts = tsne_embed(desc, perplexity=5.0)
+    pts, sel = tsne_embed(desc, perplexity=5.0)
     assert pts.shape == (60, 2) and np.isfinite(pts).all()
+    assert np.array_equal(sel, np.arange(60))
+    pts2, sel2 = tsne_embed(desc, perplexity=5.0, max_points=30)
+    assert pts2.shape == (30, 2) and sel2.shape == (30,)
     usage = cluster_usage(desc, centers,
                           image_indices=np.repeat(np.arange(3), 20))
     assert usage.shape == (3, 4) and usage.sum() == 60
