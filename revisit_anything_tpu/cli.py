@@ -586,7 +586,7 @@ def cmd_amg(args):
                 i, r.area, *r.bbox,
                 float(r.point_coords[0, 0]), float(r.point_coords[0, 1]),
                 r.predicted_iou, r.stability_score,
-                cb[0], cb[1], cb[2] - cb[0], cb[3] - cb[1]])))
+                cb[0], cb[1], cb[2], cb[3]])))    # crop_box is XYWH
         with open(os.path.join(out, "metadata.csv"), "w") as f:
             f.write("\n".join(rows))
         print(f"{len(records)} masks -> {out}")

@@ -32,7 +32,8 @@ def load_cluster_centers(path: str) -> np.ndarray:
 
 def save_cluster_centers(path: str, centers: np.ndarray) -> None:
     """Save centers in the reference's .pt format (or .npy)."""
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if os.path.dirname(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
     if path.endswith(".npy"):
         np.save(path, np.asarray(centers, dtype=np.float32))
     else:

@@ -29,6 +29,14 @@ class ResNetConfig:
     width: int = 64
     layers_to_crop: Tuple[int, ...] = ()
 
+    def __post_init__(self):
+        # the forward stops at the first cropped layer, so cropping 3
+        # implicitly drops 4 as well; require it explicitly or
+        # out_channels would misreport the feature width
+        if 3 in self.layers_to_crop and 4 not in self.layers_to_crop:
+            raise ValueError("layers_to_crop=(3,) also drops layer4 — "
+                             "pass layers_to_crop=(4, 3) explicitly")
+
     @property
     def expansion(self) -> int:
         return 1 if self.block == "basic" else 4
@@ -195,4 +203,7 @@ def init_resnet_params(cfg: ResNetConfig, key: jax.Array,
                 cin = cout
         return sd
 
-    return convert_torchvision_resnet(synth_sd(), cfg)
+    params = convert_torchvision_resnet(synth_sd(), cfg)
+    if dtype != jnp.float32:
+        params = jax.tree.map(lambda x: x.astype(dtype), params)
+    return params

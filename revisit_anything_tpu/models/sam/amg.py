@@ -241,9 +241,9 @@ def _select_and_pack(masks, iou, stab, boxes, valid, amg: AmgConfig,
     touches the crop boundary but not the original image boundary
     (is_box_near_crop_edge, utils/amg.py:78-89, atol 20)."""
     from revisit_anything_tpu.ops.nms import nms_keep_mask
-    keep = (valid
-            & (iou > amg.pred_iou_thresh)
-            & (stab >= amg.stability_score_thresh))
+    keep = valid & (stab >= amg.stability_score_thresh)
+    if amg.pred_iou_thresh > 0.0:        # reference guard (:296-298)
+        keep = keep & (iou > amg.pred_iou_thresh)
     if crop_box is not None:
         x0, y0 = crop_box[0], crop_box[1]
         b = boxes + jnp.asarray([x0, y0, x0, y0], jnp.float32)
@@ -314,6 +314,8 @@ def generate_masks_batch(params: Params, cfg: SamArchConfig,
     ``mesh``: shard the encoder batch over the mesh's data axis (multi-
     device extraction; prompt decoding stays per image on the default
     device)."""
+    if not images_rgb:
+        return []
     assert len({im.shape for im in images_rgb}) == 1, "same-shape batch"
     if amg.crop_n_layers > 0:
         # multicrop needs one encoder pass PER crop — no shared-batch
@@ -325,8 +327,10 @@ def generate_masks_batch(params: Params, cfg: SamArchConfig,
     batched = jnp.concatenate([p[0] for p in pre], axis=0)
     if mesh is not None and mesh.devices.size > 1:
         from revisit_anything_tpu.parallel import data_parallel_apply
-        embeddings = jnp.asarray(data_parallel_apply(
-            _encode_fn_for(cfg), params, np.asarray(batched), mesh))
+        # device array in, device array out — no host round-trips of the
+        # f32 batch or the embeddings
+        embeddings = data_parallel_apply(
+            _encode_fn_for(cfg), params, batched, mesh)
     else:
         embeddings = encode_image(params, cfg, batched)
     return [
@@ -515,9 +519,13 @@ def _generate_multicrop(params: Params, cfg: SamArchConfig,
         final_masks, keep2 = _postprocess_small_regions(
             final_masks, amg.min_mask_region_area,
             max(amg.box_nms_thresh, amg.crop_nms_thresh))
-    records = _assemble_records(final_masks, iou[keep2], stab[keep2],
-                                points[keep2],
-                                [all_cb[k] for k in keep2], amg)
+    # MaskRecord/h5 schema stores crop_box XYWH (box_xyxy_to_xywh,
+    # automatic_mask_generator.py:191); all_cb carries XYXY internally
+    records = _assemble_records(
+        final_masks, iou[keep2], stab[keep2], points[keep2],
+        [(all_cb[k][0], all_cb[k][1],
+          all_cb[k][2] - all_cb[k][0], all_cb[k][3] - all_cb[k][1])
+         for k in keep2], amg)
     if len(records) > max_masks:
         # per-crop capping can admit up to (#crops)·max_masks candidates;
         # honor the documented overall cap, best predicted IoU first
@@ -547,5 +555,7 @@ def _postprocess_small_regions(masks: List[np.ndarray], min_area: int,
                      if len(xs) else [0, 0, 0, 0])
     keep = nms_native(np.asarray(boxes, np.float32),
                       np.asarray(unchanged_scores, np.float32), nms_thresh)
-    keep = np.sort(keep)
+    # reference postprocess_small_regions emits records in NMS keep
+    # order (unchanged masks score 1.0 and come first,
+    # automatic_mask_generator.py:370-375) — do NOT re-sort
     return [new_masks[i] for i in keep], keep

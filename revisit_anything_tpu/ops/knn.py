@@ -78,7 +78,10 @@ def _knn_scores(query: jnp.ndarray, db: jnp.ndarray, db_norms: jnp.ndarray,
 
 def knn_l2(query: jnp.ndarray, db: jnp.ndarray, k: int,
            db_tile: int = 8192) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact L2 kNN. Returns (squared_l2 [Nq,k] ascending, indices [Nq,k]),
+    """Exact L2 kNN (k is narrowed to min(k, n_db): unlike FAISS, which
+    pads with -1/inf sentinels beyond ntotal, the output has
+    min(k, n_db) columns — size k from the caller's view only when the
+    database is at least that large). Returns (squared_l2 [Nq,k] ascending, indices [Nq,k]),
     matching faiss.IndexFlatL2.search output conventions."""
     query = query.astype(jnp.float32)
     db = db.astype(jnp.float32)

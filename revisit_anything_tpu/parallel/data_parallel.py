@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Callable, Dict, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -35,7 +36,10 @@ def data_parallel_apply(fn: Callable, params, batch: np.ndarray,
     pad = (-n) % d
     if pad:
         widths = [(0, pad)] + [(0, 0)] * (batch.ndim - 1)
-        batch = np.pad(batch, widths, constant_values=pad_value)
+        # device inputs stay on device (a host round-trip of the batch
+        # would negate the callers' upload optimizations)
+        xp = np if isinstance(batch, np.ndarray) else jnp
+        batch = xp.pad(batch, widths, constant_values=pad_value)
 
     batch_sharding = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
@@ -47,4 +51,5 @@ def data_parallel_apply(fn: Callable, params, batch: np.ndarray,
         _JITTED[key] = jax.jit(fn, in_shardings=(repl, batch_sharding),
                                out_shardings=batch_sharding)
     out = _JITTED[key](params_dev, batch_dev)
-    return np.asarray(out)[:n]
+    return out[:n] if not isinstance(batch, np.ndarray) \
+        else np.asarray(out)[:n]

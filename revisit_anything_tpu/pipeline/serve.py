@@ -119,9 +119,9 @@ def _select_masks_centroids(masks: jnp.ndarray, iou: jnp.ndarray,
     rows all-false; stats [2*kmax+1] f32 — centroid (x, y) pairs then
     n_kept, packed into one array so the host needs a single readback).
     """
-    keep = (valid
-            & (iou > amg.pred_iou_thresh)
-            & (stab >= amg.stability_score_thresh))
+    keep = valid & (stab >= amg.stability_score_thresh)
+    if amg.pred_iou_thresh > 0.0:        # reference guard (:296-298)
+        keep = keep & (iou > amg.pred_iou_thresh)
     scores = jnp.where(keep, iou, -jnp.inf)
     nms_keep = nms_keep_mask(boxes, scores, amg.box_nms_thresh)
     final_scores = jnp.where(nms_keep & keep, iou, -jnp.inf)

@@ -198,11 +198,11 @@ def test_multicrop_generate(small_sam):
     for r in records:
         assert r.segmentation.shape == (60, 100)
         assert r.area == int(r.segmentation.sum()) and r.area > 0
-        x0, y0, x1, y1 = r.crop_box
+        x0, y0, w_, h_ = r.crop_box                    # XYWH schema
         # mask must lie within its crop box
         ys, xs = np.nonzero(r.segmentation)
-        assert xs.min() >= x0 and xs.max() < x1
-        assert ys.min() >= y0 and ys.max() < y1
+        assert xs.min() >= x0 and xs.max() < x0 + w_
+        assert ys.min() >= y0 and ys.max() < y0 + h_
 
     def iou_of(a, b):
         inter = np.logical_and(a.segmentation, b.segmentation).sum()
