@@ -13,8 +13,9 @@ Dense-feature files (process_dino_ft_to_h5, func_vpr.py:647-662):
     <image_key>/ift_dino                 float32 [1, D, dh, dw]
 
 Mask subgroup keys are natural-sorted on read (reference uses natsort on
-`masks/` keys, func_vpr.py:759); we write zero-padded keys so lexicographic
-and natural order agree, while reads handle either.
+`masks/` keys, func_vpr.py:759). Writes use the reference's plain str(j)
+keys for artifact bit-compatibility — consumers must natural-sort, never
+rely on h5py's lexicographic iteration order.
 """
 
 from __future__ import annotations

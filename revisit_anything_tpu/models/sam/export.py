@@ -39,8 +39,15 @@ def make_decode_fn(params, cfg: SamArchConfig, num_prompts: int,
 
 
 def export_decoder(params, cfg: SamArchConfig, path: str,
-                   num_prompts: int = 256, multimask: bool = True) -> None:
-    """Serialize the decoder (params baked in) as StableHLO bytes."""
+                   num_prompts: int = 256, multimask: bool = True,
+                   platforms=None) -> None:
+    """Serialize the decoder (params baked in) as StableHLO bytes.
+
+    ``platforms``: target platform list (e.g. ["cpu", "tpu"]) — without
+    it the artifact runs only on the EXPORTING backend's platform. Note:
+    exporting on TPU bakes the Pallas mask-head kernel (TPU-only); for a
+    portable artifact export from a CPU process (the gate picks the pure
+    XLA path at trace time) with platforms=["cpu", ...]."""
     from jax import export as jexport
     fn = make_decode_fn(params, cfg, num_prompts, multimask)
     g = cfg.grid
@@ -48,7 +55,8 @@ def export_decoder(params, cfg: SamArchConfig, path: str,
         jax.ShapeDtypeStruct((g, g, cfg.prompt_dim), jnp.float32),
         jax.ShapeDtypeStruct((num_prompts, 2), jnp.float32),
     )
-    exported = jexport.export(jax.jit(fn))(*args)
+    kwargs = {"platforms": list(platforms)} if platforms else {}
+    exported = jexport.export(jax.jit(fn), **kwargs)(*args)
     with open(path, "wb") as f:
         f.write(exported.serialize())
 

@@ -44,11 +44,16 @@ class SegmentBank:
     """Flat segment-descriptor table over a whole image set."""
     descriptors: np.ndarray           # [n_segments, dim]
     image_indices: np.ndarray         # [n_segments] image id per segment
+    # explicit image count: trailing images with zero segments never
+    # appear in image_indices, and deriving the count from max()+1 would
+    # silently drop them (their recall rows must exist as misses)
+    num_images: int = None
 
     @property
     def seg_ranges(self) -> List[np.ndarray]:
-        n_img = int(self.image_indices.max()) + 1 if len(
+        derived = int(self.image_indices.max()) + 1 if len(
             self.image_indices) else 0
+        n_img = self.num_images if self.num_images is not None else derived
         return [np.where(self.image_indices == i)[0] for i in range(n_img)]
 
 
@@ -129,9 +134,11 @@ def compute_segment_vlads(masks_h5_path: str,
                 print(f"[segvlad] {i + 1}/{len(image_keys)}", flush=True)
     if not descs:
         return SegmentBank(np.zeros((0, 0), np.float32),
-                           np.zeros((0,), np.int64))
+                           np.zeros((0,), np.int64),
+                           num_images=len(image_keys))
     return SegmentBank(np.concatenate(descs).astype(np.float32),
-                       np.asarray(im_inds, dtype=np.int64))
+                       np.asarray(im_inds, dtype=np.int64),
+                       num_images=len(image_keys))
 
 
 def global_vlads_from_h5(dino_h5_path: str,

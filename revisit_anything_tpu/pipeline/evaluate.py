@@ -46,7 +46,7 @@ def apply_pca_in_batches(bank: SegmentBank, pca: PCAParams,
         out.append(np.asarray(pca_apply(
             jnp.asarray(bank.descriptors[s:s + batch_rows]), pca)))
     return SegmentBank(np.concatenate(out) if out else bank.descriptors,
-                       bank.image_indices)
+                       bank.image_indices, num_images=bank.num_images)
 
 
 def run_segloc_retrieval(db_bank: SegmentBank,
@@ -104,8 +104,9 @@ def run_segloc_retrieval(db_bank: SegmentBank,
         # image with zero segments never appears in image_indices, and
         # silently dropping it would inflate recall (the reference
         # iterates range(len(gt)) — such a query counts as a miss)
-        n_q = max(len(gt), int(query_bank.image_indices.max()) + 1
-                  if len(query_bank.image_indices) else 0)
+        derived = (int(query_bank.image_indices.max()) + 1
+                   if len(query_bank.image_indices) else 0)
+        n_q = max(len(gt), query_bank.num_images or 0, derived)
         if device_voting:
             from revisit_anything_tpu.retrieval.matching import (
                 weighted_borda_predict)

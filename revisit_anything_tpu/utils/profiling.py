@@ -19,8 +19,10 @@ import jax
 class StageTimer:
     """Accumulates wall-clock per named stage; prints a summary table.
 
-    Blocks on async dispatch at stage exit (block_until_ready is the caller's
-    job for device arrays; we only measure host-observed wall time).
+    Measures HOST-observed wall time only: it does NOT block on async
+    dispatch — callers timing device work must force a sync (readback /
+    block_until_ready) inside the stage, or the stage records dispatch
+    time, not compute time.
     """
 
     def __init__(self) -> None:

@@ -117,6 +117,9 @@ def main():
         log(f"SKIP aggregation: {ds.masks_h5_ref} / {ds.dino_h5_ref} "
             f"not found under {art}")
         sys.exit(1 if failures else 0)
+    if centers is None:
+        log("SKIP aggregation/retrieval: vocabulary absent (see above)")
+        sys.exit(1 if failures else 0)
 
     log(f"aggregating db bank from {masks_r}")
     db_bank, db_keys = aggregate_bank(masks_r, dino_r, centers, args.order,
@@ -157,7 +160,10 @@ def main():
         pca_pkl = find(f"{args.dataset}_r_fitted_pca_model_*")
         pca = load_sklearn_pca_pickle(pca_pkl) if pca_pkl else None
         try:
-            gt = get_gt(args.dataset, db_keys, q_keys)
+            gt = get_gt(args.dataset, args.artifacts,
+                        ref_paths=db_keys, query_paths=q_keys)
+            if gt is None:
+                raise ValueError("no gt for dataset")
         except Exception as e:
             log(f"gt unavailable ({e}); using identity gt")
             gt = [[i] for i in range(len(q_keys))]
