@@ -192,7 +192,9 @@ def main():
     adj_dev = jnp.asarray(adj)
     desc = _dino_desc_device(dino_params, dino_cfg, img_dev, 31, "value",
                              server._crop)
-    desc = jax.block_until_ready(desc)
+    # block_until_ready does not block through the tunnel (CLAUDE.md) —
+    # a tiny readback is the reliable sync
+    float(jnp.ravel(desc)[0])
 
     def query_tail():
         pm = server._pool(masks_dev, server._pool_a, server._pool_b)
@@ -243,7 +245,10 @@ def main():
         stage_report[name] = {
             "ms": round(1000 * secs, 2),
             "gflop": round(flops / 1e9, 1),
-            "mfu": round(flops / max(secs, 1e-9) / PEAK_FLOPS, 4),
+            # stages faster than the RTT clamp to 0 s — report mfu 0.0
+            # rather than dividing by epsilon
+            "mfu": (round(flops / secs / PEAK_FLOPS, 4)
+                    if secs > 0 else 0.0),
         }
 
     print(json.dumps({

@@ -60,6 +60,11 @@ def cmd_extract(args):
         print(f"multihost: process {_jax.process_index()}/"
               f"{_jax.process_count()}, {len(refs)} refs / "
               f"{len(queries)} queries on this host")
+        # per-host shard files: hosts on a shared filesystem must not
+        # clobber one identical h5 path; merge the .partN files offline
+        shard_suffix = f".part{_jax.process_index()}"
+    else:
+        shard_suffix = ""
     sets = {"r": refs, "q": queries}
 
     def _skip(out_path):
@@ -79,8 +84,8 @@ def cmd_extract(args):
             params = init_sam_params(cfg, jax.random.PRNGKey(0))
         for tag, paths in sets.items():
             out = os.path.join(args.workdir,
-                               ds.masks_h5_ref if tag == "r"
-                               else ds.masks_h5_query)
+                               (ds.masks_h5_ref if tag == "r"
+                                else ds.masks_h5_query) + shard_suffix)
             keys = [os.path.basename(p) for p in paths]
             if _skip(out):
                 continue
@@ -104,8 +109,8 @@ def cmd_extract(args):
                              "(DnV2_NV/last.ckpt)")
         for tag, paths in sets.items():
             out = os.path.join(args.workdir,
-                               ds.dino_nv_h5_ref if tag == "r"
-                               else ds.dino_nv_h5_query)
+                               (ds.dino_nv_h5_ref if tag == "r"
+                                else ds.dino_nv_h5_query) + shard_suffix)
             keys = [os.path.basename(p) for p in paths]
             if _skip(out):
                 continue
@@ -127,7 +132,7 @@ def cmd_extract(args):
         for tag, paths in sets.items():
             name = (ds.dino_nv_h5_ref if tag == "r"
                     else ds.dino_nv_h5_query).replace("dinoNV", "dinoSALAD")
-            out = os.path.join(args.workdir, name)
+            out = os.path.join(args.workdir, name + shard_suffix)
             keys = [os.path.basename(p) for p in paths]
             if _skip(out):
                 continue
@@ -144,8 +149,8 @@ def cmd_extract(args):
             params = dn.init_params(cfg, jax.random.PRNGKey(0))
         for tag, paths in sets.items():
             out = os.path.join(args.workdir,
-                               ds.dino_h5_ref if tag == "r"
-                               else ds.dino_h5_query)
+                               (ds.dino_h5_ref if tag == "r"
+                                else ds.dino_h5_query) + shard_suffix)
             keys = [os.path.basename(p) for p in paths]
             if _skip(out):
                 continue
@@ -262,6 +267,10 @@ def _cmd_evaluate(args):
 
     if exp.global_method == "AnyLoc":
         import h5py
+        # gt check BEFORE the heavy aggregation: all-empty gt would only
+        # produce meaningless all-zero recalls after minutes of compute
+        if gt is None:
+            raise SystemExit("gt unavailable; cannot evaluate")
         from revisit_anything_tpu.io.h5io import list_image_keys
         names = {}
         for tag, dino_name in (("r", ds.dino_h5_ref),
@@ -271,19 +280,14 @@ def _cmd_evaluate(args):
                 names[tag] = (path, list_image_keys(f))
         db_v = global_vlads_from_h5(*names["r"], centers, ds.size.hw)
         q_v = global_vlads_from_h5(*names["q"], centers, ds.size.hw)
-        if gt is None:
-            raise SystemExit("gt unavailable; cannot evaluate")
         res = run_anyloc_retrieval(db_v, q_v, gt)
     else:
-        banks = _load_banks(args, exp, ds, centers)
-        pca = None
-        if exp.pca:
-            pkl, npz = _pca_paths(args, exp)
-            pca = (load_pca_npz(npz) if os.path.exists(npz)
-                   else load_sklearn_pca_pickle(pkl))
         if gt is None:
-            q_keys = banks["q"][1]
-            gt = [[] for _ in q_keys]
+            raise SystemExit("gt unavailable; cannot evaluate (recalls "
+                             "against fabricated empty gt would read as "
+                             "an all-zero regression)")
+        banks = _load_banks(args, exp, ds, centers)
+        pca = _load_pca(args, exp) if exp.pca else None
         res = run_segloc_retrieval(banks["r"][0], banks["q"][0], gt, pca=pca)
 
     print("Recall@1..5:", res.recalls)
@@ -592,6 +596,16 @@ def cmd_amg(args):
         print(f"{len(records)} masks -> {out}")
 
 
+def _load_pca(args, exp):
+    """ONE npz-else-sklearn-pickle resolution for evaluate and
+    build-index."""
+    from revisit_anything_tpu.ops.pca import (load_pca_npz,
+                                              load_sklearn_pca_pickle)
+    pkl, npz = _pca_paths(args, exp)
+    return (load_pca_npz(npz) if os.path.exists(npz)
+            else load_sklearn_pca_pickle(pkl))
+
+
 def cmd_build_index(args):
     """Build a serving index: PCA-projected, row-normalized database
     segment descriptors + image ids + the vocabulary/PCA parameters, in
@@ -606,9 +620,7 @@ def cmd_build_index(args):
     centers = _load_centers(args, ds)
     banks = _load_banks(args, exp, ds, centers)
     bank = banks["r"][0]
-    pkl, npz = _pca_paths(args, exp)
-    pca = (load_pca_npz(npz) if os.path.exists(npz)
-           else load_sklearn_pca_pickle(pkl))
+    pca = _load_pca(args, exp)
     db = _normalize_rows(apply_pca_in_batches(bank, pca).descriptors)
     np.savez_compressed(
         args.output,
@@ -648,6 +660,9 @@ def cmd_query(args):
     index = ServingIndex.from_npz(z)       # single read of the npz
     sam_cfg = SAM_REGISTRY[args.sam_variant]
     dino_cfg = dn.CONFIGS[args.dino_model]
+    if args.layer >= dino_cfg.depth:
+        raise SystemExit(f"--layer {args.layer} out of range for "
+                         f"{args.dino_model} (depth {dino_cfg.depth})")
     sam_params = (load_sam_checkpoint(args.sam_checkpoint, sam_cfg)
                   if args.sam_checkpoint
                   else init_sam_params(sam_cfg, jax.random.PRNGKey(0)))
@@ -773,7 +788,9 @@ def main(argv=None):
     p.add_argument("--sam-variant", default="vit_h",
                    choices=["vit_h", "vit_l", "vit_b"])
     p.add_argument("--sam-checkpoint", default=None)
-    p.add_argument("--dino-model", default="dinov2_vitg14")
+    p.add_argument("--dino-model", default="dinov2_vitg14",
+                   choices=["dinov2_vitg14", "dinov2_vitl14",
+                            "dinov2_vitb14", "dinov2_vits14"])
     p.add_argument("--dino-checkpoint", default=None)
     p.add_argument("--layer", type=int, default=31)
     p.set_defaults(func=cmd_query)

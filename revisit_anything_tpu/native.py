@@ -121,9 +121,13 @@ def connected_components(mask: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         areas = np.zeros(h * w + 1, np.int32)
         n = lib.connected_components(m, h, w, labels, areas)
         return labels, areas[:n + 1]
-    import cv2
-    n, labels, stats, _ = cv2.connectedComponentsWithStats(m, 8)
-    areas = stats[:, 4].astype(np.int32)
+    # pure-scipy fallback (scipy IS a declared dependency; cv2 is not).
+    # areas[0] is 0 on BOTH paths (the native path never accumulates the
+    # background label) — callers must not read a background area there.
+    from scipy import ndimage
+    labels, n = ndimage.label(m, structure=np.ones((3, 3), np.int32))
+    areas = np.bincount(labels.ravel(), minlength=n + 1).astype(np.int32)
+    areas[0] = 0
     return labels.astype(np.int32), areas
 
 

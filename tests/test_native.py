@@ -104,3 +104,26 @@ def test_islands_keeps_largest_when_all_small():
     out, changed = remove_small_regions(m, 50, "islands")
     assert changed
     assert out.sum() == 16 and out[10:14, 10:14].all()
+
+
+def test_numpy_fallbacks_without_native_lib(monkeypatch):
+    """The documented no-compiler path: scipy/numpy fallbacks must agree
+    with the native library (incl. areas[0] == 0 on both)."""
+    import revisit_anything_tpu.native as nat
+    rng = np.random.default_rng(3)
+    m = rng.random((30, 40)) > 0.6
+
+    labels_n, areas_n = nat.connected_components(m)
+    rle_n = nat.rle_encode(m)
+    rsr_n = nat.remove_small_regions(m, 5, "islands")
+
+    monkeypatch.setattr(nat, "_build_and_load", lambda: None)
+    labels_f, areas_f = nat.connected_components(m)
+    # label ids may differ; component structure and area multiset must not
+    assert labels_n.astype(bool).sum() == labels_f.astype(bool).sum()
+    assert sorted(areas_n[1:].tolist()) == sorted(areas_f[1:].tolist())
+    assert areas_n[0] == areas_f[0] == 0
+    assert nat.rle_encode(m) == rle_n
+    np.testing.assert_array_equal(nat.remove_small_regions(m, 5,
+                                                           "islands")[0],
+                                  rsr_n[0])
