@@ -8,7 +8,8 @@ from typing import List, Tuple
 from revisit_anything_tpu.config import DatasetConfig
 from revisit_anything_tpu.io.h5io import natsorted_keys
 
-IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".tiff", ".webp")
+IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".tif",
+              ".tiff", ".webp", ".ppm")
 
 
 def list_images(directory: str) -> List[str]:
