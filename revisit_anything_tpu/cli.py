@@ -139,6 +139,33 @@ def cmd_extract(args):
             extract_dinosalad_features_to_h5(paths, keys, out, params, cfg,
                                              ds.size.hw)
             print(f"wrote {out}")
+    elif args.method == "DINOV1":
+        # Legacy DINOv1 collection flow (DINO/collect_dino_features.py
+        # :32-109): stride-patched ViT facet features at layer 11.
+        from revisit_anything_tpu.models import dinov1 as d1
+        from revisit_anything_tpu.pipeline.extract import (
+            extract_dinov1_features_to_h5)
+        cfg = d1.CONFIGS[args.dinov1_model]
+        if args.checkpoint:
+            params = d1.load_checkpoint(args.checkpoint, cfg)
+        else:
+            print("WARNING: no --checkpoint; using random DINOv1 weights",
+                  file=sys.stderr)
+            params = dn.init_params(cfg, jax.random.PRNGKey(0))
+        layer = args.layer if args.layer != 31 else 11   # DINOv1 default
+        facet = args.facet if args.facet != "value" else "key"
+        for tag, paths in sets.items():
+            name = (ds.dino_h5_ref if tag == "r"
+                    else ds.dino_h5_query).replace("dino", "dinoV1")
+            out = os.path.join(args.workdir, name + shard_suffix)
+            keys = [os.path.basename(p) for p in paths]
+            if _skip(out):
+                continue
+            extract_dinov1_features_to_h5(
+                paths, keys, out, params, cfg, ds.size.hw,
+                stride=args.dino_stride, layer=layer, facet=facet,
+                binned=args.dinov1_binned, upsample=args.dinov1_upsample)
+            print(f"wrote {out}")
     elif args.method == "DINO":
         cfg = dn.CONFIGS[args.dino_model]
         if args.checkpoint:
@@ -291,6 +318,8 @@ def _cmd_evaluate(args):
         res = run_segloc_retrieval(banks["r"][0], banks["q"][0], gt, pca=pca)
 
     print("Recall@1..5:", res.recalls)
+    if res.one_percent_recall is not None:
+        print("1%-recall:", res.one_percent_recall)
     print(stage_timer().report())
     if args.save_results:
         out_dir = os.path.join(args.workdir, "results", "global",
@@ -334,8 +363,13 @@ def cmd_train(args):
     backbone = dn.CONFIGS[args.backbone]
     if (args.lr_sched == "multistep" and args.steps_per_epoch == 0
             and max(args.milestones) < 1000):
+        # Per-BATCH stepping matches the reference: VPRModel overrides
+        # optimizer_step and calls self.lr_schedulers().step() every
+        # batch (VLAD-BuFF/vpr_model.py:230-233), bypassing Lightning's
+        # per-epoch default for [opt],[sched] returns.
         print("WARNING: multistep milestones are in STEPS (the reference "
-              "Lightning loop steps its scheduler per batch too); "
+              "steps its scheduler per batch — vpr_model.py:233 overrides "
+              "optimizer_step); "
               f"milestones {args.milestones} will decay the LR within the "
               "first steps — set --steps-per-epoch to use epoch units",
               file=sys.stderr)
@@ -696,7 +730,8 @@ def main(argv=None):
     p = sub.add_parser("extract", help="SAM masks / DINO features → h5")
     _add_common(p)
     p.add_argument("--method", required=True,
-                   choices=["SAM", "DINO", "DINONV", "DINOSALAD"])
+                   choices=["SAM", "DINO", "DINOV1", "DINONV",
+                            "DINOSALAD"])
     p.add_argument("--force", action="store_true",
                    help="regenerate artifacts even if they exist")
     p.add_argument("--checkpoint", default=None)
@@ -707,6 +742,17 @@ def main(argv=None):
                             "dinov2_vitb14", "dinov2_vits14"])
     p.add_argument("--layer", type=int, default=31)
     p.add_argument("--facet", default="value")
+    p.add_argument("--dinov1-model", default="dino_vits8",
+                   choices=["dino_vits8", "dino_vits16", "dino_vitb8",
+                            "dino_vitb16"])
+    p.add_argument("--dino-stride", type=int, default=4,
+                   help="DINOV1 patch-embed stride override "
+                        "(dino_wrapper.py dino_strides)")
+    p.add_argument("--dinov1-binned", action="store_true",
+                   help="GSP log-binned descriptors")
+    p.add_argument("--dinov1-upsample", action="store_true",
+                   help="bilinear align_corners upsample to dataset "
+                        "resolution (upsample_feat_vec)")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed and shard images per host")
     p.set_defaults(func=cmd_extract)

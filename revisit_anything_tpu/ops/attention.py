@@ -233,10 +233,12 @@ def _i2t_kernel(img_ref, peq_ref, kbd_ref, vbd_ref, w_ref, vecs_ref,
 
     All heads run in single matmuls: token keys/values arrive as
     block-diagonal matrices (head h occupies lane group h·T..h·T+T and
-    channel group h·hd..), and softmax stability uses the per-row GLOBAL
-    max (softmax is shift-invariant within each head, and the global max
-    bounds every head's max, so exp stays ≤ 1). Per-head sums come from
-    one group-indicator matmul — no lane reshapes or concats anywhere.
+    channel group h·hd..), and softmax stability uses a PER-HEAD row max
+    (a global row max looks tempting — exp stays ≤ 1 — but a head whose
+    logits sit >~88 below the strongest head's would underflow to 0/0
+    NaN; the per-head shift cancels exactly in p = e/zb). Per-head sums
+    come from one group-indicator matmul — no lane reshapes or concats
+    anywhere.
 
     img_ref:  [1, BLK, D]   image branch block (shared or per-prompt)
     peq_ref:  [1, BLK, DA]  pre-projected positional term W_q·pe

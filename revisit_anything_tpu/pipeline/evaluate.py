@@ -30,6 +30,9 @@ class RetrievalResult:
     matches: np.ndarray          # [n_query_segs, K] db segment ids
     sims: np.ndarray             # [n_query_segs, K] squared L2 (faiss conv.)
     map_value: Optional[float] = None
+    # AnyLoc branch only: hit within the top max(n_db/100, 1) retrieved
+    # neighbors (func_vpr.py get_recall :852,875-878)
+    one_percent_recall: Optional[float] = None
 
 
 def _normalize_rows(x: np.ndarray) -> np.ndarray:
@@ -134,10 +137,25 @@ def run_anyloc_retrieval(db_vlads: np.ndarray,
                          gt: Sequence[Sequence[int]],
                          recall_topk: int = RECALL_TOPK) -> RetrievalResult:
     """AnyLoc baseline: whole-image VLAD kNN (place_rec_main.py:379-419 /
-    func_vpr.py get_recall :833-883)."""
+    func_vpr.py get_recall :833-883), reporting the reference's
+    1%-recall alongside Recall@1..k."""
     sq_l2, matches = knn_l2(jnp.asarray(query_vlads), jnp.asarray(db_vlads),
                             recall_topk)
     matches = np.asarray(matches)
     preds = [row for row in matches]
     recalls = calc_recall(preds, gt, recall_topk)
-    return RetrievalResult(recalls, preds, matches, np.asarray(sq_l2))
+    # 1%-recall: threshold = max(round(n_db/100), 1), intersected with
+    # the k retrieved neighbors only (func_vpr.py:852,875-878)
+    threshold = min(max(int(round(len(db_vlads) / 100.0)), 1), recall_topk)
+    hits, num_eval = 0, 0
+    # the reference iterates range(len(queries)) (func_vpr.py:855);
+    # a longer gt list contributes nothing beyond the query count
+    for qi, gt_q in enumerate(list(gt)[:len(matches)]):
+        if len(gt_q) == 0:
+            continue
+        num_eval += 1
+        if set(matches[qi][:threshold].tolist()) & set(int(g) for g in gt_q):
+            hits += 1
+    one_pct = hits / max(num_eval, 1)
+    return RetrievalResult(recalls, preds, matches, np.asarray(sq_l2),
+                           one_percent_recall=one_pct)

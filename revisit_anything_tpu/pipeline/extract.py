@@ -166,6 +166,76 @@ def extract_dino_features(image_paths: Sequence[str],
                       flush=True)
 
 
+def extract_dinov1_features_to_h5(image_paths: Sequence[str],
+                                  image_keys: Sequence[str],
+                                  out_h5_path: str,
+                                  params,
+                                  cfg,
+                                  target_hw: Tuple[int, int],
+                                  stride: int = 4,
+                                  layer: int = 11,
+                                  facet: str = "key",
+                                  load_size: int = 224,
+                                  binned: bool = False,
+                                  upsample: bool = False,
+                                  batch_size: int = 8,
+                                  progress: bool = True) -> None:
+    """DINOv1 (legacy) dense features → h5 (`ift_dino` [1, D, gh, gw]).
+
+    The collect_dino_features.py flow (DINO/collect_dino_features.py:
+    32-109 / dino_wrapper.py): images at the dataset resolution, short
+    side resized to ``load_size`` (torchvision F.resize int semantics),
+    ImageNet-normalized (preprocess_image), stride-``stride`` patched
+    ViT facet extraction at ``layer`` (ViTExtractor), optional GSP log
+    binning, optional bilinear align_corners=True upsample back to
+    ``target_hw`` (upsample_feat_vec :25-28). Features are stored RAW
+    (the wrapper returns them unnormalized)."""
+    from revisit_anything_tpu.models import dinov1 as d1
+    timer = stage_timer()
+    th, tw = target_hw
+    # torchvision F.resize(int): smaller edge → size, other int-scaled
+    if th <= tw:
+        lh, lw = load_size, int(load_size * tw / th)
+    else:
+        lh, lw = int(load_size * th / tw), load_size
+    gh, gw = d1.strided_grid(lh, lw, cfg.patch_size, stride)
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+
+    with h5py.File(out_h5_path, "w") as f:
+        for s in range(0, len(image_paths), batch_size):
+            paths = image_paths[s:s + batch_size]
+            keys = image_keys[s:s + batch_size]
+            with timer.stage("dinov1.load"):
+                imgs = np.stack([
+                    _resize_cv2_bilinear(
+                        _resize_cv2_bilinear(load_image_rgb(p), (tw, th)),
+                        (lw, lh))
+                    for p in paths]).astype(np.float32) / 255.0
+                x = (imgs - mean) / std
+            with timer.stage("dinov1.forward"):
+                feats = d1.extract_dense(params, cfg,
+                                         jnp.asarray(x, jnp.bfloat16),
+                                         layer=layer, facet=facet,
+                                         stride=stride)
+                if binned:
+                    feats = d1.log_bin(feats, (gh, gw))
+                fm = jnp.transpose(feats, (0, 2, 1)).reshape(
+                    len(paths), -1, gh, gw)
+                if upsample:
+                    from revisit_anything_tpu.ops.resize import (
+                        bilinear_resize_align_corners)
+                    fm = bilinear_resize_align_corners(
+                        fm.astype(jnp.float32), (th, tw))
+                feats_np = np.asarray(fm, dtype=np.float32)
+            with timer.stage("dinov1.write"):
+                for i, key in enumerate(keys):
+                    write_dino_features(f, key, feats_np[i:i + 1])
+            if progress:
+                print(f"[dinoV1] {s + len(paths)}/{len(image_paths)}",
+                      flush=True)
+
+
 def extract_dinonv_features_to_h5(image_paths: Sequence[str],
                                   image_keys: Sequence[str],
                                   out_h5_path: str,

@@ -297,14 +297,13 @@ class SegVLADServer:
 
         # Incremental mode: pad the database to a static row capacity with
         # guard rows; adds/removes then never change shapes (ONE compiled
-        # query program for the life of the server) and run as donated
-        # in-place device updates. Single-device only.
+        # query program for the life of the server) and each insert is a
+        # copy-on-insert device update (see _db_insert). Composes with a
+        # mesh: the capacity-padded rows shard over the data axis and
+        # inserts are dynamic-update-slices on the sharded array (GSPMD
+        # routes each write to the owning shard).
         self._cursor = None
         if db_capacity is not None:
-            if self._mesh is not None and self._mesh.devices.size > 1:
-                raise ValueError("db_capacity (incremental index) is "
-                                 "single-device; shard a frozen index "
-                                 "instead")
             if db_capacity < len(db):
                 raise ValueError(f"db_capacity {db_capacity} < existing "
                                  f"database rows {len(db)}")
@@ -321,6 +320,9 @@ class SegVLADServer:
                 [db, np.full((pad, db.shape[1]), _GUARD, db_np_dtype)])
             db_ids = np.concatenate(
                 [db_ids, np.zeros((pad,), np.int32)])
+        self._db_dtype = str(index.db_dtype)
+        self._db_sharding = None
+        self._ids_sharding = None
         if self._mesh is not None and self._mesh.devices.size > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
             d = int(self._mesh.devices.size)
@@ -332,10 +334,11 @@ class SegVLADServer:
                     [db, np.full((pad, db.shape[1]), _GUARD, db_np_dtype)])
                 db_ids = np.concatenate(
                     [db_ids, np.zeros((pad,), np.int32)])
-            self._db = jax.device_put(
-                jnp.asarray(db), NamedSharding(self._mesh, P("data", None)))
-            self._db_ids = jax.device_put(
-                jnp.asarray(db_ids), NamedSharding(self._mesh, P("data")))
+            self._db_sharding = NamedSharding(self._mesh, P("data", None))
+            self._ids_sharding = NamedSharding(self._mesh, P("data"))
+            self._db = jax.device_put(jnp.asarray(db), self._db_sharding)
+            self._db_ids = jax.device_put(jnp.asarray(db_ids),
+                                          self._ids_sharding)
         else:
             self._db = jnp.asarray(db)
             self._db_ids = jnp.asarray(db_ids)
@@ -414,9 +417,12 @@ class SegVLADServer:
     def add_reference_images(self,
                              imgs: Sequence[np.ndarray]) -> List[int]:
         """Extract + aggregate NEW database images on the live server and
-        insert their segment rows in place — no index rebuild, no
-        recompile (the database keeps its static capacity shape; inserts
-        are donated in-place device writes at a row cursor).
+        insert their segment rows — no index rebuild, no recompile (the
+        database keeps its static capacity shape; each insert copies the
+        database once on device so in-flight queries keep answering from
+        the pre-insert snapshot — see _db_insert's no-donation note).
+        On a mesh the capacity-sharded database accepts inserts the same
+        way (the update lands on the owning shards).
 
         Each image runs the same device path as a query (AMG → DINO →
         pool → Delaunay → VLAD → PCA → normalize); its kept-mask rows
@@ -454,6 +460,12 @@ class SegVLADServer:
             self._db, self._db_ids = _db_insert(
                 self._db, self._db_ids, rows,
                 np.int32(self._cursor), np.int32(self._next_image_id))
+            if self._db_sharding is not None:
+                # keep the row sharding stable across inserts (a no-op
+                # when GSPMD already kept it)
+                self._db = jax.device_put(self._db, self._db_sharding)
+                self._db_ids = jax.device_put(self._db_ids,
+                                              self._ids_sharding)
             # kept rows are the leading n_kept of the static block; the
             # guard tail just written is overwritten by the next insert
             self._cursor += int(n_kept)
@@ -469,6 +481,8 @@ class SegVLADServer:
             raise ValueError("incremental removal needs SegVLADServer("
                              "db_capacity=...)")
         self._db = _db_remove(self._db, self._db_ids, np.int32(image_id))
+        if self._db_sharding is not None:
+            self._db = jax.device_put(self._db, self._db_sharding)
 
     def snapshot_index(self, path: Optional[str] = None,
                        image_keys: Optional[Sequence[str]] = None
@@ -492,14 +506,18 @@ class SegVLADServer:
             pca_components=np.asarray(self._pca_comps),
             pca_variance=np.asarray(self._pca_var),
             pca_whiten=self._whiten, db=db, db_image_ids=db_ids,
-            num_ref_images=self.num_ref_images, order=self.order)
+            num_ref_images=self.num_ref_images, order=self.order,
+            db_dtype=self._db_dtype)
         if path is not None:
             if image_keys is None:
                 image_keys = [f"image_{i}"
                               for i in range(self.num_ref_images)]
+            # rows persist as f32 on disk; db_dtype records the server's
+            # DEVICE storage choice so a snapshot/restore round-trip
+            # keeps e.g. a bfloat16 database at half HBM
             np.savez_compressed(
                 path, db=db.astype(np.float32),
-                db_dtype=np.asarray("float32"),
+                db_dtype=np.asarray(self._db_dtype),
                 db_image_ids=db_ids,
                 image_keys=np.asarray(list(image_keys), dtype=str),
                 num_ref_images=np.asarray(self.num_ref_images),

@@ -251,9 +251,12 @@ def weighted_borda_predict(sims: jnp.ndarray,
 
     Returns:
       [num_query_images, n] predicted db image ids, best first. Query
-      images with zero accumulated votes (no segments, or none in this
-      sims matrix) predict -1 rows — a miss, matching the host path
-      which predicts nothing for them.
+      images with no segments in this sims matrix predict -1 rows — a
+      miss, matching the host path which predicts nothing for them.
+      (Voted-ness comes from segment OWNERSHIP, not the score maximum:
+      a real query whose sims all tie the global minimum min-max
+      normalizes to exactly 0 but must still predict, as
+      get_matches_host does.)
 
     Scale note: votes live in a dense [num_query_images x
     num_ref_images] f32 bin space (vectorized scatter-add). For image
@@ -272,10 +275,25 @@ def weighted_borda_predict(sims: jnp.ndarray,
     ref_ids = ref_img_ids[matches]                      # [S, R]
     flat_bins = (query_img_ids[:, None] * num_ref_images
                  + ref_ids).reshape(-1)
-    scores = jax.ops.segment_sum(
-        norm.reshape(-1), flat_bins,
-        num_segments=num_query_images * num_ref_images)
+    nbins = num_query_images * num_ref_images
+    scores = jax.ops.segment_sum(norm.reshape(-1), flat_bins,
+                                 num_segments=nbins)
     scores = scores.reshape(num_query_images, num_ref_images)
-    _, top = jax.lax.top_k(scores, min(n, num_ref_images))
-    voted = jnp.max(scores, axis=1, keepdims=True) > 0.0
+    # A query whose sims all tie the GLOBAL minimum has all-zero
+    # normalized scores; dense top_k would then surface image ids that
+    # never appeared in its matches. Rank such rows by appearance count
+    # instead (the host path's zero-score tie-break is insertion order —
+    # arbitrary; count keeps predictions inside the matched set).
+    counts = jax.ops.segment_sum(
+        jnp.ones((flat_bins.shape[0],), jnp.float32), flat_bins,
+        num_segments=nbins).reshape(num_query_images, num_ref_images)
+    has_score = jnp.max(scores, axis=1, keepdims=True) > 0.0
+    _, top = jax.lax.top_k(jnp.where(has_score, scores, counts),
+                           min(n, num_ref_images))
+    # voted-ness from segment ownership, not the score maximum (see
+    # docstring)
+    seg_counts = jax.ops.segment_sum(
+        jnp.ones((sims.shape[0],), jnp.float32), query_img_ids,
+        num_segments=num_query_images)
+    voted = (seg_counts > 0.0)[:, None]
     return jnp.where(voted, top, -1)

@@ -59,10 +59,19 @@ def top_k_recall(db_desc: jnp.ndarray,
                  gt: Sequence[Sequence[int]],
                  k: int = 5,
                  metric: str = "l2",
-                 return_one_percent: bool = False
+                 return_one_percent: bool = False,
+                 sub_sample_db: int = 1,
+                 sub_sample_qu: int = 1
                  ) -> Tuple[List[float], np.ndarray]:
     """Image-level Recall@1..k via on-TPU kNN over whole-image descriptors
     (the AnyLoc evaluation path — utilities.py:390-469 / func_vpr.py:833-883).
+
+    ``sub_sample_db`` / ``sub_sample_qu``: when the descriptors are
+    ``[::stride]`` sub-samples of the full sets but ``gt`` indexes the
+    FULL sets, retrieved db indices are rescaled by ``sub_sample_db``
+    and query ``i`` looks up ``gt[i * sub_sample_qu]`` before the gt
+    comparison (utilities.py:455-466). The returned indices stay in the
+    sub-sampled db space, like the reference's.
 
     Returns (recalls, indices [Nq, k]); with return_one_percent also the
     1%-recall (hit within the top max(n_db/100, 1) — capped at k like the
@@ -72,15 +81,17 @@ def top_k_recall(db_desc: jnp.ndarray,
     else:
         _, idx = knn_inner_product(query_desc, db_desc, k)
     idx = np.asarray(idx)
-    recalls = calc_recall([row.tolist() for row in idx], gt, k)
+    gt_eval = [gt[i * sub_sample_qu] for i in range(len(idx))]
+    scaled = idx * sub_sample_db
+    recalls = calc_recall([row.tolist() for row in scaled], gt_eval, k)
     if not return_one_percent:
         return recalls, idx
     threshold = min(max(int(round(len(np.asarray(db_desc)) / 100.0)), 1), k)
     hits, num_eval = 0, 0
-    for qi, gt_q in enumerate(gt):
+    for qi, gt_q in enumerate(gt_eval):
         if len(gt_q) == 0:
             continue
         num_eval += 1
-        if set(idx[qi][:threshold].tolist()) & set(int(g) for g in gt_q):
+        if set(scaled[qi][:threshold].tolist()) & set(int(g) for g in gt_q):
             hits += 1
     return recalls, idx, hits / max(num_eval, 1)

@@ -70,6 +70,24 @@ def _common(env):
             "--data-root", env["data_root"]]
 
 
+def test_cli_extract_dinov1(toy_env):
+    """--method DINOV1 (legacy collect_dino_features flow): stride-4
+    patched ViT-s8 key-facet features land in *_dinoV1_*.h5 at the
+    strided token grid."""
+    env = toy_env
+    cli.main(["extract", *_common(env), "--method", "DINOV1",
+              "--dinov1-model", "dino_vits8", "--dino-stride", "8"])
+    out = os.path.join(env["workdir"], "AmsterTime_r_dinoV1_112.h5")
+    assert os.path.exists(out)
+    with h5py.File(out, "r") as f:
+        keys = list(f.keys())
+        assert len(keys) == 5
+        arr = f[keys[0]]["ift_dino"][()]
+    # short side 112→224 (aspect-square), stride 8, patch 8 → 28×28 grid
+    assert arr.shape == (1, 384, 28, 28)
+    assert np.isfinite(arr).all()
+
+
 def test_cli_extract_vocab_evaluate(toy_env, capsys):
     env = toy_env
     cli.main(["extract", *_common(env), "--method", "DINO",

@@ -102,6 +102,49 @@ def test_top_k_recall_one_percent(rng):
     assert recalls[0] == 0.5
 
 
+def test_top_k_recall_sub_sampling(rng):
+    """sub_sample_db/sub_sample_qu stride semantics: retrieved sub-db
+    indices are rescaled by the db stride and query i looks up
+    gt[i * qu_stride] against the FULL-set ground truth
+    (utilities.py:440-469, rescale at :457-466)."""
+    from revisit_anything_tpu.retrieval.recall import top_k_recall
+    db_full = rng.standard_normal((300, 16)).astype(np.float32)
+    db_sub = db_full[::2]                      # stride-2 database
+    # full query set of 6, strided by 3 → queries 0 and 3 survive
+    q_full = rng.standard_normal((6, 16)).astype(np.float32)
+    q_full[0] = db_full[10] + 0.001            # sub-db index 5
+    q_full[3] = db_full[20] + 0.001            # sub-db index 10
+    q_sub = q_full[::3]
+    gt = [[10], [0], [1], [20], [2], [3]]      # FULL-set indices
+    recalls, idx, pct = top_k_recall(
+        db_sub, q_sub, gt, k=5, return_one_percent=True,
+        sub_sample_db=2, sub_sample_qu=3)
+    assert recalls[0] == 1.0, recalls
+    assert pct == 1.0
+    # returned indices stay in the sub-sampled db space
+    assert idx[0][0] == 5 and idx[1][0] == 10
+    # without rescaling the same inputs must miss (guards against the
+    # strides becoming dead parameters)
+    recalls_plain, _ = top_k_recall(db_sub, q_sub[:2],
+                                    [gt[0], gt[3]], k=5)
+    assert recalls_plain[0] == 0.0
+
+
+def test_anyloc_retrieval_reports_one_percent_recall(rng):
+    """run_anyloc_retrieval must report the reference's 1%-recall
+    (func_vpr.py get_recall :852,875-878) alongside Recall@1..k."""
+    from revisit_anything_tpu.pipeline.evaluate import run_anyloc_retrieval
+    db = rng.standard_normal((250, 32)).astype(np.float32)
+    q = np.stack([db[7], db[40], rng.standard_normal(32).astype(np.float32)])
+    gt = [[7], [40], [0]]
+    res = run_anyloc_retrieval(db, q, gt)
+    assert res.one_percent_recall is not None
+    # threshold = min(max(round(250/100),1), 5) = 2: queries 0,1 hit at
+    # rank 1, query 2 (random) almost surely misses → 2/3
+    assert abs(res.one_percent_recall - 2 / 3) < 1e-9
+    assert res.recalls[0] >= 2 / 3
+
+
 def _oracle_norm(sims):
     return (sims - sims.min()) / (sims.max() - sims.min())
 
@@ -220,9 +263,9 @@ def test_single_image_pair_matches(rng):
 
 
 def test_weighted_borda_zero_vote_rows_predict_minus_one():
-    """Query images with no segments (or whose votes are all zero) must
-    predict -1 rows — a miss — not arbitrary low image ids (the host
-    path predicts nothing for them)."""
+    """Query images with no segments must predict -1 rows — a miss —
+    not arbitrary low image ids (the host path predicts nothing for
+    them)."""
     import jax.numpy as jnp
     from revisit_anything_tpu.retrieval.matching import (
         weighted_borda_predict)
@@ -237,6 +280,40 @@ def test_weighted_borda_zero_vote_rows_predict_minus_one():
     assert preds.shape == (3, 3)
     assert (preds[1] == -1).all()
     assert (preds[0] >= 0).all() and (preds[2] >= 0).all()
+
+
+def test_weighted_borda_global_min_tie_still_votes():
+    """A real query whose sims all tie the GLOBAL minimum min-max
+    normalizes to exactly 0 yet must still predict (voted-ness comes
+    from segment ownership, not the score maximum) — and its top-1 must
+    match the host path's for the same inputs."""
+    import jax.numpy as jnp
+    from revisit_anything_tpu.retrieval.matching import (
+        get_matches_host, weighted_borda_predict)
+    # query image 0: strong sims; query image 1: all sims == global min
+    sims = np.array([[0.9, 0.8, 0.7],
+                     [0.6, 0.5, 0.4],
+                     [0.1, 0.1, 0.1],
+                     [0.1, 0.1, 0.1]], np.float32)
+    matches = np.array([[0, 1, 2],
+                        [3, 4, 5],
+                        [6, 7, 8],
+                        [6, 9, 10]], np.int32)
+    q_ids = np.array([0, 0, 1, 1], np.int32)
+    ref_ids = np.repeat(np.arange(6), 2).astype(np.int32)  # 12 db segs
+    preds = np.asarray(weighted_borda_predict(
+        jnp.asarray(sims), jnp.asarray(matches), jnp.asarray(q_ids),
+        jnp.asarray(ref_ids), 2, 6, n=3))
+    assert (preds[1] >= 0).all(), "tied-at-global-min query must vote"
+    # predictions stay inside the images its segments actually matched
+    appeared = set(ref_ids[matches[2:]].ravel().tolist())
+    assert set(preds[1].tolist()) <= appeared
+    # the host path also emits real predictions for this query
+    host = get_matches_host(matches, sims,
+                            [np.array([0, 1]), np.array([2, 3])],
+                            ref_ids, n=3,
+                            method="max_seg_topk_wt_borda_Im")
+    assert len(host[1]) > 0 and set(host[1].tolist()) <= appeared
 
 
 def test_weighted_borda_rejects_int32_bin_overflow():

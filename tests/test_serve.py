@@ -282,6 +282,72 @@ def test_incremental_matches_prebuilt(models):
                                   srv_pre.query(new_img))
 
 
+def test_incremental_sharded_matches_single_device(models):
+    """Incremental add/remove/snapshot on an 8-way-sharded server match
+    the single-device server bit-for-bit (the two flagship serving
+    features — live inserts and sharded databases — compose)."""
+    from revisit_anything_tpu.parallel import make_mesh
+    sam_params, dino_params = models
+    rng = np.random.default_rng(23)
+    idx = _index(rng, n_segs=203, n_images=29)
+    idx.db_image_ids = np.repeat(np.arange(29), 7)
+    amg = AmgConfig(points_per_side=6, points_per_batch=36,
+                    pred_iou_thresh=-1e9, stability_score_thresh=0.0)
+    kw = dict(sam_params=sam_params, sam_cfg=SAM_SMALL,
+              dino_params=dino_params, dino_cfg=DINO_SMALL,
+              index=idx, full_hw=(H, W), sam_hw=(H // 2, W // 2),
+              amg=amg, dino_layer=1, max_masks=32, top_images=5,
+              db_capacity=400)
+    srv_one = SegVLADServer(mesh=None, **kw)
+    srv_mesh = SegVLADServer(mesh=make_mesh((8,), ("data",)), **kw)
+
+    new_imgs = [_image(rng) for _ in range(3)]
+    ids_one = srv_one.add_reference_images(new_imgs)
+    ids_mesh = srv_mesh.add_reference_images(new_imgs)
+    assert ids_one == ids_mesh
+    assert srv_one._cursor == srv_mesh._cursor
+
+    q = _image(rng)
+    np.testing.assert_array_equal(srv_one.query(q), srv_mesh.query(q))
+    for img in new_imgs:
+        np.testing.assert_array_equal(srv_one.query(img),
+                                      srv_mesh.query(img))
+
+    srv_one.remove_reference_image(ids_one[1])
+    srv_mesh.remove_reference_image(ids_mesh[1])
+    np.testing.assert_array_equal(srv_one.query(new_imgs[1]),
+                                  srv_mesh.query(new_imgs[1]))
+
+    snap_one = srv_one.snapshot_index()
+    snap_mesh = srv_mesh.snapshot_index()
+    np.testing.assert_array_equal(snap_one.db, snap_mesh.db)
+    np.testing.assert_array_equal(snap_one.db_image_ids,
+                                  snap_mesh.db_image_ids)
+
+
+def test_snapshot_preserves_db_dtype(models, tmp_path):
+    """A bfloat16-database server's snapshot must record db_dtype so a
+    restore keeps the half-HBM storage choice (ADVICE r2)."""
+    import dataclasses
+    sam_params, dino_params = models
+    rng = np.random.default_rng(29)
+    idx = dataclasses.replace(_index(rng), db_dtype="bfloat16")
+    amg = AmgConfig(points_per_side=6, points_per_batch=36,
+                    pred_iou_thresh=-1e9, stability_score_thresh=0.0)
+    srv = SegVLADServer(
+        sam_params=sam_params, sam_cfg=SAM_SMALL,
+        dino_params=dino_params, dino_cfg=DINO_SMALL,
+        index=idx, full_hw=(H, W), sam_hw=(H // 2, W // 2),
+        amg=amg, dino_layer=1, max_masks=32, top_images=5,
+        db_capacity=300, mesh=None)
+    srv.add_reference_images([_image(rng)])
+    path = str(tmp_path / "snap16.npz")
+    snap = srv.snapshot_index(path)
+    assert snap.db_dtype == "bfloat16"
+    loaded = ServingIndex.from_npz(path)
+    assert loaded.db_dtype == "bfloat16"
+
+
 def test_snapshot_roundtrip(models, tmp_path):
     """snapshot_index after incremental add+remove reloads into a server
     that answers identically (removed image's guard rows compacted)."""
