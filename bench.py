@@ -102,11 +102,18 @@ def main():
     sam_hw = ds.sam_size.hw                 # 240, 320
 
     print("[bench] init models...", file=sys.stderr, flush=True)
-    sam_params = init_sam_params(SAM_VIT_H, jax.random.PRNGKey(0),
-                                 dtype=jnp.bfloat16)
+    # packed params: ONE device buffer per model instead of ~700 leaves.
+    # Through the axon tunnel each output buffer costs ~0.3-1.5 s to
+    # materialize (not covered by the compile cache) — per-leaf init was
+    # the entire 400-700 s "warmup" the driver bench used to pay.
+    from revisit_anything_tpu.utils.packing import packed_init
     dino_cfg = dn.VIT_G14
-    dino_params = dn.init_params(dino_cfg, jax.random.PRNGKey(1),
-                                 dtype=jnp.bfloat16)
+    sam_params = packed_init(
+        lambda k: init_sam_params(SAM_VIT_H, k, dtype=jnp.bfloat16),
+        jax.random.PRNGKey(0))
+    dino_params = packed_init(
+        lambda k: dn.init_params(dino_cfg, k, dtype=jnp.bfloat16),
+        jax.random.PRNGKey(1))
 
     n_db_segs = 100_000
     db = rng.standard_normal((n_db_segs, PCA_DIM)).astype(np.float32)

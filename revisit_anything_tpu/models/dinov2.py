@@ -284,6 +284,8 @@ def extract_dense(params: Params, cfg: DinoV2Config, images: jnp.ndarray,
     Returns [B, N_patches, D] (cls/register tokens dropped, no norm —
     the production extractor uses norm_descs=False, func_vpr.py:532).
     """
+    from revisit_anything_tpu.utils.packing import maybe_unpack
+    params = maybe_unpack(params)
     x = embed_patches(params, cfg, images)
     for blk in params["blocks"][:layer]:
         x = _block(x, blk, cfg)

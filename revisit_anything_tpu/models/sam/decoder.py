@@ -16,7 +16,7 @@ transformer.py:16-240. TPU-first notes:
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -147,9 +147,21 @@ def _t2i_fused(attn_p, q_tok, keys, pe_one, num_heads: int, kvt=None):
 # benchmarking escape hatch: force the XLA mask-head path (trace-time flag)
 _MASKHEAD_DISABLED = False
 
+# probability-factored AMG decode (ops/decode_probs.py): "auto" = on for
+# TPU at production sizes, "on"/"off" force it (tests / A-B benchmarks)
+_PROBS_PATH = "auto"
+
 
 def _use_token_kernel(m: int) -> bool:
     return jax.default_backend() == "tpu" and m >= 1024
+
+
+def _use_probs_path(m: int) -> bool:
+    if _PROBS_PATH == "on":
+        return True
+    if _PROBS_PATH == "off":
+        return False
+    return _use_token_kernel(m)
 
 
 def _run_two_way(params_dec: Params, tokens, src, src_pe,
@@ -294,6 +306,129 @@ def _run_two_way_shared(params_dec: Params, tokens, shared_src, src_pe_one,
     return queries, keys
 
 
+def _run_two_way_probs(params_dec: Params, tokens, shared_src, src_pe_one,
+                       cfg: SamArchConfig):
+    """Probability-factored AMG two-way transformer (ops/decode_probs.py).
+
+    The per-prompt image branch is never materialized: each i2t layer
+    emits only its softmax probabilities P^T [B, H·T, M], and the layer-2
+    t2i, the final token→image attention, and (in decode_masks) the mask
+    head reconstruct the branch in VMEM from (img0, P, C). Token-side ops
+    (self-attention, MLPs, out-projections, LayerNorms) stay in XLA —
+    they are [B, T, D] sized.
+
+    Returns (queries, pstate) where pstate = (p1, c1m, p2, c2m,
+    branch_rows) feeds ops.maskhead.fused_mask_head_probs.
+    """
+    from revisit_anything_tpu.ops.decode_probs import (
+        _block_diag_tokens_t, _pack_branch_vecs, i2t_probs, t2i_from_probs)
+    nh = cfg.decoder_heads
+    d = shared_src.shape[2]
+    dtype = shared_src.dtype
+    layers = params_dec["layers"]
+    l1, l2 = layers[0], layers[1]
+    fa = params_dec["final_attn"]
+    da = l1["i2t"]["q"]["w"].shape[1]
+    interpret = jax.default_backend() != "tpu"
+
+    def t_proj(w, b, x):
+        """einsum-transposed projection of a shared [1, M, D] tensor:
+        [1, DA', M] = (x @ w + b)^T without a relayout."""
+        pet = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+        out = jnp.einsum("dk,bmd->bkm", w.astype(x.dtype), x,
+                         preferred_element_type=pet).astype(x.dtype)
+        return out + b.astype(x.dtype)[None, :, None]
+
+    img0t = jnp.transpose(shared_src, (0, 2, 1))            # [1, D, M]
+    src_pe_img = shared_src + src_pe_one
+
+    # ----- layer 1: token side + t2i (shared k/v projection pass) -----
+    queries = _attn(l1["self_attn"], tokens, tokens, tokens, nh)
+    queries = _layer_norm(queries, l1["norm1"], cfg.eps)
+    q = queries + tokens
+    if _use_token_kernel(shared_src.shape[1]):
+        attn_out = _t2i_fused(l1["t2i"], q, shared_src, src_pe_one, nh)
+    else:
+        k1 = shared_src + src_pe_one
+        attn_out = _attn_kv_shared(l1["t2i"], q, k1, shared_src, nh)
+    queries = queries + attn_out
+    queries = _layer_norm(queries, l1["norm2"], cfg.eps)
+    mlp_out = _dense(jax.nn.relu(_dense(queries, l1["lin1"])), l1["lin2"])
+    queries = queries + mlp_out
+    queries = _layer_norm(queries, l1["norm3"], cfg.eps)
+
+    # ----- layer-1 i2t → P1 (queries shared across prompts) -----
+    i1 = l1["i2t"]
+    q1st = t_proj(i1["q"]["w"], i1["q"]["b"], src_pe_img)   # [1, DA, M]
+    tok_k1 = _dense(queries + tokens, i1["k"])
+    tok_v1 = _dense(queries, i1["v"])
+    p1 = i2t_probs(q1st, tok_k1, nh, layer=1, eps=cfg.eps,
+                   interpret=interpret)                     # [B, HT, M]
+    c1m = jnp.einsum("bkd,de->bke", _block_diag_tokens_t(tok_v1, nh),
+                     i1["out"]["w"].astype(dtype),
+                     preferred_element_type=jnp.float32).astype(dtype)
+
+    # ----- layer 2: token side -----
+    q = queries + tokens
+    attn_out = _attn(l2["self_attn"], q, q, queries, nh)
+    queries = queries + attn_out
+    queries = _layer_norm(queries, l2["norm1"], cfg.eps)
+
+    t2 = l2["t2i"]
+    q_tok = _dense(queries + tokens, t2["q"])
+    vecs_t2 = _pack_branch_vecs(d, da, dtype, i1["out"]["b"],
+                                l1["norm4"]["scale"], l1["norm4"]["bias"],
+                                v_bias=t2["v"]["b"])
+    pek2t = t_proj(t2["k"]["w"], t2["k"]["b"], src_pe_one)
+    attn_pre = t2i_from_probs(q_tok, img0t, p1, c1m, None, None,
+                              t2["k"]["w"], t2["v"]["w"], pek2t, vecs_t2,
+                              nh, eps=cfg.eps, interpret=interpret)
+    queries = queries + _dense(attn_pre, t2["out"])
+    queries = _layer_norm(queries, l2["norm2"], cfg.eps)
+    mlp_out = _dense(jax.nn.relu(_dense(queries, l2["lin1"])), l2["lin2"])
+    queries = queries + mlp_out
+    queries = _layer_norm(queries, l2["norm3"], cfg.eps)
+
+    # ----- layer-2 i2t → P2 (queries reconstructed in-kernel) -----
+    i2 = l2["i2t"]
+    tok_k2 = _dense(queries + tokens, i2["k"])
+    tok_v2 = _dense(queries, i2["v"])
+    peq2t = t_proj(i2["q"]["w"], i2["q"]["b"], src_pe_one)
+    vecs_l1 = _pack_branch_vecs(d, da, dtype, i1["out"]["b"],
+                                l1["norm4"]["scale"], l1["norm4"]["bias"])
+    p2 = i2t_probs(None, tok_k2, nh, layer=2,
+                   recon=(img0t, p1, c1m, peq2t,
+                          i2["q"]["w"].astype(dtype), vecs_l1),
+                   eps=cfg.eps, interpret=interpret)
+    c2m = jnp.einsum("bkd,de->bke", _block_diag_tokens_t(tok_v2, nh),
+                     i2["out"]["w"].astype(dtype),
+                     preferred_element_type=jnp.float32).astype(dtype)
+
+    # ----- final token→image attention (branch depth 2) -----
+    q_tok = _dense(queries + tokens, fa["q"])
+    vecs_fa = _pack_branch_vecs(d, da, dtype, i1["out"]["b"],
+                                l1["norm4"]["scale"], l1["norm4"]["bias"],
+                                b2=i2["out"]["b"],
+                                s2=l2["norm4"]["scale"],
+                                bi2=l2["norm4"]["bias"],
+                                v_bias=fa["v"]["b"])
+    pekft = t_proj(fa["k"]["w"], fa["k"]["b"], src_pe_one)
+    attn_pre = t2i_from_probs(q_tok, img0t, p1, c1m, p2, c2m,
+                              fa["k"]["w"], fa["v"]["w"], pekft, vecs_fa,
+                              nh, eps=cfg.eps, interpret=interpret)
+    queries = queries + _dense(attn_pre, fa["out"])
+    queries = _layer_norm(queries, params_dec["norm_final"], cfg.eps)
+
+    branch_rows = jnp.zeros((8, d), dtype)
+    branch_rows = branch_rows.at[0].set(i1["out"]["b"].astype(dtype))
+    branch_rows = branch_rows.at[1].set(l1["norm4"]["scale"].astype(dtype))
+    branch_rows = branch_rows.at[2].set(l1["norm4"]["bias"].astype(dtype))
+    branch_rows = branch_rows.at[3].set(i2["out"]["b"].astype(dtype))
+    branch_rows = branch_rows.at[4].set(l2["norm4"]["scale"].astype(dtype))
+    branch_rows = branch_rows.at[5].set(l2["norm4"]["bias"].astype(dtype))
+    return queries, (p1, c1m, p2, c2m, branch_rows)
+
+
 def _attn_preprojected(attn_p, q, k, v, num_heads: int):
     """Attention whose k/v are ALREADY projected (used by the shared path
     where the pe term is folded into the k projection)."""
@@ -390,7 +525,7 @@ def _mlp(x, layers):
 
 
 @partial(jax.jit, static_argnames=("cfg", "multimask", "dense_shared",
-                                   "block_layout"))
+                                   "block_layout", "probs_path"))
 def decode_masks(params: Params, cfg: SamArchConfig,
                  image_embedding: jnp.ndarray,
                  image_pe: jnp.ndarray,
@@ -398,7 +533,8 @@ def decode_masks(params: Params, cfg: SamArchConfig,
                  dense_prompts: jnp.ndarray,
                  multimask: bool = True,
                  dense_shared: bool = False,
-                 block_layout: bool = False
+                 block_layout: bool = False,
+                 probs_path: Optional[bool] = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Decode masks for a batch of prompts against ONE image embedding.
 
@@ -418,6 +554,8 @@ def decode_masks(params: Params, cfg: SamArchConfig,
       [Np, M]) where M = 3 for multimask (tokens 1..3) else 1 (token 0) —
       mask_decoder.py:96-144.
     """
+    from revisit_anything_tpu.utils.packing import maybe_unpack
+    params = maybe_unpack(params)
     dec = params["decoder"]
     np_, t, d = sparse_prompts.shape
     g = cfg.grid
@@ -428,7 +566,19 @@ def decode_masks(params: Params, cfg: SamArchConfig,
         [jnp.broadcast_to(out_tokens[None], (np_,) + out_tokens.shape),
          sparse_prompts.astype(out_tokens.dtype)], axis=1)
 
-    if dense_shared:
+    use_probs = (_use_probs_path(g * g) if probs_path is None
+                 else probs_path)
+    pstate = None
+    if dense_shared and block_layout and use_probs:
+        # Probability-factored path: the per-prompt branch exists only as
+        # i2t softmax probabilities; the mask head reconstructs it.
+        shared_src = (image_embedding[None]
+                      + dense_prompts[:1]).reshape(1, g * g, d)
+        src_pe_one = image_pe.reshape(1, g * g, d).astype(shared_src.dtype)
+        queries, pstate = _run_two_way_probs(dec, tokens, shared_src,
+                                             src_pe_one, cfg)
+        keys = None
+    elif dense_shared:
         # AMG: the identical no-mask dense prompt for every point — the
         # image branch stays a single [1, M, D] tensor until it genuinely
         # diverges per prompt (see _run_two_way_shared).
@@ -455,7 +605,18 @@ def decode_masks(params: Params, cfg: SamArchConfig,
     hyper = jnp.stack(
         [_mlp(mask_tokens_out[:, i], dec["hyper_mlps"][i])
          for i in token_ids], axis=1)                    # [Np, M, d/8]
-    if (block_layout and not _MASKHEAD_DISABLED
+    if pstate is not None:
+        from revisit_anything_tpu.ops.maskhead import fused_mask_head_probs
+        p1, c1m, p2, c2m, branch_rows = pstate
+        shared_src = (image_embedding[None]
+                      + dense_prompts[:1]).reshape(1, g * g, d)
+        masks = fused_mask_head_probs(
+            shared_src, p1, c1m, p2, c2m, branch_rows, hyper,
+            dec["up1_w"], dec["up1_b"],
+            dec["up_ln"]["scale"], dec["up_ln"]["bias"],
+            dec["up2_w"], dec["up2_b"], eps=cfg.eps, ln_eps=cfg.eps,
+            interpret=jax.default_backend() != "tpu")    # [Np, g², 16, M]
+    elif (block_layout and not _MASKHEAD_DISABLED
             and _use_token_kernel(keys.shape[1])):
         from revisit_anything_tpu.ops.maskhead import fused_mask_head
         masks = fused_mask_head(

@@ -200,7 +200,10 @@ def encode_image(params: Params, cfg: SamArchConfig,
     """images [B, 1024, 1024, 3] (pixel-normalized) → [B, 64, 64, 256].
 
     Mirrors ImageEncoderViT.forward + neck (image_encoder.py:107-116).
+    Accepts PackedParams (utils/packing.py) — unpacked in-trace.
     """
+    from revisit_anything_tpu.utils.packing import maybe_unpack
+    params = maybe_unpack(params)
     enc = params["encoder"]
     # compute in the params' dtype (bf16 params → bf16 activations)
     images = images.astype(enc["patch_embed"]["w"].dtype)

@@ -36,6 +36,8 @@ def _fourier_pe(coords01: jnp.ndarray, gaussian: jnp.ndarray) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=("cfg",))
 def dense_positional_embedding(params: Params, cfg: SamArchConfig) -> jnp.ndarray:
     """get_dense_pe: PE of the 64x64 grid cell centers → [1, 64, 64, 256]."""
+    from revisit_anything_tpu.utils.packing import maybe_unpack
+    params = maybe_unpack(params)
     g = cfg.grid
     ys = (np.arange(g, dtype=np.float32) + 0.5) / g
     xs = (np.arange(g, dtype=np.float32) + 0.5) / g
@@ -60,6 +62,8 @@ def embed_points(params: Params, cfg: SamArchConfig,
 
     Returns [B, N(+1), 256].
     """
+    from revisit_anything_tpu.utils.packing import maybe_unpack
+    params = maybe_unpack(params)
     pr = params["prompt"]
     coords = coords.astype(jnp.float32) + 0.5   # pixel-center shift
     if pad:
@@ -94,6 +98,8 @@ def no_mask_dense_embedding(params: Params, cfg: SamArchConfig,
                             batch: int) -> jnp.ndarray:
     """Dense embedding when no mask prompt is given: broadcast
     no_mask_embed over the 64x64 grid → [B, 64, 64, 256]."""
+    from revisit_anything_tpu.utils.packing import maybe_unpack
+    params = maybe_unpack(params)
     g = cfg.grid
     return jnp.broadcast_to(
         params["prompt"]["no_mask"].reshape(1, 1, 1, -1),
@@ -107,6 +113,8 @@ def embed_masks(params: Params, cfg: SamArchConfig,
     [B, g, g, prompt_dim] via the downscaling stack (conv k2s2 → channel
     LN → GELU, twice, then a 1x1 conv — PromptEncoder.mask_downscaling,
     prompt_encoder.py:51-60). The stride-2 convs are reshape+matmuls."""
+    from revisit_anything_tpu.utils.packing import maybe_unpack
+    params = maybe_unpack(params)
     md = params["prompt"]["mask_down"]
     x = masks[..., None].astype(jnp.float32)            # NHWC, C=1
 

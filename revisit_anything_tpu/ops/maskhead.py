@@ -68,17 +68,45 @@ def _gelu(x):
 
 
 def _mask_head_kernel(keys_ref, up1w_ref, up2wbd_ref, hbd_ref, vecs_ref,
-                      o_ref, *, c1: int, eps: float):
+                      *refs, c1: int, eps: float, recon: bool = False,
+                      ln_eps: float = 1e-6):
     """One (prompt, position-block) step.
 
-    keys_ref:  [1, BLK, D]        image-branch activations (D = 4·c1)
+    keys_ref:  [1, BLK, D]        image-branch activations (D = 4·c1) —
+                                  with ``recon``, this is the SHARED img0
+                                  block and the per-prompt branch is
+                                  reconstructed here from the i2t
+                                  probabilities (ops/decode_probs.py)
     up1w_ref:  [D, D]             conv1 weight (out = (2x2 block, c1))
     up2wbd_ref:[D, 16·c2]         block-diagonal conv2 weight
     hbd_ref:   [1, 16·c2, 16·M]   block-diagonal hypernetwork weights
     vecs_ref:  [8, D≥16·c2 cols]  packed constant rows (see _pack_vecs)
+    refs (recon): p1 [1, HT, BLK], c1m [1, HT, D], p2, c2m,
+                  bvecs [8, D] (rows 0-2 layer-1 b_out/ln scale/ln bias,
+                  3-5 layer 2), then o_ref
     o_ref:     [1, BLK, 16·M]     mask logits, (q, r, m) minor-to-major m
     """
-    x = keys_ref[0]
+    if recon:
+        p1_ref, c1m_ref, p2_ref, c2m_ref, bvecs_ref, o_ref = refs
+        d = keys_ref.shape[2]
+        y = keys_ref[0].astype(jnp.float32)              # img0 [BLK, D]
+        for li, (p_ref, cm_ref) in enumerate(((p1_ref, c1m_ref),
+                                              (p2_ref, c2m_ref))):
+            a = jax.lax.dot_general(
+                p_ref[0], cm_ref[0], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [BLK, D]
+            y = y + a + bvecs_ref[3 * li + 0:3 * li + 1, :d].astype(
+                jnp.float32)
+            mu = jnp.mean(y, axis=1, keepdims=True)
+            var = jnp.maximum(
+                jnp.mean(y * y, axis=1, keepdims=True) - mu * mu, 0.0)
+            y = (y - mu) * jax.lax.rsqrt(var + ln_eps) \
+                * bvecs_ref[3 * li + 1:3 * li + 2, :d].astype(jnp.float32) \
+                + bvecs_ref[3 * li + 2:3 * li + 3, :d].astype(jnp.float32)
+        x = y.astype(keys_ref.dtype)
+    else:
+        (o_ref,) = refs
+        x = keys_ref[0]
     d = x.shape[1]
     dtype = x.dtype
 
@@ -118,6 +146,53 @@ def _mask_head_kernel(keys_ref, up1w_ref, up2wbd_ref, hbd_ref, vecs_ref,
     o_ref[0] = jax.lax.dot_general(
         h2, hbd_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("c1", "eps", "ln_eps", "block",
+                                   "interpret"))
+def _mask_head_call_probs(img0, p1, c1m, p2, c2m, bvecs, up1w, up2wbd, hbd,
+                          vecs, c1: int, eps: float, ln_eps: float,
+                          block: int, interpret: bool):
+    """Recon variant: img0 [1, gg, D] shared; p1/p2 [Np, HT, gg]
+    transposed probabilities; c1m/c2m [Np, HT, D]."""
+    np_ = p1.shape[0]
+    gg, d = img0.shape[1], img0.shape[2]
+    ht = p1.shape[1]
+    n_out = hbd.shape[2]
+    kernel = partial(_mask_head_kernel, c1=c1, eps=eps, recon=True,
+                     ln_eps=ln_eps)
+    return pl.pallas_call(
+        kernel,
+        grid=(np_, gg // block),
+        in_specs=[
+            pl.BlockSpec((1, block, d), lambda n, i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda n, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(up2wbd.shape, lambda n, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + hbd.shape[1:], lambda n, i: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(vecs.shape, lambda n, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ht, block), lambda n, i: (n, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ht, d), lambda n, i: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ht, block), lambda n, i: (n, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ht, d), lambda n, i: (n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(bvecs.shape, lambda n, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block, n_out), lambda n, i: (n, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, gg, n_out), img0.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(img0, up1w, up2wbd, hbd, vecs, p1, c1m, p2, c2m, bvecs)
 
 
 @partial(jax.jit, static_argnames=("c1", "eps", "block", "interpret"))
@@ -196,4 +271,57 @@ def fused_mask_head(keys: jnp.ndarray, hyper: jnp.ndarray,
 
     out = _mask_head_call(keys, up1_w, up2wbd, hbd, vecs, c1, float(eps),
                           blk, interpret)
+    return out.reshape(np_, gg, 16, m_tok)
+
+
+def fused_mask_head_probs(img0: jnp.ndarray, p1: jnp.ndarray,
+                          c1m: jnp.ndarray, p2: jnp.ndarray,
+                          c2m: jnp.ndarray, branch_rows: jnp.ndarray,
+                          hyper: jnp.ndarray,
+                          up1_w: jnp.ndarray, up1_b: jnp.ndarray,
+                          ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
+                          up2_w: jnp.ndarray, up2_b: jnp.ndarray,
+                          eps: float = 1e-6,
+                          ln_eps: float = 1e-6,
+                          block: int = 2048,
+                          interpret: bool = False) -> jnp.ndarray:
+    """fused_mask_head with the per-prompt branch RECONSTRUCTED in-kernel
+    from the i2t probabilities (ops/decode_probs.py) — the materialized
+    [Np, gg, D] branch never exists in HBM.
+
+    Args beyond fused_mask_head:
+      img0: [1, gg, D] shared branch input (image embedding + dense
+        prompt), NORMAL layout.
+      p1, p2: [Np, HT, gg] transposed probabilities.
+      c1m, c2m: [Np, HT, D] per-prompt C = V^bd @ W_out.
+      branch_rows: [8, D] ROW-packed branch constants — rows 0-2 =
+        layer-1 b_out / ln scale / ln bias, rows 3-5 = layer 2.
+      ln_eps: the branch LayerNorm epsilon (decoder cfg.eps).
+    """
+    np_ = p1.shape[0]
+    gg, d = img0.shape[1], img0.shape[2]
+    c1 = up1_w.shape[1] // 4
+    c2 = up2_w.shape[1] // 4
+    m_tok = hyper.shape[1]
+    blk = min(block, gg)
+    assert gg % blk == 0, (gg, blk)
+
+    up2wbd = jnp.zeros((4 * c1, 16 * c2), up2_w.dtype)
+    for q in range(4):
+        up2wbd = up2wbd.at[q * c1:(q + 1) * c1,
+                           q * 4 * c2:(q + 1) * 4 * c2].set(up2_w)
+    eye16 = jnp.eye(16, dtype=hyper.dtype)
+    hbd = jnp.einsum("qs,nmc->nqcsm", eye16, hyper).reshape(
+        np_, 16 * c2, 16 * m_tok).astype(img0.dtype)
+    ncols = max(4 * c1, 16 * c2)
+    vecs = jnp.zeros((8, ncols), img0.dtype)
+    vecs = vecs.at[0, :4 * c1].set(jnp.tile(up1_b, 4))
+    vecs = vecs.at[1, :4 * c1].set(jnp.tile(ln_scale, 4))
+    vecs = vecs.at[2, :4 * c1].set(jnp.tile(ln_bias, 4))
+    vecs = vecs.at[3, :16 * c2].set(jnp.tile(up2_b, 16))
+
+    out = _mask_head_call_probs(img0, p1, c1m, p2, c2m,
+                                branch_rows.astype(img0.dtype),
+                                up1_w, up2wbd, hbd, vecs, c1, float(eps),
+                                float(ln_eps), blk, interpret)
     return out.reshape(np_, gg, 16, m_tok)

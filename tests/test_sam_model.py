@@ -181,6 +181,30 @@ def test_dense_shared_matches_unshared(rng):
     np.testing.assert_allclose(np.asarray(i1), np.asarray(i2), atol=2e-5)
 
 
+def test_probs_path_matches_shared(rng):
+    """The probability-factored AMG decode (ops/decode_probs.py — the
+    per-prompt image branch reconstructed from i2t softmax probabilities)
+    must match the materialized shared path on identical inputs."""
+    model, cfg, params = make_pair(depth=1)
+    imgs = rng.standard_normal((1, IMG, IMG, 3)).astype(np.float32)
+    emb = encode_image(params, cfg, imgs)[0]
+    pts = (rng.random((5, 1, 2)) * IMG).astype(np.float32)
+    sparse = embed_points(params, cfg, pts, np.ones((5, 1)), pad=True)
+    dense = no_mask_dense_embedding(params, cfg, 5)
+    pe = dense_positional_embedding(params, cfg)[0]
+    m_ref, i_ref = decode_masks(params, cfg, emb, pe, sparse, dense,
+                                multimask=True, dense_shared=True,
+                                block_layout=True, probs_path=False)
+    m_probs, i_probs = decode_masks(params, cfg, emb, pe, sparse,
+                                    dense, multimask=True,
+                                    dense_shared=True,
+                                    block_layout=True, probs_path=True)
+    np.testing.assert_allclose(np.asarray(i_probs), np.asarray(i_ref),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(m_probs), np.asarray(m_ref),
+                               atol=5e-4)
+
+
 def test_mask_prompt_embedding_matches_hf(rng):
     """embed_masks (mask_downscaling conv stack) vs HF's SamMaskEmbedding
     on converted weights (prompt_encoder.py:51-60 path)."""

@@ -209,6 +209,33 @@ def test_bf16_db_matches_f32_topk(models):
     np.testing.assert_array_equal(top32, top16)
 
 
+def test_packed_params_serving_matches_plain(models):
+    """SegVLADServer with PackedParams (utils/packing.py — the warmup
+    fix: one device buffer per model) answers identically to plain
+    pytree params."""
+    import jax as _jax
+    from revisit_anything_tpu.utils.packing import pack
+    sam_params, dino_params = models
+    rng = np.random.default_rng(31)
+    idx = _index(rng)
+    amg = AmgConfig(points_per_side=6, points_per_batch=36,
+                    pred_iou_thresh=-1e9, stability_score_thresh=0.0)
+
+    def build(sp, dp):
+        return SegVLADServer(
+            sam_params=sp, sam_cfg=SAM_SMALL, dino_params=dp,
+            dino_cfg=DINO_SMALL, index=idx, full_hw=(H, W),
+            sam_hw=(H // 2, W // 2), amg=amg, dino_layer=1,
+            max_masks=32, top_images=5)
+
+    srv_plain = build(sam_params, dino_params)
+    srv_packed = build(_jax.jit(pack)(sam_params),
+                       _jax.jit(pack)(dino_params))
+    img = _image(rng)
+    np.testing.assert_array_equal(srv_plain.query(img),
+                                  srv_packed.query(img))
+
+
 def test_incremental_add_then_retrieve(models):
     """db_capacity mode: images added to the LIVE server are retrievable
     (an identical query ranks its own image first), and removal drops
