@@ -112,21 +112,45 @@ def query_topk_images(desc: jnp.ndarray,
                                 num_clusters, whiten)
 
     nd = db.shape[0]
-    k = min(knn_topk, nd)
-    tile = min(db_tile, max(128, nd))
-    db_p = _pad_rows(db, tile, 0.0)
-    # f32 norms regardless of db storage dtype (bf16 dbs halve HBM; their
-    # norms must still accumulate in f32 to match the kNN dot's values)
-    norms = jnp.sum(db_p.astype(jnp.float32) * db_p.astype(jnp.float32),
-                    axis=1)
-    if db_p.shape[0] > nd:
-        pad_mask = jnp.arange(db_p.shape[0]) >= nd
-        norms = jnp.where(pad_mask, jnp.inf, norms)
-    scores, idx = _knn_scores(proj, db_p, norms, k, tile)
+    # The vote only consumes the top min(knn_topk, borda_topk) matches
+    # per segment (the reference retrieves 200 then Bordas 50,
+    # place_rec_main.py:56-84) — retrieving deeper is pure top-k cost.
+    # Measured (BASELINE.md r3): the tail's entire ~12-15 ms was the
+    # 13-step streaming top-k merge at k=200; a single top_k over the
+    # full score matrix at k=50 measures at the RTT floor (~0 ms).
+    k = min(min(knn_topk, borda_topk), nd)
+    # One-shot path: materialize all scores ([M, Nd] f32) and run ONE
+    # top_k — fastest by a wide margin while the score matrix is small
+    # (128 segs x 1M rows = 512 MB; cap well below that). Beyond the cap,
+    # fall back to the streaming tiled merge (unbounded Nd, sharded DBs).
+    oneshot = proj.shape[0] * nd * 4 <= 256 * 1024 * 1024
+    if oneshot:
+        if db.dtype == jnp.bfloat16:
+            # same dtype discipline as the streaming path (_knn_scores):
+            # bf16 x bf16 into the f32 accumulator
+            s = jnp.dot(proj.astype(jnp.bfloat16), db.T,
+                        preferred_element_type=jnp.float32)
+        else:
+            s = jnp.dot(proj, db.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        norms = jnp.sum(db.astype(jnp.float32) * db.astype(jnp.float32),
+                        axis=1)
+        scores, idx = jax.lax.top_k(s - 0.5 * norms[None, :], k)
+    else:
+        tile = min(db_tile, max(128, nd))
+        db_p = _pad_rows(db, tile, 0.0)
+        # f32 norms regardless of db storage dtype (bf16 dbs halve HBM;
+        # their norms must still accumulate in f32 to match the kNN dot)
+        norms = jnp.sum(db_p.astype(jnp.float32)
+                        * db_p.astype(jnp.float32), axis=1)
+        if db_p.shape[0] > nd:
+            pad_mask = jnp.arange(db_p.shape[0]) >= nd
+            norms = jnp.where(pad_mask, jnp.inf, norms)
+        scores, idx = _knn_scores(proj, db_p, norms, k, tile)
     q_norms = jnp.sum(proj * proj, axis=1, keepdims=True)
     sq_l2 = q_norms - 2.0 * scores
 
-    kk = min(borda_topk, k)
+    kk = k
     sims = 2.0 - sq_l2[:, :kk]
     # Guard/padding rows (capacity or shard padding, removed entries)
     # carry huge norms; when the real database is smaller than the kNN

@@ -68,6 +68,66 @@ def check_vocabulary(domain: str):
     return centers
 
 
+def check_finetuned_e2e(domain_prefix: str):
+    """Drive the REAL NVFinetuned 768-d vocabulary end-to-end through the
+    finetuned aggregation + retrieval path (768-d → 24576-d segment VLAD
+    → PCA → kNN → Borda) on synthetic planted-signal data — mirroring
+    place_rec_main_finetuned.py:145-151 (domain + 'NVFinetuned' vocab),
+    :214 (desc_dim 768, vlad 24576), :268 (seg_vlad_gpu_single)."""
+    from revisit_anything_tpu.io.vocab import load_cluster_centers
+    path = os.path.join(VOCAB_ROOT, domain_prefix + "NVFinetuned",
+                        "c_centers.pt")
+    if not os.path.exists(path):
+        log(f"SKIP finetuned: {path} absent")
+        return False
+    centers = load_cluster_centers(path)
+    assert centers.shape == (32, 768), centers.shape
+    assert np.isfinite(centers).all()
+
+    import jax.numpy as jnp
+    from revisit_anything_tpu.ops.adjacency import delaunay_adjacency
+    from revisit_anything_tpu.ops.vlad import segment_vlad
+    from revisit_anything_tpu.ops.knn import knn_l2
+    from revisit_anything_tpu.retrieval.matching import get_matches_host
+    from revisit_anything_tpu.retrieval.recall import calc_recall
+
+    rng = np.random.default_rng(0)
+    n_db, n_seg, p = 10, 5, 128
+    def image_bank(feats_list):
+        descs, im_inds = [], []
+        for i, d in enumerate(feats_list):
+            d = d / np.linalg.norm(d, axis=1, keepdims=True)
+            masks = rng.random((n_seg, p)) < 0.3
+            cents = rng.random((n_seg, 2)) * 100
+            adj = delaunay_adjacency(cents.astype(np.float64), 3)
+            v = np.asarray(segment_vlad(
+                jnp.asarray(d.astype(np.float32)), jnp.asarray(centers),
+                jnp.asarray(masks), jnp.asarray(adj), num_clusters=32))
+            assert v.shape == (n_seg, 32 * 768)
+            descs.append(v)
+            im_inds += [i] * n_seg
+        return np.concatenate(descs), np.asarray(im_inds)
+
+    db_feats = [rng.standard_normal((p, 768)).astype(np.float32)
+                for _ in range(n_db)]
+    q_ids = [2, 5, 8]
+    q_feats = [db_feats[i]
+               + 0.05 * rng.standard_normal((p, 768)).astype(np.float32)
+               for i in q_ids]
+    db_v, db_i = image_bank(db_feats)
+    q_v, q_i = image_bank(q_feats)
+    sq, matches = knn_l2(jnp.asarray(q_v), jnp.asarray(db_v), 20)
+    sims = 2.0 - np.asarray(sq)
+    ranges = [np.flatnonzero(q_i == j) for j in range(len(q_ids))]
+    preds = get_matches_host(np.asarray(matches), sims, ranges, db_i, n=5)
+    rec = calc_recall(preds, [[i] for i in q_ids], 5)
+    ok = rec[0] == 1.0
+    log(f"{'OK' if ok else 'FAIL'} finetuned path on real "
+        f"{domain_prefix}NVFinetuned centers: 768-d -> 24576-d VLAD -> "
+        f"retrieval, planted-signal Recall@1={rec[0]:.2f}")
+    return ok
+
+
 def aggregate_bank(masks_h5, dino_h5, centers, order, mask_hw, desired_hw):
     import h5py
     from revisit_anything_tpu.io.h5io import list_image_keys
@@ -96,6 +156,11 @@ def main():
 
     centers = check_vocabulary(domain)
     if centers is None:
+        failures += 1
+
+    # the finetuned (SegVLAD-FineT) path on the real NVFinetuned vocab —
+    # the only real-weight artifacts available in this environment
+    if not check_finetuned_e2e(domain):
         failures += 1
 
     art = args.artifacts

@@ -60,6 +60,76 @@ def test_real_vocab_drives_segment_vlad(rng):
     np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, atol=1e-4)
 
 
+def test_nvfinetuned_vocab_e2e_retrieval(rng):
+    """The REAL 768-d NVFinetuned vocabulary (the finetuned SegVLAD-FineT
+    path, place_rec_main_finetuned.py:145-151,214,268) drives the full
+    768-d → 24576-d aggregation + retrieval: planted-signal Recall@1 must
+    be perfect."""
+    import jax.numpy as jnp
+    from revisit_anything_tpu.io.vocab import load_cluster_centers
+    from revisit_anything_tpu.ops.adjacency import delaunay_adjacency
+    from revisit_anything_tpu.ops.knn import knn_l2
+    from revisit_anything_tpu.ops.vlad import segment_vlad
+    from revisit_anything_tpu.retrieval.matching import get_matches_host
+    from revisit_anything_tpu.retrieval.recall import calc_recall
+
+    centers = load_cluster_centers(os.path.join(
+        REF_VOCAB_ROOT, "17placesNVFinetuned", "c_centers.pt"))
+    assert centers.shape == (32, 768)
+
+    n_db, n_seg, p = 8, 5, 128
+    masks_fixed = rng.random((n_db, n_seg, p)) < 0.3
+    cents_fixed = rng.random((n_db, n_seg, 2)) * 100
+
+    def bank(feats_list, which):
+        descs, im_inds = [], []
+        for i, d in enumerate(feats_list):
+            d = d / np.linalg.norm(d, axis=1, keepdims=True)
+            adj = delaunay_adjacency(
+                cents_fixed[which[i]].astype(np.float64), 3)
+            v = np.asarray(segment_vlad(
+                jnp.asarray(d.astype(np.float32)), jnp.asarray(centers),
+                jnp.asarray(masks_fixed[which[i]]), jnp.asarray(adj),
+                num_clusters=32))
+            assert v.shape == (n_seg, 32 * 768)
+            descs.append(v)
+            im_inds += [i] * n_seg
+        return np.concatenate(descs), np.asarray(im_inds)
+
+    db_feats = [rng.standard_normal((p, 768)).astype(np.float32)
+                for _ in range(n_db)]
+    q_ids = [1, 4, 6]
+    q_feats = [db_feats[i]
+               + 0.05 * rng.standard_normal((p, 768)).astype(np.float32)
+               for i in q_ids]
+    db_v, db_i = bank(db_feats, list(range(n_db)))
+    q_v, q_i = bank(q_feats, q_ids)
+    sq, matches = knn_l2(jnp.asarray(q_v), jnp.asarray(db_v), 20)
+    sims = 2.0 - np.asarray(sq)
+    ranges = [np.flatnonzero(q_i == j) for j in range(len(q_ids))]
+    preds = get_matches_host(np.asarray(matches), sims, ranges, db_i, n=5)
+    rec = calc_recall(preds, [[i] for i in q_ids], 5)
+    assert rec[0] == 1.0, rec
+
+
+def test_all_nvfinetuned_vocabularies_are_768d():
+    """Every cached *NVFinetuned vocabulary is a 32x768 finetuned-path
+    vocabulary (not just shape-checked against one)."""
+    from revisit_anything_tpu.io.vocab import load_cluster_centers
+    count = 0
+    for domain in sorted(os.listdir(REF_VOCAB_ROOT)):
+        if not domain.endswith("NVFinetuned"):
+            continue
+        path = os.path.join(REF_VOCAB_ROOT, domain, "c_centers.pt")
+        if not os.path.exists(path):
+            continue
+        centers = load_cluster_centers(path)
+        assert centers.shape == (32, 768), (domain, centers.shape)
+        assert np.isfinite(centers).all(), domain
+        count += 1
+    assert count >= 5
+
+
 def test_parity_harness_full_path(tmp_path, rng):
     """Drive scripts/reference_parity.py end-to-end on synthetic artifacts
     in the exact reference layout (h5 names from config, segFtVLAD1 +
