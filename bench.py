@@ -123,16 +123,30 @@ def main():
         jax.random.PRNGKey(1))
 
     n_db_segs = 100_000
-    db = rng.standard_normal((n_db_segs, PCA_DIM)).astype(np.float32)
-    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    # The synthetic index's big arrays (db 400 MB + PCA components
+    # 200 MB) are generated ON DEVICE: uploading them through the tunnel
+    # (8-22 MB/s, worse under load) dominated warmup — the transfer's
+    # wait lands inside the first query. ServingIndex fields duck-type
+    # jax arrays; device-resident inputs skip the device_put entirely.
+    # (Real deployments on attached TPUs load a real index; this is a
+    # tunnel-environment concern only.)
+    @jax.jit
+    def _device_index(k):
+        k1, k2 = jax.random.split(k)
+        dbx = jax.random.normal(k1, (n_db_segs, PCA_DIM), jnp.float32)
+        dbx = dbx / jnp.linalg.norm(dbx, axis=1, keepdims=True)
+        comps = jax.random.normal(
+            k2, (PCA_DIM, NUM_CLUSTERS * DINO_G_DIM), jnp.float32) * 0.01
+        return dbx, comps
+
+    db_dev, comps_dev = _device_index(jax.random.PRNGKey(7))
     index = ServingIndex(
         centers=rng.standard_normal(
             (NUM_CLUSTERS, DINO_G_DIM)).astype(np.float32),
         pca_mean=np.zeros((NUM_CLUSTERS * DINO_G_DIM,), np.float32),
-        pca_components=(rng.standard_normal(
-            (PCA_DIM, NUM_CLUSTERS * DINO_G_DIM)).astype(np.float32) * 0.01),
+        pca_components=comps_dev,
         pca_variance=np.ones((PCA_DIM,), np.float32),
-        pca_whiten=True, db=db,
+        pca_whiten=True, db=db_dev,
         db_image_ids=np.repeat(np.arange(n_db_segs // 50), 50),
         num_ref_images=n_db_segs // 50, order=3)
 
