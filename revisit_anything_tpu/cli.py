@@ -697,12 +697,22 @@ def cmd_query(args):
     if args.layer >= dino_cfg.depth:
         raise SystemExit(f"--layer {args.layer} out of range for "
                          f"{args.dino_model} (depth {dino_cfg.depth})")
-    sam_params = (load_sam_checkpoint(args.sam_checkpoint, sam_cfg)
+    # pack to one device buffer per model: per-leaf upload/materialization
+    # dominates serving warmup (~0.3-1.5 s per buffer through a TPU
+    # tunnel; utils/packing.py)
+    from revisit_anything_tpu.utils.packing import pack_host, packed_init
+    sam_params = (pack_host(load_sam_checkpoint(args.sam_checkpoint,
+                                                sam_cfg))
                   if args.sam_checkpoint
-                  else init_sam_params(sam_cfg, jax.random.PRNGKey(0)))
-    dino_params = (dn.load_checkpoint(args.dino_checkpoint, dino_cfg)
+                  else packed_init(
+                      lambda k: init_sam_params(sam_cfg, k),
+                      jax.random.PRNGKey(0)))
+    dino_params = (pack_host(dn.load_checkpoint(args.dino_checkpoint,
+                                                dino_cfg))
                    if args.dino_checkpoint
-                   else dn.init_params(dino_cfg, jax.random.PRNGKey(1)))
+                   else packed_init(
+                       lambda k: dn.init_params(dino_cfg, k),
+                       jax.random.PRNGKey(1)))
 
     dino_hw = (int(z["dino_h"]), int(z["dino_w"]))
     mask_hw = (int(z["mask_h"]), int(z["mask_w"]))

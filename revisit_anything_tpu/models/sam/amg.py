@@ -160,7 +160,11 @@ def _decode_batch(params: Params, cfg: SamArchConfig,
     bsz = points_1024.shape[0]
     sparse = embed_points(params, cfg, points_1024[:, None, :],
                           jnp.ones((bsz, 1), jnp.int32), pad=True)
-    dense = no_mask_dense_embedding(params, cfg, bsz)
+    # batch=1: the dense_shared decode only reads dense_prompts[:1] — a
+    # [bsz, 64, 64, 256] broadcast would materialize ~0.5 GB/batch of
+    # identical rows as a jit output (measured as decode's residual
+    # inter-batch overhead)
+    dense = no_mask_dense_embedding(params, cfg, 1)
     lowres_blk, iou = decode_masks(params, cfg, image_embedding, image_pe,
                                    sparse, dense, multimask=True,
                                    dense_shared=True, block_layout=True)
