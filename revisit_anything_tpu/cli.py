@@ -152,8 +152,11 @@ def cmd_extract(args):
             print("WARNING: no --checkpoint; using random DINOv1 weights",
                   file=sys.stderr)
             params = dn.init_params(cfg, jax.random.PRNGKey(0))
-        layer = args.layer if args.layer != 31 else 11   # DINOv1 default
-        facet = args.facet if args.facet != "value" else "key"
+        # None defaults = per-method fallback; an EXPLICIT --layer/--facet
+        # always wins (value-based remapping would silently override
+        # e.g. an intentional `--facet value`)
+        layer = args.layer if args.layer is not None else 11
+        facet = args.facet if args.facet is not None else "key"
         for tag, paths in sets.items():
             name = (ds.dino_h5_ref if tag == "r"
                     else ds.dino_h5_query).replace("dino", "dinoV1")
@@ -181,9 +184,10 @@ def cmd_extract(args):
             keys = [os.path.basename(p) for p in paths]
             if _skip(out):
                 continue
-            extract_dino_features(paths, keys, out, params, cfg,
-                                  ds.size.hw, layer=args.layer,
-                                  facet=args.facet)
+            extract_dino_features(
+                paths, keys, out, params, cfg, ds.size.hw,
+                layer=args.layer if args.layer is not None else 31,
+                facet=args.facet if args.facet is not None else "value")
             print(f"wrote {out}")
     else:
         raise SystemExit(f"unknown method {args.method}")
@@ -750,8 +754,12 @@ def main(argv=None):
     p.add_argument("--dino-model", default="dinov2_vitg14",
                    choices=["dinov2_vitg14", "dinov2_vitl14",
                             "dinov2_vitb14", "dinov2_vits14"])
-    p.add_argument("--layer", type=int, default=31)
-    p.add_argument("--facet", default="value")
+    p.add_argument("--layer", type=int, default=None,
+                   help="facet layer (default: 31 for DINO, 11 for "
+                        "DINOV1)")
+    p.add_argument("--facet", default=None,
+                   help="q/k/v/token facet (default: value for DINO, "
+                        "key for DINOV1)")
     p.add_argument("--dinov1-model", default="dino_vits8",
                    choices=["dino_vits8", "dino_vits16", "dino_vitb8",
                             "dino_vitb16"])

@@ -90,7 +90,19 @@ def extract_dense(params, cfg: dn.DinoV2Config, images: jnp.ndarray,
     d = cfg.embed_dim
     sl = {"query": slice(0, d), "key": slice(d, 2 * d),
           "value": slice(2 * d, 3 * d)}[facet]
-    return qkv[:, skip:, sl]
+    out = qkv[:, skip:, sl]
+    # The reference ViTExtractor emits facet channels HEAD-MINOR: the
+    # hook captures [B, h, t, hd] and extract_descriptors flattens via
+    # permute(0, 2, 3, 1) → channel = dim·H + head
+    # (dino_feature_extractor.py:225,394-397). The fused qkv output is
+    # head-MAJOR (channel = head·hd + dim) — permute to match, else
+    # descriptors are channel-permuted vs reference artifacts. (DINOv2's
+    # AnyLoc extractor slices the raw fused qkv with NO permute —
+    # utilities.py:274-281 — so dinov2.extract_dense stays head-major.)
+    b, n = out.shape[0], out.shape[1]
+    heads = cfg.num_heads
+    out = out.reshape(b, n, heads, d // heads)
+    return jnp.transpose(out, (0, 1, 3, 2)).reshape(b, n, d)
 
 
 def _avg_pool_excl_pad(x: jnp.ndarray, win: int) -> jnp.ndarray:

@@ -157,6 +157,10 @@ def _use_token_kernel(m: int) -> bool:
 
 
 def _use_probs_path(m: int) -> bool:
+    if _MASKHEAD_DISABLED:
+        # the XLA-mask-head escape hatch must actually reach the XLA
+        # path; the probs branch would otherwise shadow it
+        return False
     if _PROBS_PATH == "on":
         return True
     if _PROBS_PATH == "off":

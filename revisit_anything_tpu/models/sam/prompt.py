@@ -84,6 +84,8 @@ def embed_points(params: Params, cfg: SamArchConfig,
 def embed_boxes(params: Params, cfg: SamArchConfig,
                 boxes: jnp.ndarray) -> jnp.ndarray:
     """[B, N, 4] XYXY boxes → [B, 2N, 256] corner embeddings."""
+    from revisit_anything_tpu.utils.packing import maybe_unpack
+    params = maybe_unpack(params)
     pr = params["prompt"]
     b, n, _ = boxes.shape
     corners = (boxes.astype(jnp.float32) + 0.5).reshape(b, n, 2, 2)

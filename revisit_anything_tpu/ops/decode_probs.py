@@ -173,21 +173,27 @@ def _probs_call(qst, kbdt, extra, layer: int, n_tok: int, heads: int,
     )(*args)
 
 
-def _t2i_probs_kernel(q_ref, img0t_ref, p1_ref, c1_ref, p2_ref, c2_ref,
-                      wkvt_ref, pekt_ref, vecs_ref, o_ref, *, depth: int,
+def _t2i_probs_kernel(q_ref, img0t_ref, p1_ref, c1_ref, *refs, depth: int,
                       n_tok_q: int, heads: int, hd: int, scale: float,
                       d: int, eps: float):
     """tokens→image attention against the RECONSTRUCTED branch.
 
     q_ref: [1, n_pad, DA] projected token queries (pe folded outside).
-    wkvt_ref: [2·DA, D] stacked W_k^T | W_v^T (transposed projections).
-    pekt_ref: [1, DA, M] k positional term W_k·pe transposed, k bias
-      folded in; vecs row 6 = v bias (length DA).
-    o_ref: [1, n_pad, DA] pre-out-projection attention output.
+    refs: ([p2, c2 when depth == 2,] wkvt, pekt, vecs, out) — the
+      depth-1 call carries NO p2/c2 refs at all (streaming dummy blocks
+      per prompt would waste ~60 MB of HBM reads per decode batch).
+    wkvt: [2·DA, D] stacked W_k^T | W_v^T (transposed projections).
+    pekt: [1, DA, M] k positional term W_k·pe transposed, k bias
+      folded in; vecs column 6 = v bias (length DA).
+    out: [1, n_pad, DA] pre-out-projection attention output.
     """
-    keyst = _recon_t(img0t_ref[0],
-                     [p1_ref, p2_ref][:depth],
-                     [c1_ref, c2_ref][:depth],
+    if depth == 2:
+        p2_ref, c2_ref, wkvt_ref, pekt_ref, vecs_ref, o_ref = refs
+        p_refs, c_refs = [p1_ref, p2_ref], [c1_ref, c2_ref]
+    else:
+        wkvt_ref, pekt_ref, vecs_ref, o_ref = refs
+        p_refs, c_refs = [p1_ref], [c1_ref]
+    keyst = _recon_t(img0t_ref[0], p_refs, c_refs,
                      vecs_ref, d, eps, depth)           # [D, M] f32
     da = hd * heads
     kvt = jax.lax.dot_general(
@@ -224,36 +230,45 @@ def _t2i_probs_call(q, img0t, p1, c1, p2, c2, wkvt, pekt, vecs,
     d = img0t.shape[1]
     kernel = partial(_t2i_probs_kernel, depth=depth, n_tok_q=n_pad,
                      heads=heads, hd=hd, scale=scale, d=d, eps=eps)
-    return pl.pallas_call(
-        kernel,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, n_pad, da), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(img0t.shape, lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,) + p1.shape[1:], lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,) + c1.shape[1:], lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+    in_specs = [
+        pl.BlockSpec((1, n_pad, da), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(img0t.shape, lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1,) + p1.shape[1:], lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1,) + c1.shape[1:], lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q, img0t, p1, c1]
+    if depth == 2:
+        in_specs += [
             pl.BlockSpec((1,) + p2.shape[1:], lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1,) + c2.shape[1:], lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(wkvt.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(pekt.shape, lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(vecs.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        ]
+        args += [p2, c2]
+    in_specs += [
+        pl.BlockSpec(wkvt.shape, lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(pekt.shape, lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(vecs.shape, lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args += [wkvt, pekt, vecs]
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, n_pad, da), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_pad, da), q.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(q, img0t, p1, c1, p2, c2, wkvt, pekt, vecs)
+    )(*args)
 
 
 # ----------------------------------------------------------------------
@@ -345,8 +360,6 @@ def t2i_from_probs(q_tok: jnp.ndarray, img0t: jnp.ndarray,
     if n_pad != t:
         q_tok = jnp.pad(q_tok, ((0, 0), (0, n_pad - t), (0, 0)))
     depth = 1 if p2 is None else 2
-    if p2 is None:
-        p2, c2 = p1, c1                  # dummies, never read (depth=1)
     wkvt = jnp.concatenate([jnp.transpose(w_k, (1, 0)),
                             jnp.transpose(w_v, (1, 0))],
                            axis=0).astype(img0t.dtype)

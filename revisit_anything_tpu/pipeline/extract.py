@@ -185,11 +185,15 @@ def extract_dinov1_features_to_h5(image_paths: Sequence[str],
     The collect_dino_features.py flow (DINO/collect_dino_features.py:
     32-109 / dino_wrapper.py): images at the dataset resolution, short
     side resized to ``load_size`` (torchvision F.resize int semantics),
-    ImageNet-normalized (preprocess_image), stride-``stride`` patched
-    ViT facet extraction at ``layer`` (ViTExtractor), optional GSP log
-    binning, optional bilinear align_corners=True upsample back to
-    ``target_hw`` (upsample_feat_vec :25-28). Features are stored RAW
-    (the wrapper returns them unnormalized)."""
+    scaled to [0, 1] with NO ImageNet normalization (preprocess_image
+    :9-23 only divides by 255, and VITFeatureExtractor.forward defaults
+    apply_default_input_transform=False), stride-``stride`` patched ViT
+    facet extraction at ``layer`` (ViTExtractor, head-minor channel
+    order), optional GSP log binning, optional bilinear
+    align_corners=True upsample back to ``target_hw`` (upsample_feat_vec
+    :25-28). Features are stored RAW like the wrapper returns them (the
+    reference has no DINOv1 h5 stage; our aggregation L2-normalizes on
+    every load — pipeline/aggregate.py:97-100)."""
     from revisit_anything_tpu.models import dinov1 as d1
     timer = stage_timer()
     th, tw = target_hw
@@ -199,20 +203,19 @@ def extract_dinov1_features_to_h5(image_paths: Sequence[str],
     else:
         lh, lw = int(load_size * th / tw), load_size
     gh, gw = d1.strided_grid(lh, lw, cfg.patch_size, stride)
-    mean = np.array([0.485, 0.456, 0.406], np.float32)
-    std = np.array([0.229, 0.224, 0.225], np.float32)
 
     with h5py.File(out_h5_path, "w") as f:
         for s in range(0, len(image_paths), batch_size):
             paths = image_paths[s:s + batch_size]
             keys = image_keys[s:s + batch_size]
             with timer.stage("dinov1.load"):
-                imgs = np.stack([
+                # /255 only — the reference applies NO ImageNet
+                # normalization on this path (see docstring)
+                x = np.stack([
                     _resize_cv2_bilinear(
                         _resize_cv2_bilinear(load_image_rgb(p), (tw, th)),
                         (lw, lh))
                     for p in paths]).astype(np.float32) / 255.0
-                x = (imgs - mean) / std
             with timer.stage("dinov1.forward"):
                 feats = d1.extract_dense(params, cfg,
                                          jnp.asarray(x, jnp.bfloat16),

@@ -283,7 +283,9 @@ def weighted_borda_predict(sims: jnp.ndarray,
     # normalized scores; dense top_k would then surface image ids that
     # never appeared in its matches. Rank such rows by appearance count
     # instead (the host path's zero-score tie-break is insertion order —
-    # arbitrary; count keeps predictions inside the matched set).
+    # arbitrary). Ranks beyond the row's distinct matched images can
+    # still fill with zero-count ids when it matched < n images — the
+    # same arbitrary tail the scores path always had.
     counts = jax.ops.segment_sum(
         jnp.ones((flat_bins.shape[0],), jnp.float32), flat_bins,
         num_segments=nbins).reshape(num_query_images, num_ref_images)

@@ -33,14 +33,22 @@ def test_stride_override_token_count(rng):
 
 def test_full_stride_matches_dinov2_path(rng):
     """At stride == patch, the strided embed must equal the dinov2 value
-    facet (same math, non-overlapping patches)."""
+    facet (same math, non-overlapping patches) — up to the DINOv1
+    head-MINOR channel order (the reference ViTExtractor flattens
+    [B, h, t, d] via permute(0, 2, 3, 1), dino_feature_extractor.py
+    :394-397, while the AnyLoc DINOv2 extractor slices the raw fused
+    qkv head-major, utilities.py:274-281)."""
     params = dn.init_params(TINY, jax.random.PRNGKey(1))
     imgs = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
     ours = np.asarray(d1.extract_dense(params, TINY, imgs, layer=2,
                                        facet="value", stride=8))
     ref = np.asarray(dn.extract_dense(params, TINY, imgs, layer=2,
                                       facet="value"))
-    np.testing.assert_allclose(ours, ref, atol=2e-5)
+    b, n, d = ref.shape
+    hd = d // TINY.num_heads
+    ref_head_minor = ref.reshape(b, n, TINY.num_heads, hd).transpose(
+        0, 1, 3, 2).reshape(b, n, d)
+    np.testing.assert_allclose(ours, ref_head_minor, atol=2e-5)
 
 
 def oracle_log_bin(x_np, gh, gw, hierarchy=2):
