@@ -73,15 +73,19 @@ def cmd_extract(args):
             return True
         return False
 
+    # params pack to one device buffer per model: per-leaf upload costs
+    # ~0.3-1.5 s/buffer through a TPU tunnel (utils/packing.py)
+    from revisit_anything_tpu.utils.packing import pack_host, packed_init
     if args.method == "SAM":
         cfg = SAM_REGISTRY[args.sam_variant]
         if args.checkpoint:
-            params = load_sam_checkpoint(args.checkpoint, cfg)
+            params = pack_host(load_sam_checkpoint(args.checkpoint, cfg))
         else:
             from revisit_anything_tpu.models.sam import init_sam_params
             print("WARNING: no --checkpoint; using random SAM weights",
                   file=sys.stderr)
-            params = init_sam_params(cfg, jax.random.PRNGKey(0))
+            params = packed_init(lambda k: init_sam_params(cfg, k),
+                                 jax.random.PRNGKey(0))
         for tag, paths in sets.items():
             out = os.path.join(args.workdir,
                                (ds.masks_h5_ref if tag == "r"
@@ -147,11 +151,12 @@ def cmd_extract(args):
             extract_dinov1_features_to_h5)
         cfg = d1.CONFIGS[args.dinov1_model]
         if args.checkpoint:
-            params = d1.load_checkpoint(args.checkpoint, cfg)
+            params = pack_host(d1.load_checkpoint(args.checkpoint, cfg))
         else:
             print("WARNING: no --checkpoint; using random DINOv1 weights",
                   file=sys.stderr)
-            params = dn.init_params(cfg, jax.random.PRNGKey(0))
+            params = packed_init(lambda k: dn.init_params(cfg, k),
+                                 jax.random.PRNGKey(0))
         # None defaults = per-method fallback; an EXPLICIT --layer/--facet
         # always wins (value-based remapping would silently override
         # e.g. an intentional `--facet value`)
@@ -172,11 +177,12 @@ def cmd_extract(args):
     elif args.method == "DINO":
         cfg = dn.CONFIGS[args.dino_model]
         if args.checkpoint:
-            params = dn.load_checkpoint(args.checkpoint, cfg)
+            params = pack_host(dn.load_checkpoint(args.checkpoint, cfg))
         else:
             print("WARNING: no --checkpoint; using random DINO weights",
                   file=sys.stderr)
-            params = dn.init_params(cfg, jax.random.PRNGKey(0))
+            params = packed_init(lambda k: dn.init_params(cfg, k),
+                                 jax.random.PRNGKey(0))
         for tag, paths in sets.items():
             out = os.path.join(args.workdir,
                                (ds.dino_h5_ref if tag == "r"

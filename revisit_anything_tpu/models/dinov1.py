@@ -77,6 +77,8 @@ def extract_dense(params, cfg: dn.DinoV2Config, images: jnp.ndarray,
                   use_cls: bool = False) -> jnp.ndarray:
     """Dense DINOv1 facet features [B, N(, +cls), D] at layer ``layer``
     (ViTExtractor._extract_features + facet slicing :198-253)."""
+    from revisit_anything_tpu.utils.packing import maybe_unpack
+    params = maybe_unpack(params)
     stride = stride or cfg.patch_size
     x = embed_patches_strided(params, cfg, images, stride)
     for blk in params["blocks"][:layer]:

@@ -261,6 +261,8 @@ def forward_tokens(params: Params, cfg: DinoV2Config, images: jnp.ndarray,
     """Run the first ``num_blocks`` transformer blocks (all if None).
 
     Returns token states [B, 1+R+N, D]."""
+    from revisit_anything_tpu.utils.packing import maybe_unpack
+    params = maybe_unpack(params)
     x = embed_patches(params, cfg, images)
     n = cfg.depth if num_blocks is None else num_blocks
     for blk in params["blocks"][:n]:
