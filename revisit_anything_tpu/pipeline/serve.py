@@ -160,6 +160,57 @@ def _dino_desc_device(params, cfg: dn.DinoV2Config, img_u8: jnp.ndarray,
     return d / jnp.maximum(jnp.linalg.norm(d, axis=1, keepdims=True), 1e-12)
 
 
+@partial(jax.jit, static_argnames=("sam_cfg", "dino_cfg", "input_hw",
+                                   "orig_hw", "amg", "kmax", "pad_to",
+                                   "dino_layer", "dino_facet", "crop"))
+def _query_front_fused(sam_params, dino_params, sam_cfg: SamArchConfig,
+                       dino_cfg: dn.DinoV2Config, img_u8: jnp.ndarray,
+                       rh, rw, image_pe, pts, valid, pool_a, pool_b,
+                       input_hw: Tuple[int, int], orig_hw: Tuple[int, int],
+                       amg: AmgConfig, kmax: int, pad_to: int,
+                       dino_layer: int, dino_facet: str,
+                       crop: Tuple[int, int, int, int]):
+    """The ENTIRE pre-Delaunay device front of one query as ONE program:
+    SAM preprocess → encode → all prompt batches (lax.scan) → select/NMS →
+    mask→patch pooling, plus the DINO dense extract.
+
+    Why one dispatch: through the axon tunnel each jit invocation and each
+    jit output buffer carries a fixed host↔device overhead; the unfused
+    front (preprocess + encode + 8 decode batches + select + pool + dino ≈
+    12 dispatches, ~37 output buffers) measured a CONSTANT ~224 ms/query
+    even while the device stages summed to ~116 ms at idle
+    (scripts/probe_pipeline_bound.py) — i.e. serving was dispatch-bound,
+    not compute-bound. Fused: 1 dispatch, 3 output buffers. On
+    directly-attached TPUs the same fusion removes ~10 host round-trips
+    of dispatch latency per query.
+
+    Returns (patch_masks [kmax, P], stats [2*kmax+1], desc [P, D]) — the
+    raw masks never leave the program (the pool consumes them in-place).
+    """
+    batched = _sam_preprocess_fused(img_u8, rh, rw, sam_cfg, pad_to)
+    emb = encode_image(sam_params, sam_cfg, batched)[0]
+
+    bsz = amg.points_per_batch
+    n_b = pts.shape[0] // bsz
+
+    def body(carry, p):
+        mb, io, st, bx = _decode_batch(sam_params, sam_cfg, emb, image_pe,
+                                       p, input_hw, orig_hw, amg)
+        return carry, (mb, io, st, bx)
+
+    _, (dm, di, dst, dbx) = jax.lax.scan(
+        body, 0, pts.reshape(n_b, bsz, 2))
+    masks, stats = _select_masks_centroids(
+        dm.reshape(-1, orig_hw[0], orig_hw[1]), di.reshape(-1),
+        dst.reshape(-1), dbx.reshape(-1, 4), valid, amg, kmax)
+
+    from revisit_anything_tpu.ops.masks import pool_masks_to_patch_grid
+    pm = pool_masks_to_patch_grid(masks, pool_a, pool_b)
+    desc = _dino_desc_device(dino_params, dino_cfg, img_u8,
+                             dino_layer, dino_facet, crop)
+    return pm, stats, desc
+
+
 @dataclasses.dataclass
 class ServingIndex:
     """Prebuilt retrieval state (the build-index CLI artifact)."""
@@ -367,6 +418,16 @@ class SegVLADServer:
             jnp.concatenate(dm), jnp.concatenate(di), jnp.concatenate(dst),
             jnp.concatenate(dbx), self._valid_dev, self.amg, self.kmax)
 
+    def _front(self, img_dev):
+        """One-dispatch query front: (patch_masks, stats, desc)."""
+        return _query_front_fused(
+            self.sam_params, self.dino_params, self.sam_cfg, self.dino_cfg,
+            img_dev, self._rh, self._rw, self._image_pe, self._pts_dev,
+            self._valid_dev, self._pool_a, self._pool_b,
+            self.input_hw, self.sam_hw, self.amg, self.kmax,
+            self.sam_cfg.image_size, self.dino_layer, self.dino_facet,
+            self._crop)
+
     def _adjacency(self, stats_np: np.ndarray) -> Tuple[np.ndarray, int]:
         n = int(stats_np[-1])
         adj = np.zeros((self.kmax, self.kmax), dtype=bool)
@@ -386,14 +447,10 @@ class SegVLADServer:
             f"expected {self.full_hw}, got {img_uint8.shape[:2]} — resize "
             "on the host first")
         img_dev = jax.device_put(img_uint8)               # single upload
-        masks_dev, stats = self._amg_device(img_dev)       # async
-        desc = _dino_desc_device(self.dino_params, self.dino_cfg, img_dev,
-                                 self.dino_layer, self.dino_facet,
-                                 self._crop)               # async
+        patch_masks, stats, desc = self._front(img_dev)    # ONE dispatch
         stats_np = np.asarray(stats)                       # SYNC 1 (tiny)
         adj, _ = self._adjacency(stats_np)
 
-        patch_masks = self._pool(masks_dev, self._pool_a, self._pool_b)
         top = query_topk_images(
             desc, patch_masks, jnp.asarray(adj), self._centers,
             self._pca_mean, self._pca_comps, self._pca_var,
@@ -445,13 +502,9 @@ class SegVLADServer:
                 raise RuntimeError("image-id (Borda bin) capacity "
                                    "exhausted — raise max_ref_images")
             img_dev = jax.device_put(img)
-            masks_dev, stats = self._amg_device(img_dev)
-            desc = _dino_desc_device(self.dino_params, self.dino_cfg,
-                                     img_dev, self.dino_layer,
-                                     self.dino_facet, self._crop)
+            pm, stats, desc = self._front(img_dev)
             stats_np = np.asarray(stats)
             adj, n_kept = self._adjacency(stats_np)
-            pm = self._pool(masks_dev, self._pool_a, self._pool_b)
             rows, _ = query_segment_rows(
                 desc, pm, jnp.asarray(adj), self._centers, self._pca_mean,
                 self._pca_comps, self._pca_var,
