@@ -36,6 +36,17 @@ def nms_keep_mask(boxes: jnp.ndarray, scores: jnp.ndarray,
 
     Entries with score == -inf are pre-suppressed (use for padding/invalid
     candidates). Matches torchvision.ops.nms keep semantics.
+
+    Greedy NMS is the unique solution of the well-founded recurrence
+    ``alive_i = valid_i ∧ ¬∃j<i (alive_j ∧ iou_ij > t)`` (ranks sorted by
+    score). Rather than walking that recurrence sequentially (an N-step
+    fori_loop measured 7.4 ms for N=3072 — every AMG query paid it), we
+    Jacobi-iterate the whole vector: each sweep is one [N, N]·[N] matvec
+    on the MXU, and after k sweeps every candidate whose suppression-chain
+    depth is ≤ k holds its final value (induction over the DAG). The
+    fixpoint is unique, so iterating until a sweep changes nothing yields
+    EXACTLY the greedy result; chains are shallow in practice (~5-15
+    sweeps, <0.5 ms) with the N-sweep worst case no slower than the loop.
     """
     n = boxes.shape[0]
     boxes = boxes.astype(jnp.float32)
@@ -43,16 +54,31 @@ def nms_keep_mask(boxes: jnp.ndarray, scores: jnp.ndarray,
     iou = box_iou_matrix(boxes[order])
     valid = scores[order] > -jnp.inf
 
-    def body(i, suppressed):
-        # candidate i survives if not suppressed; if it survives, suppress
-        # all lower-ranked boxes with IoU > threshold.
-        alive = jnp.logical_not(suppressed[i]) & valid[i]
-        sup_row = (iou[i] > iou_threshold) & (jnp.arange(n) > i) & alive
-        return suppressed | sup_row
+    lower = (jnp.arange(n)[None, :] < jnp.arange(n)[:, None])   # j < i
+    # bf16 halves the per-sweep HBM read of the kill matrix; safe because
+    # the 0/1 products are exact, the MXU accumulates f32, and a nonzero
+    # killer count can never round to 0 (every term is ≥ 1)
+    kill = ((iou > iou_threshold) & lower).astype(jnp.bfloat16)
+    validf = valid.astype(jnp.bfloat16)
 
-    suppressed = jax.lax.fori_loop(
-        0, n, body, jnp.zeros((n,), bool) | ~valid)
-    keep_sorted = jnp.logical_not(suppressed) & valid
+    def sweep(alive):
+        killers = jax.lax.dot_general(
+            kill, alive, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)   # [N] counts
+        return validf * (killers == 0.0).astype(jnp.bfloat16)
+
+    def cond(state):
+        return state[1]
+
+    def body(state):
+        alive, _ = state
+        new = sweep(alive)
+        return new, jnp.any(new != alive)
+
+    first = sweep(validf)
+    alive, _ = jax.lax.while_loop(
+        cond, body, (first, jnp.any(first != validf)))
+    keep_sorted = alive > 0
     # scatter back to original order
     keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
     return keep

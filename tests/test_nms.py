@@ -84,3 +84,23 @@ def test_disjoint_boxes_all_kept():
     scores = np.array([0.5, 0.9, 0.1], np.float32)
     assert sorted(nms_host(boxes, scores, 0.5).tolist()) == [0, 1, 2]
     assert np.asarray(nms_keep_mask(boxes, scores, 0.5)).all()
+
+def test_deep_suppression_chain():
+    """Worst case for the Jacobi-sweep device NMS: a maximal suppression
+    chain (box i overlaps only box i+1, scores descending) whose greedy
+    result alternates keep/suppress — the fixpoint needs ~N/2 sweeps and
+    must still be exact."""
+    n = 101
+    # unit-height boxes, each shifted by 0.4: IoU(i, i+1) ≈ 0.43 > 0.4,
+    # IoU(i, i+2) ≈ 0.05 < 0.4
+    boxes = np.stack([
+        np.arange(n) * 0.4, np.zeros(n),
+        np.arange(n) * 0.4 + 1.0, np.ones(n)], axis=1).astype(np.float32)
+    scores = np.linspace(1.0, 0.5, n).astype(np.float32)
+    keep = np.asarray(nms_keep_mask(boxes, scores, 0.4))
+    host = nms_host(boxes, scores, 0.4)
+    expect = np.zeros(n, bool)
+    expect[host] = True
+    np.testing.assert_array_equal(keep, expect)
+    # greedy on a chain keeps every other box
+    assert keep[0] and not keep[1] and keep[2]
