@@ -429,3 +429,29 @@ def test_snapshot_empty_database_roundtrip(models, tmp_path):
     loaded = ServingIndex.from_npz(path)
     assert len(loaded.db) == 0
     assert loaded.num_ref_images == srv.num_ref_images
+
+
+def test_fused_front_matches_unfused_chain(server):
+    """The single-dispatch query front (_query_front_fused: preprocess →
+    encode → scanned decode batches → select/NMS → pool + DINO) must
+    reproduce the unfused stage chain exactly (the TPU A/B measured
+    bit-identical top-k; this pins it on the CPU backend too)."""
+    import jax.numpy as jnp
+    from revisit_anything_tpu.pipeline.serve import _dino_desc_device
+
+    rng = np.random.default_rng(23)
+    img = _image(rng)
+    img_dev = jax.device_put(img)
+
+    pm_f, stats_f, desc_f = server._front(img_dev)
+
+    masks_dev, stats_u = server._amg_device(img_dev)
+    pm_u = server._pool(masks_dev, server._pool_a, server._pool_b)
+    desc_u = _dino_desc_device(server.dino_params, server.dino_cfg,
+                               img_dev, server.dino_layer,
+                               server.dino_facet, server._crop)
+    np.testing.assert_array_equal(np.asarray(pm_f), np.asarray(pm_u))
+    np.testing.assert_allclose(np.asarray(stats_f), np.asarray(stats_u),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(desc_f), np.asarray(desc_u),
+                               rtol=0, atol=1e-6)
