@@ -207,6 +207,21 @@ def main():
             num_ref_images=index.num_ref_images,
             knn_topk=200, borda_topk=50, top_images=5, whiten=True)
 
+    adj_eye = jnp.asarray(np.eye(server.kmax, dtype=bool))
+
+    def device_path():
+        """The full fused per-query device path (front + tail) with a
+        fixed adjacency — its loop time is the device-bound q/s ceiling
+        the serving pipeline approaches (identical FLOPs to a real
+        query; adjacency only permutes the VLAD pooling pattern)."""
+        pm2, _, desc2 = server._front(img_dev)
+        return query_topk_images(
+            desc2, pm2, adj_eye, server._centers, server._pca_mean,
+            server._pca_comps, server._pca_var, server._db, server._db_ids,
+            num_clusters=NUM_CLUSTERS,
+            num_ref_images=index.num_ref_images, knn_topk=200,
+            borda_topk=50, top_images=5, whiten=True)
+
     n_batches = server._pts_dev.shape[0] // server._bsz
     # the analytic kernel-FLOP term applies only where the Pallas kernels
     # actually run; on other backends the XLA fallback paths put those
@@ -269,6 +284,7 @@ def main():
                 lambda: _dino_desc_device(dino_params, dino_cfg, img_dev,
                                           31, "value", server._crop)),
             "query_tail": timed(query_tail),
+            "device_path": timed(device_path, n=4),
         }
         return qps, lat_ms, rtt_s, stage_s
 
@@ -317,6 +333,7 @@ def main():
         if attempt < 3:
             time.sleep(45)
     qps, lat_ms, rtt_s, stage_s = best
+    device_path_s = stage_s.pop("device_path")
 
     stage_report = {}
     total_flops = 0.0
@@ -341,6 +358,10 @@ def main():
         "latency_ms_p50": round(lat_ms[len(lat_ms) // 2], 1),
         "latency_ms_max": round(lat_ms[-1], 1),
         "rtt_ms": round(1000 * rtt_s, 1),
+        # the fused per-query device program pair, async-loop timed: the
+        # device-bound ceiling the pipelined throughput approaches
+        "device_path_ms": round(1000 * device_path_s, 1),
+        "device_bound_qps": round(1.0 / device_path_s, 2),
         "warmup_s": round(warmup_s, 1),
         "measure_passes": attempts,
         "load_nominal": nominal,
