@@ -290,8 +290,7 @@ def main():
 
     # The shared TPU fluctuates under co-tenant load; a single pass can
     # measure a loaded window. Re-measure (bounded) until BOTH canaries
-    # sit at nominal — encode ≈57-59 ms (compute-bound) AND dino ≈25-27
-    # (bandwidth-sensitive) — keeping the best-throughput pass either way
+    # sit at nominal, keeping the best-throughput pass either way
     # (BASELINE.md round-3 methodology).
     best = None
     nominal = False
@@ -343,8 +342,6 @@ def main():
         stage_report[name] = {
             "ms": round(1000 * secs, 2),
             "gflop": round(flops / 1e9, 1),
-            # stages faster than the RTT clamp to 0 s — report mfu 0.0
-            # rather than dividing by epsilon
             "mfu": (round(flops / secs / PEAK_FLOPS, 4)
                     if secs > 0 else 0.0),
         }

@@ -16,9 +16,12 @@ transport. This server keeps the whole query on device:
 - the retrieval tail (mask→patch pooling, segment VLAD, PCA, kNN, weighted
   Borda) is the fused single-dispatch pipeline/query.py kernel.
 
-Per query that is: one ~1 MB upload, two tiny syncs (centroids, top-k ids),
-and a ~16 KB adjacency upload. Everything else pipelines asynchronously;
-``query_many`` overlaps the host phases of in-flight queries.
+Per query that is: one ~1 MB upload, TWO program dispatches (the fused
+pre-Delaunay front `_query_front_fused` and the fused retrieval tail),
+two tiny syncs (centroids, top-k ids), and a ~16 KB adjacency upload.
+Everything else pipelines asynchronously; ``query_many`` overlaps the
+host phases of in-flight queries (measured ≥98% of the device-compute
+ceiling).
 
 The device work is shape-static at ``max_masks`` rows regardless of how
 many masks survive (padding rows are all-false and vote zero), so latency
