@@ -62,9 +62,29 @@ def _erf(x):
     return jnp.sign(x) * e
 
 
+# _gelu: exact-form (erf) gelu matching jax.nn.gelu(approximate=False),
+# via _erf's A&S 7.1.28 with two VPU-op reductions (same arithmetic, same
+# ≤5e-7 gelu error):
+#   - the 1/sqrt(2) argument scale is FOLDED into the polynomial
+#     coefficients (c_k · 2^{-k/2}), so the poly runs on |x| directly;
+#   - x·0.5·(1 + sign(x)·e) is rewritten 0.5·(x + |x|·e) — sign(x)·x = |x|
+#     is already computed for the polynomial.
+_GELU_C = [float(c * 2.0 ** (-(k + 1) / 2.0)) for k, c in enumerate(
+    (0.0705230784, 0.0422820123, 0.0092705272, 0.0001520143,
+     0.0002765672, 0.0000430638))]
+
+
 def _gelu(x):
-    # exact-form (erf) gelu, matching jax.nn.gelu(approximate=False)
-    return x * 0.5 * (1.0 + _erf(x * np.float32(1.0 / np.sqrt(2.0))))
+    a = jnp.abs(x)
+    c1, c2, c3, c4, c5, c6 = _GELU_C
+    p = 1.0 + a * (c1 + a * (c2 + a * (c3 + a * (c4 + a * (
+        c5 + a * c6)))))
+    p = p * p
+    p = p * p
+    p = p * p
+    p = p * p                                    # p^16
+    e = 1.0 - 1.0 / p
+    return 0.5 * (x + a * e)
 
 
 def _mask_head_kernel(keys_ref, up1w_ref, up2wbd_ref, hbd_ref, vecs_ref,
