@@ -42,3 +42,21 @@ def test_fused_mask_head_matches_xla_block_path(rng, m_tok):
 
     assert out.shape == (np_, gg, 16, m_tok)
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_gelu_polynomial_matches_exact_erf_form():
+    """The kernel's transcendental-free gelu (A&S 7.1.28 with the 1/sqrt(2)
+    scale folded into the coefficients and the sign(x) rewrite) must stay
+    within ~1e-6 of exact erf-form gelu — far below the bf16 activation
+    rounding (~4e-3 relative) the kernel's stores already introduce."""
+    import jax.numpy as jnp
+    from scipy.special import erf
+
+    from revisit_anything_tpu.ops.maskhead import _gelu
+
+    x = np.linspace(-9.0, 9.0, 100001).astype(np.float32)
+    exact = x * 0.5 * (1.0 + erf(x / np.sqrt(2.0)))
+    got = np.asarray(_gelu(jnp.asarray(x)))
+    assert np.abs(got - exact).max() < 2e-6
+    # odd-function symmetry of the erf term: gelu(x) - gelu(-x) == x
+    np.testing.assert_allclose(got - got[::-1], x, atol=2e-6)
