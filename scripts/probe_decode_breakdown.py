@@ -111,17 +111,31 @@ def main():
         sync(out)
         return (time.perf_counter() - t0) / n
 
+    # smallest standalone compiles first; decode_masks (the biggest fresh
+    # HLO) last — the tunnel compile server can drop long compiles under
+    # heavy co-tenant load, so each stage is non-fatal
+    stages = {
+        "decode_batch": lambda: _decode_batch(
+            sam_params, cfg, emb, image_pe, pts, input_hw, sam_hw, amg)[1],
+        "mask_head": lambda: mask_head(shared_src, p1, c1m, p2, c2m,
+                                       branch_rows, hyper),
+        "two_way": lambda: two_way(tokens, shared_src, src_pe_one)[0],
+        "decode_masks": lambda: dmasks(emb, image_pe, sparse, dense)[1],
+    }
     for rnd in range(3):
-        t_full = loop(lambda: _decode_batch(
-            sam_params, cfg, emb, image_pe, pts, input_hw, sam_hw, amg)[1])
-        t_dm = loop(lambda: dmasks(emb, image_pe, sparse, dense)[1])
-        t_tw = loop(lambda: two_way(tokens, shared_src, src_pe_one)[0])
-        t_mh = loop(lambda: mask_head(shared_src, p1, c1m, p2, c2m,
-                                      branch_rows, hyper))
-        print(f"[dec] round{rnd} decode_batch={1000*t_full:.2f} "
-              f"decode_masks={1000*t_dm:.2f} two_way={1000*t_tw:.2f} "
-              f"mask_head={1000*t_mh:.2f} "
-              f"resize+stats≈{1000*(t_full-t_dm):.2f}ms", flush=True)
+        t = {}
+        for name, fn in stages.items():
+            try:
+                t[name] = loop(fn)
+            except Exception as e:                        # noqa: BLE001
+                print(f"[dec] round{rnd} {name} FAILED: {e}", flush=True)
+                continue
+            print(f"[dec] round{rnd} {name}={1000*t[name]:.2f}ms",
+                  flush=True)
+        if "decode_masks" in t:
+            print(f"[dec] round{rnd} resize+stats≈"
+                  f"{1000*(t['decode_batch']-t['decode_masks']):.2f}ms",
+                  flush=True)
 
 
 if __name__ == "__main__":
