@@ -204,21 +204,34 @@ def _t2i_probs_kernel(q_ref, img0t_ref, p1_ref, c1_ref, *refs, depth: int,
     vb = vecs_ref[:da, 6:7].astype(jnp.float32)         # [DA, 1] column
     vt = kvt[da:] + vb
     q = q_ref[0].astype(jnp.float32)                    # [n_pad, DA]
-    for h in range(heads):
-        qh = q[:, h * hd:(h + 1) * hd]
-        kh = kt[h * hd:(h + 1) * hd, :]                 # [hd, M]
-        s = jax.lax.dot_general(
-            qh, kh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # [n_pad, M]
-        mx = jnp.max(s, axis=1, keepdims=True)
-        e = jnp.exp(s - mx)
-        z = jnp.sum(e, axis=1, keepdims=True)
-        p = e / z
-        vh = vt[h * hd:(h + 1) * hd, :]
-        oh = jax.lax.dot_general(
-            p, vh, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        o_ref[0, :, h * hd:(h + 1) * hd] = oh.astype(o_ref.dtype)
+    n_pad = q.shape[0]
+    # Block-diagonal head batching: a per-head loop here costs 2·heads
+    # tiny matmuls per prompt ([n_pad=8, hd=16] operands relayout badly
+    # and underfill the MXU; ×128 prompts ≈ 2048 small matmuls/batch).
+    # Instead stack the heads on ROWS: q_bd [H·n_pad, DA] zeroes every
+    # column outside row-group h's hd-slice, so ONE [H·n_pad, DA]·[DA, M]
+    # matmul emits every head's logits (zero columns add exact zeros),
+    # one batched softmax normalizes all rows, and ONE [H·n_pad, M]·[M,
+    # DA] matmul against v^T gives per-head outputs whose valid hd-slice
+    # the same mask selects; summing the disjoint row groups reassembles
+    # [n_pad, DA]. Same arithmetic up to f32 reassociation.
+    hn = heads * n_pad
+    rowg = jax.lax.broadcasted_iota(jnp.int32, (hn, da), 0) // n_pad
+    colg = jax.lax.broadcasted_iota(jnp.int32, (hn, da), 1) // hd
+    bmask = (rowg == colg).astype(jnp.float32)          # [H·n_pad, DA]
+    q_bd = jnp.concatenate([q] * heads, axis=0) * bmask
+    s = jax.lax.dot_general(
+        q_bd, kt, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale     # [H·n_pad, M]
+    mx = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - mx)
+    z = jnp.sum(e, axis=1, keepdims=True)
+    p = e / z
+    o_all = jax.lax.dot_general(
+        p, vt, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)             # [H·n_pad, DA]
+    o = jnp.sum((o_all * bmask).reshape(heads, n_pad, da), axis=0)
+    o_ref[0] = o.astype(o_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("depth", "heads", "hd", "scale", "eps",
