@@ -32,7 +32,7 @@ def main():
     def old_gelu(x):
         return x * 0.5 * (1.0 + old_erf(x * np.float32(1.0 / np.sqrt(2.0))))
 
-    BLK, LANES, STEPS = 4096, 512, 128
+    BLK, LANES, STEPS = 512, 512, 1024
 
     def make(fn):
         def kernel(x_ref, o_ref):
