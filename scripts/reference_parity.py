@@ -31,6 +31,15 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Under the axon TPU plugin the JAX_PLATFORMS env var is silently
+# ignored; apply it programmatically before first JAX use so callers
+# (tests/test_reference_artifacts.py runs this harness with
+# JAX_PLATFORMS=cpu) never touch the TPU tunnel.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 VOCAB_ROOT = "/root/reference/cache/vocabulary/dinov2_vitg14/l31_value_c32"
 
 

@@ -195,7 +195,7 @@ def test_parity_harness_full_path(tmp_path, rng):
     proc = subprocess.run(
         [sys.executable, "scripts/reference_parity.py",
          "--dataset", "17places", "--artifacts", str(art)],
-        capture_output=True, text=True, cwd="/root/repo",
+        capture_output=True, text=True, cwd="/root/repo", timeout=900,
         env={**os.environ, "JAX_PLATFORMS": "cpu"})
     out = proc.stdout
     assert "OK vocabulary" in out, out
