@@ -246,6 +246,20 @@ def main():
                      borda_topk=50, top_images=5, whiten=True)),
     }
 
+    def measure_throughput():
+        """Pipelined q/s (query_many) + unpipelined latency samples —
+        the ONE protocol used both inside measure_round and for the
+        nominal-pass re-measure, so the two stay comparable."""
+        t0 = time.perf_counter()
+        server.query_many(imgs, workers=6)
+        qps = n_iters / (time.perf_counter() - t0)
+        lat = []
+        for im in imgs[:8]:
+            t0 = time.perf_counter()
+            server.query(im)
+            lat.append(time.perf_counter() - t0)
+        return qps, sorted(1000 * t for t in lat)
+
     def measure_round():
         """One full measurement pass: throughput, latency, stage times.
 
@@ -256,15 +270,7 @@ def main():
         round-3 methodology). Loop timings match in-pipeline stage cost:
         per-dispatch launch overhead is ~1 ms (probe_launch_overhead.py).
         """
-        t0 = time.perf_counter()
-        server.query_many(imgs, workers=6)
-        qps = n_iters / (time.perf_counter() - t0)
-        lat = []
-        for im in imgs[:8]:
-            t0 = time.perf_counter()
-            server.query(im)
-            lat.append(time.perf_counter() - t0)
-        lat_ms = sorted(1000 * t for t in lat)
+        qps, lat_ms = measure_throughput()
         rtt_s = float(np.median([rtt() for _ in range(7)]))
 
         def timed(fn, n=6):
@@ -313,18 +319,11 @@ def main():
             # was idle) — but its throughput section ran FIRST and may
             # predate the load dropping; re-measure it now that the
             # stages prove the window is clean.
-            t0 = time.perf_counter()
-            server.query_many(imgs, workers=6)
-            qps2 = n_iters / (time.perf_counter() - t0)
-            lat2 = []
-            for im in imgs[:8]:
-                t0 = time.perf_counter()
-                server.query(im)
-                lat2.append(time.perf_counter() - t0)
+            qps2, lat2 = measure_throughput()
             print(f"[bench] nominal re-measure: {qps2:.2f} q/s",
                   file=sys.stderr, flush=True)
             if qps2 > r[0]:
-                r = (qps2, sorted(1000 * t for t in lat2), r[2], r[3])
+                r = (qps2, lat2, r[2], r[3])
             best = r
             break
         if best is None or r[0] > best[0]:

@@ -174,7 +174,7 @@ def _probs_call(qst, kbdt, extra, layer: int, n_tok: int, heads: int,
 
 
 def _t2i_probs_kernel(q_ref, img0t_ref, p1_ref, c1_ref, *refs, depth: int,
-                      n_tok_q: int, heads: int, hd: int, scale: float,
+                      heads: int, hd: int, scale: float,
                       d: int, eps: float):
     """tokens→image attention against the RECONSTRUCTED branch.
 
@@ -241,7 +241,7 @@ def _t2i_probs_call(q, img0t, p1, c1, p2, c2, wkvt, pekt, vecs,
                     eps: float, interpret: bool):
     b, n_pad, da = q.shape
     d = img0t.shape[1]
-    kernel = partial(_t2i_probs_kernel, depth=depth, n_tok_q=n_pad,
+    kernel = partial(_t2i_probs_kernel, depth=depth,
                      heads=heads, hd=hd, scale=scale, d=d, eps=eps)
     in_specs = [
         pl.BlockSpec((1, n_pad, da), lambda i: (i, 0, 0),
