@@ -88,9 +88,41 @@ def _flops(jitted, *args, **kwargs):
         return 0.0
 
 
+def _wait_for_backend(max_wait_s: float = 1200.0):
+    """Wait (bounded) for the accelerator backend to come up: the axon
+    TPU tunnel goes UNAVAILABLE for minutes at a time under co-tenant
+    churn, and failing the whole bench on a transient outage loses the
+    round's record. Probes in a SUBPROCESS — a failed in-process init
+    would be cached by jax's backend registry and poison later calls."""
+    import subprocess
+    t0 = time.time()
+    delay = 30.0
+    probe = ("import jax; d = jax.devices(); "
+             "assert d, 'no devices'; print(d[0].platform)")
+    while True:
+        try:
+            subprocess.run([sys.executable, "-c", probe], check=True,
+                           capture_output=True, timeout=300)
+            return
+        except (subprocess.CalledProcessError,
+                subprocess.TimeoutExpired) as e:
+            waited = time.time() - t0
+            if waited + delay > max_wait_s:
+                print(f"[bench] backend still unavailable after "
+                      f"{waited:.0f}s — proceeding (will fail loudly)",
+                      file=sys.stderr, flush=True)
+                return
+            print(f"[bench] backend unavailable ({type(e).__name__}); "
+                  f"retrying in {delay:.0f}s ({waited:.0f}s elapsed)",
+                  file=sys.stderr, flush=True)
+            time.sleep(delay)
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _wait_for_backend()
 
     from revisit_anything_tpu.config import (DINO_G_DIM, NUM_CLUSTERS,
                                              PCA_DIM, get_dataset)
