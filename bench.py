@@ -57,22 +57,27 @@ BASELINE_QPS = 0.45
 PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))
 
 
-def _decode_kernel_flops(n_prompts: int, orig_hw=(240, 320)) -> float:
+def _decode_kernel_flops(n_prompts: int, orig_hw=(240, 320),
+                         mask_rows: int = 64) -> float:
     """Matmul FLOPs executed inside the decode-path Pallas kernels
     (invisible to XLA cost_analysis), per prompt batch — SAM ViT-H dims:
     M=4096 image positions, D=256, DA=128 cross-attn dim, H*T=56
-    block-diagonal token lanes, mask head c1=64/c2=32, resize g=64."""
+    block-diagonal token lanes, mask head c1=64/c2=32, resize g=64.
+    ``mask_rows``: token rows the mask head/resize actually decode
+    (amg.resize_mats_and_rows — pad rows are skipped)."""
     m, d, da, ht = 4096, 256, 128, 56
+    mc = mask_rows * 64            # content positions (mask head/resize)
     i2t = (m * d * da * 2          # q projection
            + m * da * ht * 2 * 2   # logits + p@v (block-diagonal)
            + m * da * d * 2        # out projection
            + m * d * 2 * da * 2)   # next-attention k|v emission
     t2i = 8 * 8 * 16 * m * 2 * 2 * 3        # 3 attends, tokens tiny
-    mask_head = (m * d * d * 2               # conv1
-                 + m * d * 512 * 2           # conv2 (block-diag, w/ zeros)
-                 + m * 512 * 48 * 2)         # hypernetwork
+    mask_head = (mc * ht * d * 2 * 2         # branch recon (2 layers)
+                 + mc * d * d * 2            # conv1
+                 + mc * d * 512 * 2          # conv2 (block-diag, w/ zeros)
+                 + mc * 512 * 48 * 2)        # hypernetwork
     oh, ow = orig_hw
-    resize = (oh * 256 * 768 * 2             # row contraction [H,4g]x[4g,3·4g]
+    resize = (oh * 4 * mask_rows * 768 * 2   # rows [H,4gh]x[4gh,3·4g]
               + 3 * oh * 256 * ow * 2)       # 3 column contractions
     return float(n_prompts) * (2 * i2t + t2i + mask_head + resize)
 
@@ -258,7 +263,10 @@ def main():
     # the analytic kernel-FLOP term applies only where the Pallas kernels
     # actually run; on other backends the XLA fallback paths put those
     # matmuls in cost_analysis already (adding both would double-count)
-    kernel_flops = (_decode_kernel_flops(server._bsz, sam_hw)
+    from revisit_anything_tpu.models.sam.amg import resize_mats_and_rows
+    _, _, mask_rows = resize_mats_and_rows(SAM_VIT_H, server.input_hw,
+                                           sam_hw)
+    kernel_flops = (_decode_kernel_flops(server._bsz, sam_hw, mask_rows)
                     if jax.default_backend() == "tpu" else 0.0)
     pm = server._pool(masks_dev, server._pool_a, server._pool_b)
     stage_flops = {

@@ -144,6 +144,35 @@ def _preprocess_device(image_uint8: jnp.ndarray, cfg: SamArchConfig,
                        (0, cfg.image_size - nw), (0, 0)))[None]
 
 
+def resize_mats_and_rows(cfg: SamArchConfig, input_hw: Tuple[int, int],
+                         orig_hw: Tuple[int, int]):
+    """Composed per-axis resize matrices for the lowres→original mask
+    postprocess, plus the number of token ROWS the mask head must
+    actually decode.
+
+    SAM pads the resized input to a 1024² square (sam.py preprocess), so
+    for landscape inputs the unpad slice (``up_h[:input_h]``) zeroes
+    every resize weight past lowres row ~input_h/4 — the mask head never
+    needs those rows. The last USED lowres row is derived directly from
+    the composed matrix; decoding only ceil(used/4) token rows drops
+    only exactly-0.0-weight terms from the resize (bit-identical flags
+    given the same logits; the mask-head matmuls see a different M dim,
+    which on the per-row-deterministic MXU leaves the logits themselves
+    unchanged too — tested to f32 associativity on CPU).
+
+    Returns (wh [H, 4·gh], ww [W, 4·g], gh).
+    """
+    from revisit_anything_tpu.ops.resize import bilinear_weight_matrix
+    up_h = bilinear_weight_matrix(cfg.image_size, cfg.lowres_size)
+    wh = (bilinear_weight_matrix(orig_hw[0], input_hw[0])
+          @ up_h[:input_hw[0]])
+    ww = (bilinear_weight_matrix(orig_hw[1], input_hw[1])
+          @ up_h[:input_hw[1]])
+    used_cols = int(np.flatnonzero(np.abs(wh).sum(axis=0) > 0.0).max()) + 1
+    gh = min(-(-used_cols // 4), cfg.grid)
+    return wh[:, :4 * gh], ww, gh
+
+
 @partial(jax.jit, static_argnames=("cfg", "input_hw", "orig_hw", "amg"))
 def _decode_batch(params: Params, cfg: SamArchConfig,
                   image_embedding: jnp.ndarray,
@@ -165,10 +194,6 @@ def _decode_batch(params: Params, cfg: SamArchConfig,
     # identical rows as a jit output (measured as decode's residual
     # inter-batch overhead)
     dense = no_mask_dense_embedding(params, cfg, 1)
-    lowres_blk, iou = decode_masks(params, cfg, image_embedding, image_pe,
-                                   sparse, dense, multimask=True,
-                                   dense_shared=True, block_layout=True)
-    iou = iou.reshape(-1)
 
     # postprocess_masks (sam.py:144-174): lowres → 1024² → unpad → original.
     # The chain (bilinear 256→1024, slice to input, bilinear → original) is
@@ -182,18 +207,22 @@ def _decode_batch(params: Params, cfg: SamArchConfig,
     # original resolution never touch HBM either — only uint8 flags do.
     from revisit_anything_tpu.ops.maskresize import (fused_resize_flags,
                                                      resize_flags_reference)
-    from revisit_anything_tpu.ops.resize import bilinear_weight_matrix
-    up_h = bilinear_weight_matrix(cfg.image_size, cfg.lowres_size)
-    wh = (bilinear_weight_matrix(orig_hw[0], input_hw[0])
-          @ up_h[:input_hw[0]])
-    ww = (bilinear_weight_matrix(orig_hw[1], input_hw[1])
-          @ up_h[:input_hw[1]])
+    g = cfg.grid
+    wh, ww, gh = resize_mats_and_rows(cfg, input_hw, orig_hw)
+    lowres_blk, iou = decode_masks(params, cfg, image_embedding, image_pe,
+                                   sparse, dense, multimask=True,
+                                   dense_shared=True, block_layout=True,
+                                   mask_rows=gh)
+    iou = iou.reshape(-1)
+
     thr = cfg.mask_threshold
     off = amg.stability_score_offset
     if jax.default_backend() == "tpu":
-        flags = fused_resize_flags(lowres_blk, wh, ww, thr, off)
+        flags = fused_resize_flags(lowres_blk, wh, ww, thr, off,
+                                   grid_hw=(gh, g))
     else:
-        flags = resize_flags_reference(lowres_blk, wh, ww, thr, off)
+        flags = resize_flags_reference(lowres_blk, wh, ww, thr, off,
+                                       grid_hw=(gh, g))
     flags = flags.reshape(-1, orig_hw[0], orig_hw[1])
 
     # Stability score (utils/amg.py:156-176) from the flag counts.

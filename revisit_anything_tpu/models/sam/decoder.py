@@ -529,7 +529,8 @@ def _mlp(x, layers):
 
 
 @partial(jax.jit, static_argnames=("cfg", "multimask", "dense_shared",
-                                   "block_layout", "probs_path"))
+                                   "block_layout", "probs_path",
+                                   "mask_rows"))
 def decode_masks(params: Params, cfg: SamArchConfig,
                  image_embedding: jnp.ndarray,
                  image_pe: jnp.ndarray,
@@ -538,7 +539,8 @@ def decode_masks(params: Params, cfg: SamArchConfig,
                  multimask: bool = True,
                  dense_shared: bool = False,
                  block_layout: bool = False,
-                 probs_path: Optional[bool] = None
+                 probs_path: Optional[bool] = None,
+                 mask_rows: Optional[int] = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Decode masks for a batch of prompts against ONE image embedding.
 
@@ -552,17 +554,29 @@ def decode_masks(params: Params, cfg: SamArchConfig,
         [Np, M, 4g, 4g] (see _upscale_masks_blocks / ops.maskhead) — for
         consumers that fold the interleave into a following resize. On
         TPU this path runs the fused upscaler+hypernetwork Pallas kernel.
+      mask_rows: compute mask logits only for the first ``mask_rows``
+        token ROWS (requires block_layout). SAM pads inputs to a 1024²
+        square (sam.py preprocess), so for landscape inputs the bottom
+        embedding rows cover pure padding; postprocess_masks crops them
+        away (sam.py:144-174), i.e. their resize weights are exactly
+        zero and skipping them is BIT-IDENTICAL in the final masks. The
+        attention layers still run on all positions (pad tokens
+        contribute keys/values — numerics parity). Callers derive the
+        row count from the composed resize matrix (amg._decode_batch).
 
     Returns:
-      (low_res_masks [Np, M, 256, 256] — or block layout, iou_pred
-      [Np, M]) where M = 3 for multimask (tokens 1..3) else 1 (token 0) —
-      mask_decoder.py:96-144.
+      (low_res_masks [Np, M, 256, 256] — or block layout
+      [Np, mask_rows·g, 16, M], iou_pred [Np, M]) where M = 3 for
+      multimask (tokens 1..3) else 1 (token 0) — mask_decoder.py:96-144.
     """
     from revisit_anything_tpu.utils.packing import maybe_unpack
     params = maybe_unpack(params)
     dec = params["decoder"]
     np_, t, d = sparse_prompts.shape
     g = cfg.grid
+    assert mask_rows is None or (block_layout and 0 < mask_rows <= g), \
+        (mask_rows, block_layout)
+    content = None if mask_rows in (None, g) else mask_rows * g
 
     out_tokens = jnp.concatenate([dec["iou_token"], dec["mask_tokens"]],
                                  axis=0)
@@ -619,6 +633,7 @@ def decode_masks(params: Params, cfg: SamArchConfig,
             dec["up1_w"], dec["up1_b"],
             dec["up_ln"]["scale"], dec["up_ln"]["bias"],
             dec["up2_w"], dec["up2_b"], eps=cfg.eps, ln_eps=cfg.eps,
+            content=content,
             interpret=jax.default_backend() != "tpu")    # [Np, g², 16, M]
     elif (block_layout and not _MASKHEAD_DISABLED
             and _use_token_kernel(keys.shape[1])):
@@ -626,9 +641,11 @@ def decode_masks(params: Params, cfg: SamArchConfig,
         masks = fused_mask_head(
             keys, hyper, dec["up1_w"], dec["up1_b"],
             dec["up_ln"]["scale"], dec["up_ln"]["bias"],
-            dec["up2_w"], dec["up2_b"], eps=cfg.eps)     # [Np, g², 16, M]
+            dec["up2_w"], dec["up2_b"], eps=cfg.eps,
+            content=content)                             # [Np, g², 16, M]
     else:
-        masks = _upscale_masks_blocks(keys, hyper, dec, cfg,
+        keys_c = keys if content is None else keys[:, :content]
+        masks = _upscale_masks_blocks(keys_c, hyper, dec, cfg,
                                       interleave=not block_layout)
 
     iou_pred = _mlp(iou_token_out, dec["iou_head"])

@@ -168,13 +168,27 @@ def _mask_head_kernel(keys_ref, up1w_ref, up2wbd_ref, hbd_ref, vecs_ref,
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
+def _pick_block(gg: int, block: int) -> int:
+    """Largest divisor of ``gg`` that is ≤ ``block`` (the grid needs an
+    integral number of position blocks; content-restricted grids are not
+    powers of two, e.g. 49·64 = 3136 → 1568)."""
+    blk = min(block, gg)
+    while gg % blk:
+        blk -= 1
+    return blk
+
+
 @partial(jax.jit, static_argnames=("c1", "eps", "ln_eps", "block",
-                                   "interpret"))
+                                   "content", "interpret"))
 def _mask_head_call_probs(img0, p1, c1m, p2, c2m, bvecs, up1w, up2wbd, hbd,
                           vecs, c1: int, eps: float, ln_eps: float,
-                          block: int, interpret: bool):
+                          block: int, content: int, interpret: bool):
     """Recon variant: img0 [1, gg, D] shared; p1/p2 [Np, HT, gg]
-    transposed probabilities; c1m/c2m [Np, HT, D]."""
+    transposed probabilities; c1m/c2m [Np, HT, D].
+
+    ``content``: number of LEADING positions to compute (≤ gg) — the
+    grid simply stops early; trailing (pad-row) blocks of every input
+    are never read and no slice copies are made."""
     np_ = p1.shape[0]
     gg, d = img0.shape[1], img0.shape[2]
     ht = p1.shape[1]
@@ -183,7 +197,7 @@ def _mask_head_call_probs(img0, p1, c1m, p2, c2m, bvecs, up1w, up2wbd, hbd,
                      ln_eps=ln_eps)
     return pl.pallas_call(
         kernel,
-        grid=(np_, gg // block),
+        grid=(np_, content // block),
         in_specs=[
             pl.BlockSpec((1, block, d), lambda n, i: (0, i, 0),
                          memory_space=pltpu.VMEM),
@@ -208,22 +222,23 @@ def _mask_head_call_probs(img0, p1, c1m, p2, c2m, bvecs, up1w, up2wbd, hbd,
         ],
         out_specs=pl.BlockSpec((1, block, n_out), lambda n, i: (n, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((np_, gg, n_out), img0.dtype),
+        out_shape=jax.ShapeDtypeStruct((np_, content, n_out), img0.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(img0, up1w, up2wbd, hbd, vecs, p1, c1m, p2, c2m, bvecs)
 
 
-@partial(jax.jit, static_argnames=("c1", "eps", "block", "interpret"))
+@partial(jax.jit, static_argnames=("c1", "eps", "block", "content",
+                                   "interpret"))
 def _mask_head_call(keys, up1w, up2wbd, hbd, vecs, c1: int, eps: float,
-                    block: int, interpret: bool):
+                    block: int, content: int, interpret: bool):
     np_, gg, d = keys.shape
     n_out = hbd.shape[2]
     kernel = partial(_mask_head_kernel, c1=c1, eps=eps)
     return pl.pallas_call(
         kernel,
-        grid=(np_, gg // block),
+        grid=(np_, content // block),
         in_specs=[
             pl.BlockSpec((1, block, d), lambda n, i: (n, i, 0),
                          memory_space=pltpu.VMEM),
@@ -238,7 +253,7 @@ def _mask_head_call(keys, up1w, up2wbd, hbd, vecs, c1: int, eps: float,
         ],
         out_specs=pl.BlockSpec((1, block, n_out), lambda n, i: (n, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((np_, gg, n_out), keys.dtype),
+        out_shape=jax.ShapeDtypeStruct((np_, content, n_out), keys.dtype),
         interpret=interpret,
     )(keys, up1w, up2wbd, hbd, vecs)
 
@@ -249,6 +264,7 @@ def fused_mask_head(keys: jnp.ndarray, hyper: jnp.ndarray,
                     up2_w: jnp.ndarray, up2_b: jnp.ndarray,
                     eps: float = 1e-6,
                     block: int = 2048,
+                    content: int = None,
                     interpret: bool = False) -> jnp.ndarray:
     """Mask logits in block layout via the fused kernel.
 
@@ -258,18 +274,22 @@ def fused_mask_head(keys: jnp.ndarray, hyper: jnp.ndarray,
       up1_w: [D, 4·c1] conv1 weight; up1_b: [c1].
       ln_scale, ln_bias: [c1] channel-LN params.
       up2_w: [c1, 4·c2]; up2_b: [c2].
+      content: compute only the first ``content`` positions (pad-row
+        skipping — decoder.decode_masks ``mask_rows``); default all.
     Returns:
-      [Np, gg, 16, M] mask logits, where dim 2 = (q, r) = (2a1+b1, 2a2+b2)
-      — i.e. `out[..., q, r, m]` equals decoder._upscale_masks_blocks'
-      `[n, m, pos, q, r]` transposed to mask-token-minor.
+      [Np, content, 16, M] mask logits, where dim 2 = (q, r) =
+      (2a1+b1, 2a2+b2) — i.e. `out[..., q, r, m]` equals
+      decoder._upscale_masks_blocks' `[n, m, pos, q, r]` transposed to
+      mask-token-minor.
     """
     np_, gg, d = keys.shape
     c1 = up1_w.shape[1] // 4
     c2 = up2_w.shape[1] // 4
     m_tok = hyper.shape[1]
 
-    blk = min(block, gg)
-    assert gg % blk == 0, (gg, blk)
+    content = gg if content is None else content
+    assert content <= gg, (content, gg)
+    blk = _pick_block(content, block)
 
     # conv2 as one block-diagonal matmul over the (2x2-block, c1) lanes
     up2wbd = jnp.zeros((4 * c1, 16 * c2), up2_w.dtype)
@@ -290,8 +310,8 @@ def fused_mask_head(keys: jnp.ndarray, hyper: jnp.ndarray,
     vecs = vecs.at[3, :16 * c2].set(jnp.tile(up2_b, 16))
 
     out = _mask_head_call(keys, up1_w, up2wbd, hbd, vecs, c1, float(eps),
-                          blk, interpret)
-    return out.reshape(np_, gg, 16, m_tok)
+                          blk, content, interpret)
+    return out.reshape(np_, content, 16, m_tok)
 
 
 def fused_mask_head_probs(img0: jnp.ndarray, p1: jnp.ndarray,
@@ -304,6 +324,7 @@ def fused_mask_head_probs(img0: jnp.ndarray, p1: jnp.ndarray,
                           eps: float = 1e-6,
                           ln_eps: float = 1e-6,
                           block: int = 2048,
+                          content: int = None,
                           interpret: bool = False) -> jnp.ndarray:
     """fused_mask_head with the per-prompt branch RECONSTRUCTED in-kernel
     from the i2t probabilities (ops/decode_probs.py) — the materialized
@@ -317,14 +338,18 @@ def fused_mask_head_probs(img0: jnp.ndarray, p1: jnp.ndarray,
       branch_rows: [8, D] ROW-packed branch constants — rows 0-2 =
         layer-1 b_out / ln scale / ln bias, rows 3-5 = layer 2.
       ln_eps: the branch LayerNorm epsilon (decoder cfg.eps).
+      content: compute only the first ``content`` positions — the grid
+        stops before the pad-row blocks; p1/p2/img0 stay full-size with
+        their trailing blocks simply never read (no slice copies).
     """
     np_ = p1.shape[0]
     gg, d = img0.shape[1], img0.shape[2]
     c1 = up1_w.shape[1] // 4
     c2 = up2_w.shape[1] // 4
     m_tok = hyper.shape[1]
-    blk = min(block, gg)
-    assert gg % blk == 0, (gg, blk)
+    content = gg if content is None else content
+    assert content <= gg, (content, gg)
+    blk = _pick_block(content, block)
 
     up2wbd = jnp.zeros((4 * c1, 16 * c2), up2_w.dtype)
     for q in range(4):
@@ -343,5 +368,5 @@ def fused_mask_head_probs(img0: jnp.ndarray, p1: jnp.ndarray,
     out = _mask_head_call_probs(img0, p1, c1m, p2, c2m,
                                 branch_rows.astype(img0.dtype),
                                 up1_w, up2wbd, hbd, vecs, c1, float(eps),
-                                float(ln_eps), blk, interpret)
-    return out.reshape(np_, gg, 16, m_tok)
+                                float(ln_eps), blk, content, interpret)
+    return out.reshape(np_, content, 16, m_tok)

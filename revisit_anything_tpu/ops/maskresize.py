@@ -73,34 +73,39 @@ def _resize_flags_kernel(lx_ref, wh_ref, wwt_ref, o_ref, *, thr: float,
         o_ref[0, m] = flags.astype(jnp.uint8)
 
 
-@partial(jax.jit, static_argnames=("thr", "off", "interpret"))
+@partial(jax.jit, static_argnames=("thr", "off", "grid_hw", "interpret"))
 def fused_resize_flags(lowres_blk: jnp.ndarray, wh: jnp.ndarray,
                        ww: jnp.ndarray, thr: float, off: float,
+                       grid_hw=None,
                        interpret: bool = False) -> jnp.ndarray:
     """Resize block-layout mask logits and threshold, fused.
 
     Args:
-      lowres_blk: [Np, g², 16, M] decoder block-layout logits, where the
-        16 dim is (a1, b1, a2, b2) — decoder._upscale_masks_blocks.
-      wh: [H, 4g] composed row-axis bilinear matrix whose column index is
-        (i, a1, a2) = 4i + 2a1 + a2 (amg._decode_batch's ``wh``).
-      ww: [W, 4g] same for columns, index (j, b1, b2).
+      lowres_blk: [Np, gh·gw, 16, M] decoder block-layout logits, where
+        the 16 dim is (a1, b1, a2, b2) — decoder._upscale_masks_blocks.
+      wh: [H, 4·gh] composed row-axis bilinear matrix whose column index
+        is (i, a1, a2) = 4i + 2a1 + a2 (amg._decode_batch's ``wh``).
+      ww: [W, 4·gw] same for columns, index (j, b1, b2).
       thr: mask_threshold; off: stability_score_offset.
+      grid_hw: (gh, gw) token grid of the logits — gh < gw when the
+        decoder skipped pad-row positions (decode_masks ``mask_rows``).
+        Default: square, inferred from gh·gw.
 
     Returns:
       [Np, M, H, W] uint8 flags (see module docstring).
     """
     np_, gg, sixteen, n_masks = lowres_blk.shape
     assert sixteen == 16, lowres_blk.shape
-    g = math.isqrt(gg)
+    gh, g = grid_hw if grid_hw is not None else (math.isqrt(gg),) * 2
+    assert gh * g == gg, (grid_hw, gg)
     h, w = wh.shape[0], ww.shape[0]
 
     # [n, i, j, a, b, c, d, m] → rows (i, a, c), cols (m, j, b, d): both
     # contractions become lane-aligned matmuls and the per-mask column
     # slice is contiguous.
-    lx = lowres_blk.reshape(np_, g, g, 2, 2, 2, 2, n_masks)
+    lx = lowres_blk.reshape(np_, gh, g, 2, 2, 2, 2, n_masks)
     lx = lx.transpose(0, 1, 3, 5, 7, 2, 4, 6).reshape(
-        np_, 4 * g, n_masks * 4 * g)
+        np_, 4 * gh, n_masks * 4 * g)
 
     wh_d = jnp.asarray(wh, lowres_blk.dtype)             # match einsum path
     wwt = jnp.asarray(ww, jnp.float32).T
@@ -111,9 +116,9 @@ def fused_resize_flags(lowres_blk: jnp.ndarray, wh: jnp.ndarray,
         kernel,
         grid=(np_,),
         in_specs=[
-            pl.BlockSpec((1, 4 * g, n_masks * 4 * g), lambda n: (n, 0, 0),
+            pl.BlockSpec((1, 4 * gh, n_masks * 4 * g), lambda n: (n, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, 4 * g), lambda n: (0, 0),
+            pl.BlockSpec((h, 4 * gh), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4 * g, w), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -127,16 +132,17 @@ def fused_resize_flags(lowres_blk: jnp.ndarray, wh: jnp.ndarray,
 
 def resize_flags_reference(lowres_blk: jnp.ndarray, wh: np.ndarray,
                            ww: np.ndarray, thr: float,
-                           off: float) -> jnp.ndarray:
+                           off: float, grid_hw=None) -> jnp.ndarray:
     """The XLA einsum chain the kernel replaces (amg._decode_batch's
     original math), emitting the same uint8 flags — the fallback for
     non-TPU backends and the kernel's parity oracle."""
     np_, gg, _, n_masks = lowres_blk.shape
-    g = math.isqrt(gg)
+    gh, g = grid_hw if grid_hw is not None else (math.isqrt(gg),) * 2
+    assert gh * g == gg, (grid_hw, gg)
     h, w = wh.shape[0], ww.shape[0]
-    wh_blk = jnp.asarray(wh.reshape(h, g, 2, 2), lowres_blk.dtype)
+    wh_blk = jnp.asarray(wh.reshape(h, gh, 2, 2), lowres_blk.dtype)
     ww_blk = jnp.asarray(ww.reshape(w, g, 2, 2), jnp.float32)
-    m = lowres_blk.reshape(-1, g, g, 2, 2, 2, 2, n_masks)
+    m = lowres_blk.reshape(-1, gh, g, 2, 2, 2, 2, n_masks)
     m = jnp.einsum("oiac,nijabcdm->nojbdm", wh_blk, m,
                    preferred_element_type=jnp.float32)
     m = jnp.einsum("pjbd,nojbdm->nmop", ww_blk, m.astype(jnp.float32),

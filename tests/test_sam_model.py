@@ -240,3 +240,69 @@ def test_predictor_mask_input_round(rng):
     assert np.isfinite(iou2).all()
     # the mask prompt must actually change the dense embedding path
     assert not np.array_equal(masks1, masks2) or not np.allclose(iou1, iou2)
+
+
+def test_mask_rows_restriction_bit_identical(rng):
+    """Pad-row skipping (decode_masks mask_rows + resize grid_hw): for a
+    landscape input the bottom embedding rows carry exactly zero weight
+    in the composed unpad+resize matrices, so decoding only the content
+    rows must be BIT-identical in the final threshold flags — and the
+    restricted logits must be the exact prefix of the full ones."""
+    import jax.numpy as jnp
+
+    from revisit_anything_tpu.models.sam.amg import resize_mats_and_rows
+    from revisit_anything_tpu.ops.maskresize import resize_flags_reference
+
+    model, cfg, params = make_pair(depth=1)
+    g = cfg.grid
+    orig_hw, input_hw = (60, 100), (77, 128)    # landscape → pad rows
+    wh, ww, gh = resize_mats_and_rows(cfg, input_hw, orig_hw)
+    assert gh < g                               # restriction is active
+    assert wh.shape == (orig_hw[0], 4 * gh)
+
+    emb = jnp.asarray(rng.standard_normal(
+        (g, g, PD)).astype(np.float32))
+    pe = dense_positional_embedding(params, cfg)[0]
+    pts = (rng.random((5, 1, 2)) * IMG).astype(np.float32)
+    sparse = embed_points(params, cfg, pts, np.ones((5, 1)), pad=True)
+    dense = no_mask_dense_embedding(params, cfg, 1)
+
+    for probs in (False, True):
+        full, iou_f = decode_masks(params, cfg, emb, pe, sparse, dense,
+                                   multimask=True, dense_shared=True,
+                                   block_layout=True, probs_path=probs)
+        part, iou_p = decode_masks(params, cfg, emb, pe, sparse, dense,
+                                   multimask=True, dense_shared=True,
+                                   block_layout=True, probs_path=probs,
+                                   mask_rows=gh)
+        assert part.shape == (5, gh * g, 16, full.shape[3])
+        # same math, different gemm M-dims → f32-associativity level only
+        np.testing.assert_allclose(np.asarray(part, np.float32),
+                                   np.asarray(full, np.float32)[:, :gh * g],
+                                   atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(iou_p), np.asarray(iou_f))
+
+    # The restriction itself is EXACT: with identical logits, dropping
+    # the zero-weight pad-row columns cannot change a single flag bit.
+    lowres = jnp.asarray(rng.standard_normal(
+        (5, g * g, 16, 3)).astype(np.float32))
+    wh_full = np.zeros((orig_hw[0], 4 * g), np.float32)
+    wh_full[:, :4 * gh] = wh
+    flags_full = np.asarray(resize_flags_reference(
+        lowres, wh_full, ww, 0.0, 1.0))
+    flags_part = np.asarray(resize_flags_reference(
+        lowres[:, :gh * g], wh, ww, 0.0, 1.0, grid_hw=(gh, g)))
+    np.testing.assert_array_equal(flags_part, flags_full)
+
+
+def test_resize_mats_full_height_is_noop():
+    """Square/portrait-height inputs keep every token row."""
+    from revisit_anything_tpu.models.sam.amg import resize_mats_and_rows
+    cfg = SamArchConfig(
+        encoder_dim=DIM, encoder_depth=1, encoder_heads=4,
+        global_attn_indexes=(), image_size=IMG, patch_size=16,
+        window_size=4, prompt_dim=PD, decoder_heads=4,
+        decoder_mlp_dim=128, iou_head_hidden=PD)
+    wh, ww, gh = resize_mats_and_rows(cfg, (IMG, 96), (100, 70))
+    assert gh == cfg.grid
+    assert wh.shape == (100, 4 * cfg.grid)
