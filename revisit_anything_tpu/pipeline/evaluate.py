@@ -143,19 +143,15 @@ def run_anyloc_retrieval(db_vlads: np.ndarray,
                             recall_topk)
     matches = np.asarray(matches)
     preds = [row for row in matches]
-    recalls = calc_recall(preds, gt, recall_topk)
+    # get_recall iterates range(len(queries)) and indexes gt[i]
+    # (func_vpr.py:855-862): gt entries beyond the query count are never
+    # reached; a SHORTER gt still fails loudly (reference: IndexError,
+    # here: calc_recall's length guard).
+    recalls = calc_recall(preds, list(gt)[:len(preds)], recall_topk)
     # 1%-recall: threshold = max(round(n_db/100), 1), intersected with
-    # the k retrieved neighbors only (func_vpr.py:852,875-878)
-    threshold = min(max(int(round(len(db_vlads) / 100.0)), 1), recall_topk)
-    hits, num_eval = 0, 0
-    # the reference iterates range(len(queries)) (func_vpr.py:855);
-    # a longer gt list contributes nothing beyond the query count
-    for qi, gt_q in enumerate(list(gt)[:len(matches)]):
-        if len(gt_q) == 0:
-            continue
-        num_eval += 1
-        if set(matches[qi][:threshold].tolist()) & set(int(g) for g in gt_q):
-            hits += 1
-    one_pct = hits / max(num_eval, 1)
+    # the k retrieved neighbors only; the reference iterates
+    # range(len(queries)) (func_vpr.py:852,855-878)
+    from revisit_anything_tpu.retrieval.recall import one_percent_recall
+    one_pct = one_percent_recall(matches, gt, len(db_vlads), recall_topk)
     return RetrievalResult(recalls, preds, matches, np.asarray(sq_l2),
                            one_percent_recall=one_pct)

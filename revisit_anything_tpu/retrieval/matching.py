@@ -98,10 +98,15 @@ def _bincount_top(seg_ids: np.ndarray, im_inds_ref: np.ndarray,
                   n: int) -> np.ndarray:
     """The shared get_matches tail: bincount matched segments' image ids,
     return the top-n images by vote count (func_vpr.py:129-131 pattern:
-    ``segIdx[flip(argsort(bincount[segIdx])[-n:])]``)."""
+    ``segIdx[flip(argsort(bincount[segIdx])[-n:])]``).
+
+    kind="stable" like every other method here: the reference's default
+    introsort leaves vote TIES in an unspecifiable order, so exact tie
+    parity is impossible — a deterministic stable order is the
+    documented deviation (README known deviations)."""
     counts = np.bincount(im_inds_ref[np.asarray(seg_ids, dtype=np.int64)])
     nonzero = np.where(counts > 0)[0]
-    return nonzero[np.flip(np.argsort(counts[nonzero])[-n:])]
+    return nonzero[np.flip(np.argsort(counts[nonzero], kind="stable")[-n:])]
 
 
 def get_matches_host(matches: np.ndarray,
@@ -283,15 +288,21 @@ def weighted_borda_predict(sims: jnp.ndarray,
     # normalized scores; dense top_k would then surface image ids that
     # never appeared in its matches. Rank such rows by appearance count
     # instead (the host path's zero-score tie-break is insertion order —
-    # arbitrary). Ranks beyond the row's distinct matched images can
-    # still fill with zero-count ids when it matched < n images — the
-    # same arbitrary tail the scores path always had.
+    # arbitrary).
     counts = jax.ops.segment_sum(
         jnp.ones((flat_bins.shape[0],), jnp.float32), flat_bins,
         num_segments=nbins).reshape(num_query_images, num_ref_images)
     has_score = jnp.max(scores, axis=1, keepdims=True) > 0.0
-    _, top = jax.lax.top_k(jnp.where(has_score, scores, counts),
-                           min(n, num_ref_images))
+    ranked = jnp.where(has_score, scores, counts)
+    # NEVER-matched bins must not fill prediction ranks: a query that
+    # matched < n distinct db images would otherwise pad its row with
+    # arbitrary low-id images, which can fake Recall hits the host path
+    # (whose ranked list contains only matched ids,
+    # first_k_unique_indices func_vpr.py:50-59) would score as misses.
+    # Mask them to -inf and emit -1 for the unfilled ranks.
+    ranked = jnp.where(counts > 0.0, ranked, -jnp.inf)
+    vals, top = jax.lax.top_k(ranked, min(n, num_ref_images))
+    top = jnp.where(jnp.isneginf(vals), -1, top)
     # voted-ness from segment ownership, not the score maximum (see
     # docstring)
     seg_counts = jax.ops.segment_sum(

@@ -152,7 +152,9 @@ def _oracle_norm(sims):
 def _oracle_bincount_top(seg_ids, im_inds_ref, n):
     counts = np.bincount(im_inds_ref[np.asarray(seg_ids, np.int64)])
     seg_idx = np.where(counts > 0)[0]
-    return seg_idx[np.flip(np.argsort(counts[seg_idx])[-n:])]
+    # kind="stable" like the implementation: the reference's default
+    # introsort leaves vote ties unspecifiable (documented deviation)
+    return seg_idx[np.flip(np.argsort(counts[seg_idx], kind="stable")[-n:])]
 
 
 def test_borda_and_avg_methods_match_oracles(rng):
@@ -325,3 +327,61 @@ def test_weighted_borda_rejects_int32_bin_overflow():
                                jnp.zeros((1,), jnp.int32),
                                jnp.zeros((1,), jnp.int32),
                                70000, 70000, n=5)
+
+
+def test_weighted_borda_never_fabricates_unmatched_images():
+    """A query matching fewer than n distinct db images must pad its
+    prediction row with -1, not with arbitrary zero-score image ids —
+    filler ids could fake Recall hits the host path (whose ranked list
+    contains only matched ids, func_vpr.py:50-59) scores as misses."""
+    import jax.numpy as jnp
+    from revisit_anything_tpu.retrieval.matching import (
+        get_matches_host, weighted_borda_predict)
+    # one query image, 2 segments, every match lands in db images {3, 4}
+    sims = np.array([[0.9, 0.8], [0.7, 0.6]], np.float32)
+    matches = np.array([[6, 7], [8, 9]], np.int32)
+    q_ids = np.array([0, 0], np.int32)
+    ref_ids = np.repeat(np.arange(5), 2).astype(np.int32)   # 10 db segs
+    preds = np.asarray(weighted_borda_predict(
+        jnp.asarray(sims), jnp.asarray(matches), jnp.asarray(q_ids),
+        jnp.asarray(ref_ids), 1, 5, n=5))
+    assert set(preds[0][preds[0] >= 0].tolist()) == {3, 4}
+    assert (preds[0][2:] == -1).all(), preds
+    # host path emits exactly the two matched images
+    host = get_matches_host(matches, sims, [np.array([0, 1])], ref_ids,
+                            n=5, method="max_seg_topk_wt_borda_Im")
+    assert set(host[0].tolist()) == {3, 4}
+
+
+def test_calc_recall_rejects_short_preds():
+    from revisit_anything_tpu.retrieval.recall import calc_recall
+    with np.testing.assert_raises(ValueError):
+        calc_recall([[1]], [[1], [2]], 5)
+
+
+def test_top_k_recall_counts_empty_gt_in_denominator(rng):
+    """utilities.get_top_k_recall divides by ALL queries
+    (utilities.py:465-466): an empty-gt query is a guaranteed miss, not
+    an excluded one."""
+    from revisit_anything_tpu.retrieval.recall import top_k_recall
+    db = rng.standard_normal((50, 16)).astype(np.float32)
+    q = np.stack([db[5] + 0.001, rng.standard_normal(16).astype(np.float32)])
+    recalls, _ = top_k_recall(db, q, [[5], []], k=3)
+    assert abs(recalls[0] - 0.5) < 1e-9, recalls     # 1 hit / 2 queries
+
+
+def test_top_k_recall_normalizes_like_reference(rng):
+    """norm_descs=True (the reference default, utilities.py:436-438):
+    a db row that matches the query in DIRECTION but not magnitude must
+    win the l2 search after normalization."""
+    from revisit_anything_tpu.retrieval.recall import top_k_recall
+    rng_ = np.random.default_rng(3)
+    db = rng_.standard_normal((40, 16)).astype(np.float32)
+    qdir = rng_.standard_normal(16).astype(np.float32)
+    db[7] = 50.0 * qdir                  # right direction, huge norm
+    q = qdir[None]
+    recalls_norm, idx_norm = top_k_recall(db, q, [[7]], k=1)
+    assert recalls_norm[0] == 1.0 and idx_norm[0][0] == 7
+    recalls_raw, idx_raw = top_k_recall(db, q, [[7]], k=1,
+                                        norm_descs=False)
+    assert idx_raw[0][0] != 7            # raw l2 is repelled by the norm
