@@ -726,16 +726,24 @@ def cmd_query(args):
 
     dino_hw = (int(z["dino_h"]), int(z["dino_w"]))
     mask_hw = (int(z["mask_h"]), int(z["mask_w"]))
+    from revisit_anything_tpu.models.sam.amg import AmgConfig
+    amg = AmgConfig(points_per_side=args.points_per_side,
+                    points_per_batch=args.points_per_batch,
+                    pred_iou_thresh=args.pred_iou_thresh,
+                    stability_score_thresh=args.stability_score_thresh)
     server = SegVLADServer(
         sam_params=sam_params, sam_cfg=sam_cfg,
         dino_params=dino_params, dino_cfg=dino_cfg, index=index,
         full_hw=dino_hw, sam_hw=mask_hw, dino_layer=args.layer,
-        top_images=args.topk)
+        top_images=args.topk, amg=amg)
 
     img = load_image_rgb(args.image)
     if img.shape[:2] != dino_hw:
         img = _resize_cv2_bilinear(img, (dino_hw[1], dino_hw[0]))
     top = server.query(img)
+    # unfilled ranks are -1 (the query matched fewer distinct database
+    # images than --topk) — report only real matches
+    top = top[top >= 0]
     keys = z["image_keys"]
     print(json.dumps({"query": args.image,
                       "matches": [str(keys[i]) if i < len(keys)
@@ -863,6 +871,12 @@ def main(argv=None):
                             "dinov2_vitb14", "dinov2_vits14"])
     p.add_argument("--dino-checkpoint", default=None)
     p.add_argument("--layer", type=int, default=31)
+    # AMG knobs (reference SamAutomaticMaskGenerator defaults,
+    # automatic_mask_generator.py:35-87)
+    p.add_argument("--points-per-side", type=int, default=32)
+    p.add_argument("--points-per-batch", type=int, default=128)
+    p.add_argument("--pred-iou-thresh", type=float, default=0.88)
+    p.add_argument("--stability-score-thresh", type=float, default=0.95)
     p.set_defaults(func=cmd_query)
 
     p = sub.add_parser("train", help="VPR metric-learning training "

@@ -22,6 +22,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 # STABLE fn object (no fresh closures per batch).
 _JITTED: Dict[Tuple, Callable] = {}
 
+# Replicated-params cache: device_put is a no-op for params already
+# committed to the right sharding, but HOST (numpy checkpoint) params
+# would re-upload on EVERY batch of the extraction loop (~0.3-1.5 s per
+# buffer through a tunnel). Keyed by object identity; the stored strong
+# ref keeps the id stable. One entry per distinct params object.
+_REPL_PARAMS: Dict[Tuple[int, int], Tuple[object, object]] = {}
+
 
 def data_parallel_apply(fn: Callable, params, batch: np.ndarray,
                         mesh: Mesh, axis: str = "data",
@@ -44,7 +51,13 @@ def data_parallel_apply(fn: Callable, params, batch: np.ndarray,
     batch_sharding = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
     batch_dev = jax.device_put(batch, batch_sharding)
-    params_dev = jax.device_put(params, repl)
+    ck = (id(params), id(mesh))
+    cached = _REPL_PARAMS.get(ck)
+    if cached is not None and cached[0] is params:
+        params_dev = cached[1]
+    else:
+        params_dev = jax.device_put(params, repl)
+        _REPL_PARAMS[ck] = (params, params_dev)
 
     key = (fn, mesh, axis)
     if key not in _JITTED:

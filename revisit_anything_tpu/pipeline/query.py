@@ -156,18 +156,30 @@ def query_topk_images(desc: jnp.ndarray,
     # carry huge norms; when the real database is smaller than the kNN
     # depth they reach the top-k with enormously negative sims and would
     # collapse the min-max normalization. Real sims of row-normalized
-    # vectors lie in [-2, 2] — anything below is a guard hit: excluded
-    # from the normalization statistics and voting zero.
-    real = sims > -4.0
+    # vectors lie in [-2, 2] — anything below is a guard hit. INVALID
+    # query rows (all-false padding masks) also project to a real unit
+    # vector (normalize(-pca_mean @ Wᵀ)) whose sims would shift
+    # s_min/s_max — the reference's normalization only ever sees real
+    # segments (func_vpr.py:207-224), so both are excluded from the
+    # statistics and vote zero.
+    real = (sims > -4.0) & valid[:, None]
     s_min = jnp.min(jnp.where(real, sims, jnp.inf))
     s_max = jnp.max(jnp.where(real, sims, -jnp.inf))
     norm_s = (sims - s_min) / jnp.maximum(s_max - s_min, 1e-30)
-    norm_s = jnp.where(real, norm_s, 0.0) * valid[:, None]
+    norm_s = jnp.where(real, norm_s, 0.0)
     ref_ids = db_image_ids[idx[:, :kk]]
     votes = jax.ops.segment_sum(norm_s.reshape(-1), ref_ids.reshape(-1),
                                 num_segments=num_ref_images)
-    _, top = jax.lax.top_k(votes, min(top_images, num_ref_images))
-    return top
+    # NEVER-matched bins (zero real matches — unmatched or nonexistent
+    # image ids, e.g. unused Borda headroom on an incremental server)
+    # must not fill the top-k: emit -1 for unfilled ranks instead
+    # (mirrors retrieval.matching.weighted_borda_predict).
+    cnt = jax.ops.segment_sum(
+        real.astype(jnp.float32).reshape(-1), ref_ids.reshape(-1),
+        num_segments=num_ref_images)
+    ranked = jnp.where(cnt > 0.0, votes, -jnp.inf)
+    vals, top = jax.lax.top_k(ranked, min(top_images, num_ref_images))
+    return jnp.where(jnp.isneginf(vals), -1, top)
 
 
 def pca_tuple(pca) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, bool]:

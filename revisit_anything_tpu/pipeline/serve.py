@@ -128,10 +128,15 @@ def _select_masks_centroids(masks: jnp.ndarray, iou: jnp.ndarray,
     scores = jnp.where(keep, iou, -jnp.inf)
     nms_keep = nms_keep_mask(boxes, scores, amg.box_nms_thresh)
     final_scores = jnp.where(nms_keep & keep, iou, -jnp.inf)
-    order = jnp.argsort(-final_scores)[:kmax]
-    n_kept = jnp.minimum(jnp.sum(final_scores > -jnp.inf), kmax)
+    # fewer candidates than the mask capacity (small point grids with a
+    # large max_masks): gather what exists, pad to the static kmax
+    k_take = min(kmax, int(final_scores.shape[0]))
+    order = jnp.argsort(-final_scores)[:k_take]
+    n_kept = jnp.minimum(jnp.sum(final_scores > -jnp.inf), k_take)
 
     sel = masks[order]
+    if k_take < kmax:
+        sel = jnp.pad(sel, ((0, kmax - k_take), (0, 0), (0, 0)))
     row_valid = jnp.arange(kmax) < n_kept
     sel = sel & row_valid[:, None, None]
 
@@ -365,6 +370,14 @@ class SegVLADServer:
             self._capacity = int(db_capacity)
             # Borda bin capacity: one id per added image, each consuming
             # >= 1 row in practice; explicit max_ref_images overrides.
+            if (max_ref_images is not None
+                    and max_ref_images < index.num_ref_images):
+                # ids >= max_ref_images would silently fall out of the
+                # vote segment_sum: in the db, costing kNN compute, but
+                # never retrievable
+                raise ValueError(
+                    f"max_ref_images {max_ref_images} < the index's "
+                    f"existing {index.num_ref_images} image ids")
             self.num_ref_images = int(
                 max_ref_images if max_ref_images is not None
                 else index.num_ref_images + (db_capacity - len(db)))
@@ -390,12 +403,17 @@ class SegVLADServer:
                     [db_ids, np.zeros((pad,), np.int32)])
             self._db_sharding = NamedSharding(self._mesh, P("data", None))
             self._ids_sharding = NamedSharding(self._mesh, P("data"))
-            self._db = jax.device_put(jnp.asarray(db), self._db_sharding)
-            self._db_ids = jax.device_put(jnp.asarray(db_ids),
-                                          self._ids_sharding)
+            self._db_state = (
+                jax.device_put(jnp.asarray(db), self._db_sharding),
+                jax.device_put(jnp.asarray(db_ids), self._ids_sharding))
         else:
-            self._db = jnp.asarray(db)
-            self._db_ids = jnp.asarray(db_ids)
+            self._db_state = (jnp.asarray(db), jnp.asarray(db_ids))
+        # Inserts/removes serialize on this lock; queries stay lock-free
+        # by reading the (db, ids) pair through ONE attribute load of
+        # _db_state (a torn read of two separate attributes could pair a
+        # post-insert db with pre-insert ids, mislabeling the new rows).
+        import threading
+        self._mutate_lock = threading.Lock()
 
         self._image_pe = dense_positional_embedding(sam_params, sam_cfg)[0]
 
@@ -442,6 +460,16 @@ class SegVLADServer:
             adj[:n, :n] = np.eye(n, dtype=bool)
         return adj, n
 
+    # ----- database state (atomic pair) -----
+
+    @property
+    def _db(self):
+        return self._db_state[0]
+
+    @property
+    def _db_ids(self):
+        return self._db_state[1]
+
     # ----- public API -----
 
     def query(self, img_uint8: np.ndarray) -> np.ndarray:
@@ -454,10 +482,11 @@ class SegVLADServer:
         stats_np = np.asarray(stats)                       # SYNC 1 (tiny)
         adj, _ = self._adjacency(stats_np)
 
+        db, db_ids = self._db_state       # ONE load: consistent pair
         top = query_topk_images(
             desc, patch_masks, jnp.asarray(adj), self._centers,
             self._pca_mean, self._pca_comps, self._pca_var,
-            self._db, self._db_ids,
+            db, db_ids,
             num_clusters=self.num_clusters,
             num_ref_images=self.num_ref_images,
             knn_topk=self.knn_topk, borda_topk=self.borda_topk,
@@ -494,39 +523,46 @@ class SegVLADServer:
             raise ValueError("incremental inserts need SegVLADServer("
                              "db_capacity=...)")
         ids: List[int] = []
-        for img in imgs:
-            assert img.shape[:2] == self.full_hw, (
-                f"expected {self.full_hw}, got {img.shape[:2]}")
-            if self._cursor + self.kmax > self._capacity:
-                raise RuntimeError(
-                    f"serving index capacity exhausted "
-                    f"({self._cursor}+{self.kmax} > {self._capacity})")
-            if self._next_image_id >= self.num_ref_images:
-                raise RuntimeError("image-id (Borda bin) capacity "
-                                   "exhausted — raise max_ref_images")
-            img_dev = jax.device_put(img)
-            pm, stats, desc = self._front(img_dev)
-            stats_np = np.asarray(stats)
-            adj, n_kept = self._adjacency(stats_np)
-            rows, _ = query_segment_rows(
-                desc, pm, jnp.asarray(adj), self._centers, self._pca_mean,
-                self._pca_comps, self._pca_var,
-                num_clusters=self.num_clusters, whiten=self._whiten,
-                guard_value=_GUARD)
-            self._db, self._db_ids = _db_insert(
-                self._db, self._db_ids, rows,
-                np.int32(self._cursor), np.int32(self._next_image_id))
-            if self._db_sharding is not None:
-                # keep the row sharding stable across inserts (a no-op
-                # when GSPMD already kept it)
-                self._db = jax.device_put(self._db, self._db_sharding)
-                self._db_ids = jax.device_put(self._db_ids,
-                                              self._ids_sharding)
-            # kept rows are the leading n_kept of the static block; the
-            # guard tail just written is overwritten by the next insert
-            self._cursor += int(n_kept)
-            ids.append(self._next_image_id)
-            self._next_image_id += 1
+        with self._mutate_lock:     # serialize concurrent inserts: an
+            # unsynchronized cursor read-modify-write would let two
+            # threads write the same row block (one image silently
+            # unretrievable, persisted by snapshot_index)
+            for img in imgs:
+                assert img.shape[:2] == self.full_hw, (
+                    f"expected {self.full_hw}, got {img.shape[:2]}")
+                if self._cursor + self.kmax > self._capacity:
+                    raise RuntimeError(
+                        f"serving index capacity exhausted "
+                        f"({self._cursor}+{self.kmax} > {self._capacity})")
+                if self._next_image_id >= self.num_ref_images:
+                    raise RuntimeError("image-id (Borda bin) capacity "
+                                       "exhausted — raise max_ref_images")
+                img_dev = jax.device_put(img)
+                pm, stats, desc = self._front(img_dev)
+                stats_np = np.asarray(stats)
+                adj, n_kept = self._adjacency(stats_np)
+                rows, _ = query_segment_rows(
+                    desc, pm, jnp.asarray(adj), self._centers,
+                    self._pca_mean, self._pca_comps, self._pca_var,
+                    num_clusters=self.num_clusters, whiten=self._whiten,
+                    guard_value=_GUARD)
+                db, db_ids = _db_insert(
+                    self._db, self._db_ids, rows,
+                    np.int32(self._cursor), np.int32(self._next_image_id))
+                if self._db_sharding is not None:
+                    # keep the row sharding stable across inserts (a no-op
+                    # when GSPMD already kept it)
+                    db = jax.device_put(db, self._db_sharding)
+                    db_ids = jax.device_put(db_ids, self._ids_sharding)
+                # ONE swap: in-flight queries see either the old or the
+                # new consistent (db, ids) pair, never a mix
+                self._db_state = (db, db_ids)
+                # kept rows are the leading n_kept of the static block;
+                # the guard tail just written is overwritten by the next
+                # insert
+                self._cursor += int(n_kept)
+                ids.append(self._next_image_id)
+                self._next_image_id += 1
         return ids
 
     def remove_reference_image(self, image_id: int) -> None:
@@ -536,9 +572,11 @@ class SegVLADServer:
         if self._cursor is None:
             raise ValueError("incremental removal needs SegVLADServer("
                              "db_capacity=...)")
-        self._db = _db_remove(self._db, self._db_ids, np.int32(image_id))
-        if self._db_sharding is not None:
-            self._db = jax.device_put(self._db, self._db_sharding)
+        with self._mutate_lock:
+            db = _db_remove(self._db, self._db_ids, np.int32(image_id))
+            if self._db_sharding is not None:
+                db = jax.device_put(db, self._db_sharding)
+            self._db_state = (db, self._db_ids)
 
     def snapshot_index(self, path: Optional[str] = None,
                        image_keys: Optional[Sequence[str]] = None
@@ -549,11 +587,20 @@ class SegVLADServer:
         (loadable by ``ServingIndex.from_npz`` / the query CLI).
 
         ``image_keys``: display names per image id for the query CLI;
-        defaults to ``image_<id>`` for every Borda bin."""
-        n = self._cursor if self._cursor is not None else len(
-            np.asarray(self._db_ids))
-        db = np.asarray(self._db[:n], np.float32)
-        db_ids = np.asarray(self._db_ids[:n])
+        defaults to ``image_<id>`` per used image id."""
+        with self._mutate_lock:     # consistent (db, ids, cursor) view
+            db_dev, ids_dev = self._db_state
+            n = self._cursor if self._cursor is not None else len(
+                np.asarray(ids_dev))
+            db = np.asarray(db_dev[:n], np.float32)
+            db_ids = np.asarray(ids_dev[:n])
+            # the TRUE image-id bound, not the Borda bin capacity: an
+            # incremental server's num_ref_images includes unused
+            # headroom bins; persisting THAT would re-inflate on every
+            # snapshot/restore-with-db_capacity cycle and push
+            # _next_image_id past the real images
+            n_images = (self._next_image_id if self._cursor is not None
+                        else self.num_ref_images)
         live = np.all(db < _GUARD / 2, axis=1)         # drop guard rows
         db, db_ids = db[live], db_ids[live]
         idx = ServingIndex(
@@ -562,12 +609,11 @@ class SegVLADServer:
             pca_components=np.asarray(self._pca_comps),
             pca_variance=np.asarray(self._pca_var),
             pca_whiten=self._whiten, db=db, db_image_ids=db_ids,
-            num_ref_images=self.num_ref_images, order=self.order,
+            num_ref_images=n_images, order=self.order,
             db_dtype=self._db_dtype)
         if path is not None:
             if image_keys is None:
-                image_keys = [f"image_{i}"
-                              for i in range(self.num_ref_images)]
+                image_keys = [f"image_{i}" for i in range(n_images)]
             # rows persist as f32 on disk; db_dtype records the server's
             # DEVICE storage choice so a snapshot/restore round-trip
             # keeps e.g. a bfloat16 database at half HBM
@@ -576,7 +622,7 @@ class SegVLADServer:
                 db_dtype=np.asarray(self._db_dtype),
                 db_image_ids=db_ids,
                 image_keys=np.asarray(list(image_keys), dtype=str),
-                num_ref_images=np.asarray(self.num_ref_images),
+                num_ref_images=np.asarray(n_images),
                 centers=idx.centers, pca_mean=idx.pca_mean,
                 pca_components=idx.pca_components,
                 pca_variance=idx.pca_variance,

@@ -233,12 +233,21 @@ def test_cli_build_index_and_query(toy_env, capsys, monkeypatch, tmp_path):
     q_img = os.path.join(env["data_root"], "AmsterTime", "old",
                          "im_00.png")
     import json
+    # permissive AMG thresholds: a random-weight SAM under the
+    # production 0.88/0.95 filters keeps zero masks, which now yields an
+    # honest EMPTY result (the old code fabricated ids for the
+    # zero-segment query)
     cli.main(["query", "--index", index, "--image", q_img,
               "--sam-variant", "vit_b", "--dino-model", "dinov2_vits14",
-              "--layer", "3", "--topk", "3"])
+              "--layer", "3", "--topk", "3",
+              "--points-per-side", "6", "--points-per-batch", "36",
+              "--pred-iou-thresh=-1e9",
+              "--stability-score-thresh", "0.0"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert len(out["matches"]) == 3
+    assert 1 <= len(out["matches"]) <= 3
+    assert len(out["matches"]) == len(out["image_ids"])
     assert all(m.endswith(".png") for m in out["matches"])
+    assert all(0 <= i < 5 for i in out["image_ids"])
 
 
 def test_cli_build_index_then_query(toy_env, capsys, monkeypatch, rng):
@@ -277,11 +286,17 @@ def test_cli_build_index_then_query(toy_env, capsys, monkeypatch, rng):
     q_img = os.path.join(env["data_root"], "AmsterTime", "old",
                          "im_00.png")
     cli.main(["query", "--index", index_path, "--image", q_img,
-              "--topk", "3", "--layer", "1"])
+              "--topk", "3", "--layer", "1",
+              "--points-per-side", "6", "--points-per-batch", "36",
+              "--pred-iou-thresh=-1e9",
+              "--stability-score-thresh", "0.0"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["query"] == q_img
-    assert len(out["image_ids"]) == 3
+    # unfilled ranks (-1: the query matched fewer distinct db images
+    # than --topk) are filtered from the CLI output
+    assert 1 <= len(out["image_ids"]) <= 3
     assert all(0 <= i < 5 for i in out["image_ids"])
+    assert len(out["matches"]) == len(out["image_ids"])
 
 
 def test_cli_evaluate_global_benchmark(tmp_path, capsys, monkeypatch, rng):

@@ -428,7 +428,10 @@ def test_snapshot_empty_database_roundtrip(models, tmp_path):
     assert len(snap.db) == 0
     loaded = ServingIndex.from_npz(path)
     assert len(loaded.db) == 0
-    assert loaded.num_ref_images == srv.num_ref_images
+    # the snapshot records the TRUE image-id bound (ids 0-3 were used,
+    # removal does not reclaim them) — NOT the server's inflated Borda
+    # bin capacity (srv.num_ref_images includes unused headroom)
+    assert loaded.num_ref_images == 4
 
 
 def test_fused_front_matches_unfused_chain(server):
@@ -455,3 +458,80 @@ def test_fused_front_matches_unfused_chain(server):
                                rtol=0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(desc_f), np.asarray(desc_u),
                                rtol=0, atol=1e-6)
+
+
+def test_concurrent_inserts_are_serialized(models):
+    """Two threads inserting concurrently must not corrupt the cursor or
+    overwrite each other's row blocks (the insert path serializes on a
+    lock; queries read the (db, ids) pair through one atomic load)."""
+    from concurrent.futures import ThreadPoolExecutor
+    sam_params, dino_params = models
+    rng = np.random.default_rng(23)
+    amg = AmgConfig(points_per_side=6, points_per_batch=36,
+                    pred_iou_thresh=-1e9, stability_score_thresh=0.0)
+    srv = SegVLADServer(
+        sam_params=sam_params, sam_cfg=SAM_SMALL,
+        dino_params=dino_params, dino_cfg=DINO_SMALL,
+        index=_index(rng), full_hw=(H, W), sam_hw=(H // 2, W // 2),
+        amg=amg, dino_layer=1, max_masks=32, top_images=5,
+        db_capacity=800, mesh=None)
+    imgs = [_image(rng) for _ in range(4)]
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        id_lists = list(pool.map(
+            lambda im: srv.add_reference_images([im]), imgs))
+    ids = sorted(i for lst in id_lists for i in lst)
+    assert ids == [20, 21, 22, 23]
+    # every inserted image's rows are live and labeled with its own id
+    db_ids = np.asarray(srv._db_ids[:srv._cursor])
+    db = np.asarray(srv._db[:srv._cursor], np.float32)
+    live = np.all(db < 1e5, axis=1)
+    for iid in ids:
+        assert np.any(live & (db_ids == iid)), iid
+
+
+def test_snapshot_persists_true_image_count(models, tmp_path):
+    """An incremental server's snapshot must record the TRUE image-id
+    bound, not the Borda bin capacity — otherwise every
+    snapshot/restore-with-db_capacity cycle inflates the bin space and
+    pushes _next_image_id past the real images."""
+    sam_params, dino_params = models
+    rng = np.random.default_rng(29)
+    amg = AmgConfig(points_per_side=6, points_per_batch=36,
+                    pred_iou_thresh=-1e9, stability_score_thresh=0.0)
+    srv = SegVLADServer(
+        sam_params=sam_params, sam_cfg=SAM_SMALL,
+        dino_params=dino_params, dino_cfg=DINO_SMALL,
+        index=_index(rng), full_hw=(H, W), sam_hw=(H // 2, W // 2),
+        amg=amg, dino_layer=1, max_masks=32, top_images=5,
+        db_capacity=400, mesh=None)
+    (new_id,) = srv.add_reference_images([_image(rng)])
+    assert new_id == 20
+    path = str(tmp_path / "snap.npz")
+    idx2 = srv.snapshot_index(path)
+    assert idx2.num_ref_images == 21           # 20 prebuilt + 1 added
+    # restore with headroom again: the next image continues at 21
+    srv2 = SegVLADServer(
+        sam_params=sam_params, sam_cfg=SAM_SMALL,
+        dino_params=dino_params, dino_cfg=DINO_SMALL,
+        index=ServingIndex.from_npz(path), full_hw=(H, W),
+        sam_hw=(H // 2, W // 2), amg=amg, dino_layer=1, max_masks=32,
+        top_images=5, db_capacity=400, mesh=None)
+    assert srv2._next_image_id == 21
+    (nid,) = srv2.add_reference_images([_image(rng)])
+    assert nid == 21
+    # a second snapshot cycle does not inflate
+    assert srv2.snapshot_index().num_ref_images == 22
+
+
+def test_max_ref_images_below_existing_ids_rejected(models):
+    sam_params, dino_params = models
+    rng = np.random.default_rng(31)
+    amg = AmgConfig(points_per_side=6, points_per_batch=36,
+                    pred_iou_thresh=-1e9, stability_score_thresh=0.0)
+    with pytest.raises(ValueError):
+        SegVLADServer(
+            sam_params=sam_params, sam_cfg=SAM_SMALL,
+            dino_params=dino_params, dino_cfg=DINO_SMALL,
+            index=_index(rng), full_hw=(H, W), sam_hw=(H // 2, W // 2),
+            amg=amg, dino_layer=1, max_masks=32, top_images=5,
+            db_capacity=400, max_ref_images=5, mesh=None)
