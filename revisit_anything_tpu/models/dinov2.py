@@ -312,9 +312,18 @@ def preprocess(images_uint8: np.ndarray,
     if patch_multiple:
         h, w = x.shape[1:3]
         hn, wn = (h // 14) * 14, (w // 14) * 14
-        top, left = (h - hn) // 2, (w - wn) // 2
+        top, left = center_crop_offsets(h, w, hn, wn)
         x = x[:, top:top + hn, left:left + wn]
     return x
+
+
+def center_crop_offsets(h: int, w: int, hn: int, wn: int):
+    """torchvision CenterCrop offsets: int(round(trim / 2.0)) with
+    Python's banker's rounding — NOT floor; they differ for trims 3, 7,
+    11 (e.g. H=479: round(1.5)=2 vs floor 1), shifting the whole crop by
+    one pixel vs the reference (tvf.CenterCrop in getAnyLocFt,
+    func_vpr.py:489-506)."""
+    return int(round((h - hn) / 2.0)), int(round((w - wn) / 2.0))
 
 
 # ---------------------------------------------------------------------------

@@ -128,7 +128,12 @@ def _preprocess_device(image_uint8: jnp.ndarray, cfg: SamArchConfig,
     1/4 the bytes of the host-f32 path (the h2d transfer dominated AMG
     wall time); bilinear resize + normalize + pad run in one jit. For
     upscaling, PIL's antialiased bilinear equals plain half-pixel bilinear
-    (filter support 1), so this is parity-exact with preprocess_image."""
+    (filter support 1). The resized image is QUANTIZED back to uint8
+    levels like the reference's (PIL returns a uint8 image that is then
+    normalized, utils/transforms.py:30-38) — without it every pixel
+    carries up to ~0.5/255 of drift that can flip near-threshold mask
+    bits. Residual vs PIL: its int16 fixed-point filter coefficients
+    (±1 LSB on rare pixels)."""
     from revisit_anything_tpu.ops.resize import bilinear_weight_matrix
     h, w = image_uint8.shape[:2]
     nh, nw = input_hw
@@ -139,6 +144,7 @@ def _preprocess_device(image_uint8: jnp.ndarray, cfg: SamArchConfig,
                    precision=jax.lax.Precision.HIGHEST)
     x = jnp.einsum("pw,owc->opc", ww, x,
                    precision=jax.lax.Precision.HIGHEST)
+    x = jnp.clip(jnp.round(x), 0.0, 255.0)
     x = (x - jnp.asarray(SAM_PIXEL_MEAN)) / jnp.asarray(SAM_PIXEL_STD)
     return jnp.pad(x, ((0, cfg.image_size - nh),
                        (0, cfg.image_size - nw), (0, 0)))[None]
@@ -427,14 +433,16 @@ def _crop_candidates(params: Params, cfg: SamArchConfig,
     n_kept = min(int(n_kept), max_out)
     if n_kept == 0:
         z = np.zeros((0,))
-        return np.zeros((0, h, w), bool), z, z, np.zeros((0, 2))
+        return (np.zeros((0, h, w), bool), z, z, np.zeros((0, 2)),
+                np.zeros((0, 4), np.float32))
     order = np.asarray(order)[:n_kept]
     packed_np = np.asarray(packed)[:n_kept]
     iou = np.asarray(iou_dev)[order]
     stab = np.asarray(stab_dev)[order]
     points = np.repeat(pts_orig, 3, axis=0)[order]
+    boxes = np.asarray(boxes_dev)[order]          # crop-frame XYXY
     masks = np.unpackbits(packed_np, axis=-1)[:, :, :w].astype(bool)
-    return masks, iou, stab, points
+    return masks, iou, stab, points, boxes
 
 
 def _assemble_records(final_masks, iou, stab, points, crop_boxes_per_mask,
@@ -469,7 +477,7 @@ def _generate_from_embedding(params: Params, cfg: SamArchConfig,
                              amg: AmgConfig,
                              max_masks: int) -> List[MaskRecord]:
     h, w = orig_hw
-    masks, iou, stab, points = _crop_candidates(
+    masks, iou, stab, points, _ = _crop_candidates(
         params, cfg, embedding, input_hw, orig_hw, amg, max_masks,
         amg.points_per_side)
     if len(masks) == 0:
@@ -477,8 +485,11 @@ def _generate_from_embedding(params: Params, cfg: SamArchConfig,
     final_masks = list(masks)
     keep = np.arange(len(final_masks))
     if amg.min_mask_region_area > 0 and final_masks:
+        # the reference always passes max(box, crop) here, even with a
+        # single crop (automatic_mask_generator.py generate :188-194)
         final_masks, keep = _postprocess_small_regions(
-            final_masks, amg.min_mask_region_area, amg.box_nms_thresh)
+            final_masks, amg.min_mask_region_area,
+            max(amg.box_nms_thresh, amg.crop_nms_thresh))
     return _assemble_records(final_masks, iou[keep], stab[keep],
                              points[keep],
                              [(0, 0, w, h)] * len(final_masks), amg)
@@ -498,6 +509,7 @@ def _generate_multicrop(params: Params, cfg: SamArchConfig,
         (orig_h, orig_w), amg.crop_n_layers, amg.crop_overlap_ratio)
 
     all_masks, all_iou, all_stab, all_pts, all_cb = [], [], [], [], []
+    all_boxes = []
     for cb, layer in zip(crop_boxes, layer_idxs):
         x0, y0, x1, y1 = cb
         crop = image_rgb[y0:y1, x0:x1]
@@ -505,7 +517,7 @@ def _generate_multicrop(params: Params, cfg: SamArchConfig,
         embedding = encode_image(params, cfg, batched)[0]
         pps = max(1, int(amg.points_per_side
                          / (amg.crop_n_points_downscale_factor ** layer)))
-        masks, iou, stab, pts = _crop_candidates(
+        masks, iou, stab, pts, bxs = _crop_candidates(
             params, cfg, embedding, input_hw, crop.shape[:2], amg,
             max_masks, pps, crop_box=tuple(cb),
             orig_box=(0, 0, orig_w, orig_h))
@@ -518,6 +530,9 @@ def _generate_multicrop(params: Params, cfg: SamArchConfig,
         all_iou.append(iou)
         all_stab.append(stab)
         all_pts.append(pts + np.array([x0, y0], np.float32))
+        # uncrop_boxes_xyxy (utils/amg.py:229-236): offset the boxes the
+        # decode already computed — no O(n·H·W) host nonzero re-scan
+        all_boxes.append(bxs + np.array([x0, y0, x0, y0], np.float32))
         all_cb.extend([tuple(cb)] * len(masks))
 
     if not all_masks:
@@ -531,11 +546,7 @@ def _generate_multicrop(params: Params, cfg: SamArchConfig,
         # cross-crop NMS preferring smaller crops (1/box_area scores,
         # automatic_mask_generator.py:210-222)
         from revisit_anything_tpu.ops.nms import nms_host
-        boxes = np.zeros((len(masks), 4), np.float32)
-        for j, seg in enumerate(masks):
-            ys, xs = np.nonzero(seg)
-            if len(xs):
-                boxes[j] = [xs.min(), ys.min(), xs.max(), ys.max()]
+        boxes = np.concatenate(all_boxes).astype(np.float32)
         areas = np.array([(c[2] - c[0]) * (c[3] - c[1]) for c in all_cb],
                          np.float64)
         keep = nms_host(boxes, (1.0 / areas).astype(np.float32),

@@ -101,12 +101,20 @@ def _sam_preprocess_fused(img_u8: jnp.ndarray, rh: jnp.ndarray,
     original rows/cols directly to the 1024-frame (full→half-res cv2 resize
     and half→1024 ResizeLongestSide collapse into one matrix each — both
     are half-pixel bilinear maps, so their product is exact).
+
+    The resized image is quantized back to uint8 levels before
+    normalization like the reference's (both its resizes emit uint8
+    images). Residual vs the reference: the intermediate half-res
+    quantization is folded through the composed matrices un-rounded, and
+    PIL/cv2 use fixed-point filter coefficients — worth ≤ ±1 level on
+    rare pixels vs the ~0.5-level drift everywhere without rounding.
     """
     x = img_u8.astype(jnp.float32)
     x = jnp.einsum("oh,hwc->owc", rh, x,
                    precision=jax.lax.Precision.HIGHEST)
     x = jnp.einsum("pw,owc->opc", rw, x,
                    precision=jax.lax.Precision.HIGHEST)
+    x = jnp.clip(jnp.round(x), 0.0, 255.0)
     x = (x - jnp.asarray(SAM_PIXEL_MEAN)) / jnp.asarray(SAM_PIXEL_STD)
     nh, nw = x.shape[0], x.shape[1]
     return jnp.pad(x, ((0, pad_to - nh), (0, pad_to - nw), (0, 0)))[None]
@@ -313,9 +321,11 @@ class SegVLADServer:
         self._rh = jnp.asarray(up_h @ down_h)
         self._rw = jnp.asarray(up_w @ down_w)
 
-        # DINO center crop to patch multiples (dn.preprocess semantics).
+        # DINO center crop to patch multiples (dn.preprocess semantics —
+        # torchvision round-half-even offsets, dn.center_crop_offsets).
         hn, wn = (fh // 14) * 14, (fw // 14) * 14
-        self._crop = ((fh - hn) // 2, (fw - wn) // 2, hn, wn)
+        top, left = dn.center_crop_offsets(fh, fw, hn, wn)
+        self._crop = (top, left, hn, wn)
 
         # AMG point grid in the 1024 frame (apply_coords scaling).
         grid = build_point_grid(self.amg.points_per_side)

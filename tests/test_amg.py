@@ -151,7 +151,10 @@ def test_generate_masks_batch_matches_single(rng, small_sam):
         assert len(b) == len(s)
         for rb, rs in zip(b, s):
             np.testing.assert_array_equal(rb.segmentation, rs.segmentation)
-            assert rb.predicted_iou == rs.predicted_iou
+            # batch-3 vs batch-1 encoder gemms reduce in different
+            # orders — scores agree to f32 ULP, not bit-exactly
+            np.testing.assert_allclose(rb.predicted_iou, rs.predicted_iou,
+                                       rtol=1e-5, atol=1e-7)
 
 
 def test_generate_crop_boxes_matches_reference_math():
