@@ -71,24 +71,36 @@ def _kmeanspp_init(x: jnp.ndarray, num_clusters: int, key: jax.Array,
     return centers
 
 
-@partial(jax.jit, static_argnames=("num_clusters", "num_iters", "mode"))
+@partial(jax.jit, static_argnames=("num_clusters", "num_iters", "mode",
+                                   "assume_normalized"))
 def kmeans_fit(x: jnp.ndarray,
                num_clusters: int,
                key: jax.Array,
                num_iters: int = 100,
-               mode: str = "cosine") -> Tuple[jnp.ndarray, jnp.ndarray]:
+               mode: str = "cosine",
+               assume_normalized: bool = False
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fit kmeans; returns (centers [C, D], labels [N]).
 
-    kmeans++ initialization; centers are updated as the arithmetic mean of
-    assigned points (matching fast_pytorch_kmeans); empty clusters keep
-    their previous center.
+    kmeans++ initialization; centers are updated as the arithmetic mean
+    of assigned points. An EMPTY cluster's center becomes the zero
+    vector, exactly like fast_pytorch_kmeans' full-batch fit_predict
+    (c_grad starts at zeros, only matched clusters are filled, lr=1
+    replaces the centroids outright) — a dead cluster stays dead there,
+    and the zero center contributes a zero block to every reference
+    VLAD, so keep-previous-center would diverge.
+
+    ``assume_normalized``: skip the cosine-mode input normalization when
+    the caller already L2-normalized ``x`` (saves a full HBM pass plus a
+    second multi-GB copy on vocabulary-scale inputs).
     """
     n, d = x.shape
     x = x.astype(jnp.float32)
     centers0 = _kmeanspp_init(x, num_clusters, key, mode)
     # x is loop-invariant: normalize it ONCE for the cosine assignments
     # instead of re-normalizing the full matrix every iteration
-    x_assign = l2_normalize(x) if mode == "cosine" else x
+    x_assign = (x if assume_normalized or mode != "cosine"
+                else l2_normalize(x))
 
     def step(_, centers):
         labels = _assign(x_assign, centers, mode, x_normalized=True)
@@ -97,7 +109,7 @@ def kmeans_fit(x: jnp.ndarray,
                    precision=jax.lax.Precision.HIGHEST)
         counts = jnp.sum(onehot, axis=0)
         new_centers = sums / jnp.maximum(counts[:, None], 1.0)
-        return jnp.where(counts[:, None] > 0, new_centers, centers)
+        return jnp.where(counts[:, None] > 0, new_centers, 0.0)
 
     centers = jax.lax.fori_loop(0, num_iters, step, centers0)
     labels = _assign(x_assign, centers, mode, x_normalized=True)

@@ -71,7 +71,7 @@ def load_pca_npz(path: str) -> PCAParams:
 
 
 def pca_fit(x: jnp.ndarray, num_components: int, whiten: bool = True,
-            power_iters: int = 2, oversample: int = 16,
+            power_iters: int = 7, oversample: int = 16,
             seed: int = 0) -> PCAParams:
     """Fit PCA with a randomized range finder (top-k right singular vectors).
 
@@ -80,6 +80,15 @@ def pca_fit(x: jnp.ndarray, num_components: int, whiten: bool = True,
     randomized approximation; deterministic given ``seed``. Signs are fixed
     so each component's max-|.| entry is positive (mirrors sklearn svd_flip
     determinism without depending on U).
+
+    ``power_iters`` defaults to 7 — sklearn's own randomized solver uses
+    n_iter=7 whenever k < 0.1·min(shape) (the production regime: 1024 of
+    49152 dims). The reference fits with near-exact arpack
+    (place_rec_pca.py:339-342); whitening divides by sqrt(ev) of exactly
+    the TRAILING components where randomized range-finder error
+    concentrates, so under-iterating (the previous default of 2)
+    measurably rotated/amplified the last ~100 whitened dimensions.
+    Fitting is offline; the extra passes are cheap.
     """
     n, d = x.shape
     k = num_components

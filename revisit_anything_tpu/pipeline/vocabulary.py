@@ -46,9 +46,12 @@ def sample_descriptors_from_h5(dino_h5_path: str,
     with h5py.File(dino_h5_path, "r") as f:
         for key in keys:
             feats = read_dino_features(f, key)[0]          # [D, dh, dw]
+            # every stride-th pixel in BOTH height and width (the
+            # reference's original_data[:, :, ::2, ::2] — a 4x grid
+            # subsample, not a flat 2x one)
+            feats = feats[:, ::stride, ::stride]
             d = feats.shape[0]
-            flat = feats.reshape(d, -1).T                  # [P, D]
-            chunks.append(flat[::stride])
+            chunks.append(feats.reshape(d, -1).T)          # [P, D]
     return np.concatenate(chunks).astype(np.float32)
 
 
@@ -62,7 +65,7 @@ def fit_vocabulary(descriptors: np.ndarray,
     x = l2_normalize(jnp.asarray(descriptors), axis=1)
     centers, _ = kmeans_fit(x, num_clusters,
                             jax.random.PRNGKey(seed), num_iters=num_iters,
-                            mode="cosine")
+                            mode="cosine", assume_normalized=True)
     return np.asarray(centers)
 
 
