@@ -473,7 +473,7 @@ def cmd_add_pca(args):
     from revisit_anything_tpu.pipeline.extract import (_resize_cv2_bilinear,
                                                        load_image_rgb)
     from revisit_anything_tpu.training.vladbuff import (
-        bake_wpca, global_descriptor, load_vladbuff_checkpoint,
+        fit_wpca, global_descriptor, load_vladbuff_checkpoint,
         load_vladbuff_params, save_vladbuff_params)
 
     cfg = dn.CONFIGS[args.backbone]
@@ -501,8 +501,14 @@ def cmd_add_pca(args):
     descs = np.concatenate(descs)
     print(f"fitted on {len(descs)} descriptors of dim {descs.shape[1]}")
 
+    # fit ONCE at the largest num_pcs and slice per n (the reference
+    # eigendecomposes once and takes current_u = u[:, :n] per output,
+    # add_pca.py:546-578) — each component's whitening scale is its own
+    # eigenvalue, so slicing the max-k W/b rows is exact
+    wpca_full = fit_wpca(jnp.asarray(descs), max(args.num_pcs))
     for n in sorted(args.num_pcs):
-        baked = bake_wpca(params, jnp.asarray(descs), n)
+        baked = dict(params)
+        baked["wpca"] = {"w": wpca_full["w"][:n], "b": wpca_full["b"][:n]}
         out = args.out_template.format(n=n)
         save_vladbuff_params(out, baked)
         print(f"wpca{n}: {out}")

@@ -23,7 +23,9 @@ Params = Dict[str, Any]
 
 def netvlad_init(key: jax.Array, dim: int, clusters: int = 64,
                  antiburst: bool = True,
-                 ab_w: float = 10.0, ab_b: float = -4.0, ab_p: float = 1.0,
+                 # every reference entry point defaults (8, 7, 1) —
+                 # train.py:188-190, eval.py, hubconf.py, func_vpr.py:1690
+                 ab_w: float = 8.0, ab_b: float = 7.0, ab_p: float = 1.0,
                  nv_pca: Optional[int] = None, nv_pca_mode: str = "rot",
                  dtype=jnp.float32) -> Params:
     """Parameters for NetVLAD(+AntiBurst). ``assign_w`` is the 1x1 conv
@@ -71,19 +73,23 @@ def _nv_pca_project(params: Params, x: jnp.ndarray,
     if "pca_rot" in params:
         x = x - params["pca_mean"][None, :, None]
         x = jnp.einsum("bdp,kd->bkp", x, params["pca_rot"],
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     elif "bottleneck" in params:
         x = jnp.einsum("bdp,dk->bkp", x, params["bottleneck"]["w"],
-                       preferred_element_type=jnp.float32) \
+                       preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST) \
             + params["bottleneck"]["b"][None, :, None]
     elif "nv_mlp" in params:
         m = params["nv_mlp"]
         x = jnp.einsum("bdp,dk->bkp", x, m["fc1"]["w"],
-                       preferred_element_type=jnp.float32) \
+                       preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST) \
             + m["fc1"]["b"][None, :, None]
         x = jax.nn.relu(x)
         x = jnp.einsum("bdp,dk->bkp", x, m["fc2"]["w"],
-                       preferred_element_type=jnp.float32) \
+                       preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST) \
             + m["fc2"]["b"][None, :, None]
     else:
         return x
@@ -116,7 +122,7 @@ def netvlad_init_from_cluster_centers(centers: jnp.ndarray,
         "centroids": centers.astype(jnp.float32),
     }
     if antiburst:
-        p["ab_params"] = jnp.asarray([10.0, -4.0, 1.0], jnp.float32)
+        p["ab_params"] = jnp.asarray([8.0, 7.0, 1.0], jnp.float32)
     return p
 
 
@@ -125,7 +131,8 @@ def _antiburst_weights(x_flat: jnp.ndarray, ab_params: jnp.ndarray
     """w[b, p] = (Σ_q sigmoid(w·selfDis[b,p,q] + b))^p_exp with
     selfDis = -2 + 2 xᵀx (aggregation.py:148-162, :337-344)."""
     gram = jnp.einsum("bdp,bdq->bpq", x_flat, x_flat,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     self_dis = -2.0 + 2.0 * gram
     w = jax.nn.sigmoid(ab_params[0] * self_dis + ab_params[1])
     return jnp.sum(w, axis=-1) ** ab_params[2]
@@ -145,14 +152,16 @@ def netvlad_forward(params: Params, features: jnp.ndarray,
         x = l2_normalize(x, axis=1)
     x = _nv_pca_project(params, x, normalize_input)      # nv_pca configs
     logits = jnp.einsum("bdp,dc->bcp", x, params["assign_w"],
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     soft_assign = jax.nn.softmax(logits, axis=1)         # [B, C, P]
     if "ab_params" in params:
         w_burst = _antiburst_weights(x, params["ab_params"])
         soft_assign = soft_assign / w_burst[:, None, :]
     # vlad[b,c,d] = Σ_p soft_assign[b,c,p] * (x[b,d,p] - centroid[c,d])
     vlad = (jnp.einsum("bcp,bdp->bcd", soft_assign, x,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
             - jnp.sum(soft_assign, axis=2)[:, :, None] * params["centroids"])
     vlad = l2_normalize(vlad, axis=2)                    # intra-norm
     vlad = vlad.reshape(b, -1)
@@ -249,7 +258,8 @@ def convap_forward(params: Params, features: jnp.ndarray,
     flatten → L2."""
     b, d, hgt, wid = features.shape
     x = jnp.einsum("bdhw,do->bohw", features, params["conv_w"],
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     x = x + params["conv_b"][None, :, None, None]
     # adaptive average pooling to (s1, s2): torch bin edges
     def pool_axis(arr, axis, out_size, in_size):
@@ -428,7 +438,8 @@ def salad_forward(params: Params, features: jnp.ndarray,
     # v[b, l, m] = Σ_p f[b, p, l] · p[b, m, p]; normalize over l per
     # cluster; flatten in (l, m) order like torch flatten(1).
     agg = jnp.einsum("bpl,bmp->blm", feats, p_assign,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     agg = l2_normalize(agg, axis=1).reshape(b, -1)
 
     if token is None:
@@ -520,18 +531,21 @@ def crn_forward(params: Params, features: jnp.ndarray,
                         axis=1)
     g = jax.nn.relu(g)
     acc = jnp.einsum("bchw,co->bohw", g, crn["acc_w"],
-                     preferred_element_type=jnp.float32)         + crn["acc_b"][None, :, None, None]
+                     preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)         + crn["acc_b"][None, :, None, None]
     mask = jax.nn.relu(acc)
     mask = bilinear_resize_torch(mask, (h, w))           # scale_factor=2
 
     x_flat = x.reshape(b, d, -1)
     logits = jnp.einsum("bdp,dc->bcp", x_flat, params["assign_w"],
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     soft_assign = jax.nn.softmax(logits, axis=1)
     soft_assign = soft_assign * mask.reshape(b, 1, h * w)
 
     vlad = (jnp.einsum("bcp,bdp->bcd", soft_assign, x_flat,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
             - jnp.sum(soft_assign, axis=2)[:, :, None] * params["centroids"])
     vlad = l2_normalize(vlad, axis=2)
     return l2_normalize(vlad.reshape(b, -1), axis=1)

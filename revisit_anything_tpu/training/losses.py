@@ -55,7 +55,13 @@ def multi_similarity_loss(embeddings: jnp.ndarray,
                           miner_epsilon: float = 0.1) -> jnp.ndarray:
     """MS loss over dot-product similarities, averaged over ALL anchors
     (pytorch_metric_learning MultiSimilarityLoss uses MeanReducer: zero-
-    loss anchors stay in the denominator)."""
+    loss anchors stay in the denominator).
+
+    Embeddings are L2-normalized first: pytorch_metric_learning's
+    DotProductSimilarity defaults normalize_embeddings=True, so the
+    reference loss always sees unit vectors (un-normalized inputs would
+    also overflow exp(beta·sims) at beta=50)."""
+    embeddings = l2_normalize(embeddings, axis=1)
     sims = jnp.dot(embeddings, embeddings.T,
                    preferred_element_type=jnp.float32)
     if use_miner:
@@ -88,8 +94,9 @@ def contrastive_loss(embeddings: jnp.ndarray, labels: jnp.ndarray,
     """Contrastive loss over L2 distances (losses.py ContrastiveLoss
     config: pos_margin 0, neg_margin 1): positives pay max(d - pos_m, 0),
     negatives max(neg_m - d, 0). PML reduces the positive and negative
-    pair sets SEPARATELY (AvgNonZeroReducer each) and sums the means."""
-    dist = _pairwise_l2(embeddings)
+    pair sets SEPARATELY (AvgNonZeroReducer each) and sums the means.
+    L2-normalized first (PML LpDistance normalize_embeddings=True)."""
+    dist = _pairwise_l2(l2_normalize(embeddings, axis=1))
     pos_mask, neg_mask = _pair_masks(labels)
     pos_term = jnp.where(pos_mask,
                          jnp.maximum(dist - pos_margin, 0.0), 0.0)
@@ -105,8 +112,9 @@ def triplet_margin_loss(embeddings: jnp.ndarray, labels: jnp.ndarray,
                         margin: float = 0.1) -> jnp.ndarray:
     """Batch-all triplet margin loss over L2 distances
     (losses.py TripletMarginLoss: margin 0.1, all triplets), averaged over
-    violating triplets."""
-    dist = _pairwise_l2(embeddings)
+    violating triplets. L2-normalized first (PML LpDistance
+    normalize_embeddings=True)."""
+    dist = _pairwise_l2(l2_normalize(embeddings, axis=1))
     pos_mask, neg_mask = _pair_masks(labels)
     # loss[a, p, n] = max(d_ap - d_an + margin, 0) over valid triplets
     viol = dist[:, :, None] - dist[:, None, :] + margin

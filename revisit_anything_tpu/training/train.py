@@ -22,6 +22,7 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -41,8 +42,12 @@ class VPRTrainConfig:
     antiburst: bool = True
     lr: float = 6e-5                       # train.py --lr
     weight_decay: float = 9.5e-9           # train.py --weight_decay
-    warmup_steps: int = 600
+    warmup_steps: int = 600                # unused by the reference
+    #                                        schedules (kept for custom
+    #                                        schedules; see make_schedule)
     total_steps: int = 20000
+    lin_end_factor: float = 0.2            # train.py lr_sched_args
+    lin_total_iters: int = 4000            # (:366-370)
     imgs_per_place: int = 4
     # vpr_model.py configure_optimizers (:187-227): sgd | adam | adamw
     # ("adam" is AdamW in the reference too, vpr_model.py:200-203) and
@@ -110,19 +115,32 @@ def _trainable_mask(params: Params, cfg: VPRTrainConfig) -> Params:
         out["norm"] = jax.tree.map(lambda _: True, bb["norm"])
         return out
 
-    return {"backbone": mask_backbone(True),
-            "aggregator": jax.tree.map(lambda _: True,
-                                       params["aggregator"])}
+    agg_mask = jax.tree.map(lambda _: True, params["aggregator"])
+    # CRN's accumulation conv is FIXED in the reference
+    # (requires_grad=False, aggregation.py:506-510) — keep the optimizer
+    # off it
+    if "crn" in agg_mask:
+        for frozen in ("acc_w", "acc_b"):
+            agg_mask["crn"][frozen] = False
+    return {"backbone": mask_backbone(True), "aggregator": agg_mask}
 
 
 def make_schedule(cfg: VPRTrainConfig):
-    """linear (warmup/warmdown), multistep (MultiStepLR) or cosine
+    """linear (LinearLR), multistep (MultiStepLR) or cosine
     (CosineAnnealingLR) — vpr_model.py:209-226."""
     sched = cfg.lr_sched.lower()
     if sched == "linear":
-        return optax.linear_onecycle_schedule(
-            transition_steps=cfg.total_steps, peak_value=cfg.lr,
-            pct_start=cfg.warmup_steps / max(cfg.total_steps, 1))
+        # torch LinearLR exactly (vpr_model.py:219-225, defaults
+        # train.py:365-370): factor 1 → lin_end_factor over
+        # lin_total_iters steps, CONSTANT afterwards. No warmup — the
+        # reference's optimizer_step wrapper only steps the scheduler
+        # per batch (vpr_model.py:229-233); cfg.warmup_steps is ignored
+        # here (an earlier one-cycle implementation warmed up from
+        # lr/25 and decayed to ~0, a silent divergence from VLAD-BuFF).
+        return optax.linear_schedule(
+            init_value=cfg.lr,
+            end_value=cfg.lr * cfg.lin_end_factor,
+            transition_steps=cfg.lin_total_iters)
     if sched == "multistep":
         unit = cfg.steps_per_epoch if cfg.steps_per_epoch > 0 else 1
         return optax.piecewise_constant_schedule(
@@ -150,11 +168,32 @@ def make_optimizer(cfg: VPRTrainConfig, params: Params):
     return optax.masked(tx, _trainable_mask(params, cfg))
 
 
-def create_train_state(cfg: VPRTrainConfig, key: jax.Array) -> VPRTrainState:
+def create_train_state(cfg: VPRTrainConfig, key: jax.Array,
+                       init_descriptors=None) -> VPRTrainState:
+    """Fresh train state.
+
+    ``init_descriptors`` [N, D]: sample backbone descriptors for the
+    reference's NetVLAD cluster initialization (initialize_netvlad_layer,
+    aggregation.py:392-468 — euclidean faiss.Kmeans niter=100 centroids,
+    assign weights alpha·normalized centroids with alpha from the
+    top1−top2 assignment gap). The reference default is
+    initialize_clusters=True (train.py:143-147); without descriptors the
+    aggregator starts from random init instead.
+    """
     kb, ka = jax.random.split(key)
     backbone = dn.init_params(cfg.backbone, kb)
-    aggregator = netvlad_init(ka, cfg.backbone.embed_dim, cfg.clusters,
-                              cfg.antiburst)
+    if init_descriptors is not None:
+        from revisit_anything_tpu.ops.kmeans import kmeans_fit
+        from revisit_anything_tpu.training.aggregators import (
+            netvlad_init_from_cluster_centers)
+        x = jnp.asarray(np.asarray(init_descriptors, np.float32))
+        centers, _ = kmeans_fit(x, cfg.clusters, ka, num_iters=100,
+                                mode="euclidean")
+        aggregator = netvlad_init_from_cluster_centers(
+            centers, descriptors=x, antiburst=cfg.antiburst)
+    else:
+        aggregator = netvlad_init(ka, cfg.backbone.embed_dim, cfg.clusters,
+                                  cfg.antiburst)
     params = {"backbone": backbone, "aggregator": aggregator}
     opt_state = make_optimizer(cfg, params).init(params)
     return VPRTrainState(params, opt_state, jnp.zeros((), jnp.int32))

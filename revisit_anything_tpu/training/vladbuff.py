@@ -195,21 +195,40 @@ def salad_global_descriptor(params: Params, cfg: dn.DinoV2Config,
 
 
 def fit_wpca(descriptors: jnp.ndarray, num_components: int,
-             eps: float = 1e-12) -> Dict[str, jnp.ndarray]:
+             eps: float = 1e-9) -> Dict[str, jnp.ndarray]:
     """Whitened PCA baked as a linear layer y = W x + b
-    (add_pca.py pca() :63-123): eigendecomposition of the covariance,
-    W = diag(1/sqrt(lam)) U^T, b = -W mu."""
-    x = descriptors.astype(jnp.float32)
+    (add_pca.py pca() :63-123): W = diag(1/sqrt(lam + 1e-9)) U^T,
+    b = -W mu (the whitening eps is ADDITIVE, add_pca.py:566-570).
+
+    Like the reference, the eigendecomposition runs on whichever of the
+    covariance [D, D] / gram [N, N] is smaller (the MATLAB-style dual
+    path, add_pca.py:92-120): at the production 49152-d NetVLAD
+    descriptors with 10k samples, the primal covariance would be a
+    ~9.7 GB buffer and an O(D³) eigh — the dual recovers the directions
+    as U = Xᵀ U_dual diag(1/sqrt(max(lam, 1e-9))) / sqrt(N−1)."""
+    x = descriptors.astype(jnp.float32)          # [N, D]
+    n, d = x.shape
     mu = jnp.mean(x, axis=0)
     xc = x - mu
-    cov = jnp.dot(xc.T, xc, preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST) / (x.shape[0] - 1)
-    lam, u = jnp.linalg.eigh(cov)
-    order = jnp.argsort(-lam)[:num_components]
-    lam = jnp.maximum(lam[order], eps)
-    u = u[:, order]
-    w = (u / jnp.sqrt(lam)[None, :]).T           # [K, D]
-    b = -jnp.dot(w, mu, precision=jax.lax.Precision.HIGHEST)
+    hp = jax.lax.Precision.HIGHEST
+    if d <= n:
+        cov = jnp.dot(xc.T, xc, preferred_element_type=jnp.float32,
+                      precision=hp) / (n - 1)
+        lam, u = jnp.linalg.eigh(cov)
+        order = jnp.argsort(-lam)[:num_components]
+        lam, u = lam[order], u[:, order]         # u [D, K]
+    else:
+        gram = jnp.dot(xc, xc.T, preferred_element_type=jnp.float32,
+                       precision=hp) / (n - 1)
+        lam, ud = jnp.linalg.eigh(gram)
+        order = jnp.argsort(-lam)[:num_components]
+        lam, ud = lam[order], ud[:, order]       # ud [N, K]
+        u = jnp.dot(xc.T,
+                    ud / jnp.sqrt(jnp.maximum(lam, 1e-9))[None, :],
+                    preferred_element_type=jnp.float32,
+                    precision=hp) / jnp.sqrt(n - 1.0)
+    w = (u / jnp.sqrt(lam + eps)[None, :]).T     # [K, D]
+    b = -jnp.dot(w, mu, precision=hp)
     return {"w": w, "b": b}
 
 

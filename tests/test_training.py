@@ -215,8 +215,12 @@ def test_triplet_loss_matches_oracle(rng):
     from revisit_anything_tpu.training.losses import triplet_margin_loss
     emb = rng.standard_normal((8, 8)).astype(np.float32)
     labels = np.repeat(np.arange(2), 4)
+    # un-normalized input: the loss L2-normalizes first (PML LpDistance
+    # defaults normalize_embeddings=True), so the oracle compares on the
+    # normalized embeddings
     ours = float(triplet_margin_loss(emb, labels, margin=0.2))
-    ref = oracle_triplet_all(emb.astype(np.float64), labels, 0.2)
+    emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    ref = oracle_triplet_all(emb_n.astype(np.float64), labels, 0.2)
     np.testing.assert_allclose(ours, ref, rtol=1e-4)
 
 
