@@ -70,11 +70,19 @@ def read_image_masks(h5: h5py.File, image_key: str,
     records: List[MaskRecord] = []
     for k in natsorted_keys(group.keys()):
         g = group[k]
-        area = int(g["area"][()]) if "area" in g else int(
-            g["segmentation"][()].sum())
+        seg = None
+        if "area" in g:
+            area = int(g["area"][()])
+        else:
+            # FastSAM-style artifacts carry only 'segmentation'
+            # (func_vpr.py:694-701) — read it ONCE for both the area
+            # fallback and the record
+            seg = g["segmentation"][()].astype(bool)
+            area = int(seg.sum())
         if min_area and area <= min_area:
             continue
-        seg = g["segmentation"][()].astype(bool)
+        if seg is None:
+            seg = g["segmentation"][()].astype(bool)
         if segmentation_only:
             records.append(MaskRecord(seg, area, (0, 0, 0, 0), 0.0,
                                       np.zeros((1, 2)), 0.0, (0, 0, 0, 0)))

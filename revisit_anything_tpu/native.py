@@ -82,7 +82,13 @@ def rle_encode(mask: np.ndarray) -> dict:
         counts = np.empty(h * w + 1, np.int32)
         n = lib.rle_encode(m, h, w, counts)
         return {"size": [h, w], "counts": counts[:n].tolist()}
-    flat = np.asfortranarray(mask).reshape(-1, order="F").astype(np.int8)
+    # normalize to strict 0/1 BEFORE the run detection: a uint8 mask of
+    # 255s would fail a `== 1` foreground test (and int8 overflow makes
+    # it -1), dropping the leading zero count and parity-inverting the
+    # decoded mask — the native path already treats any nonzero as
+    # foreground
+    flat = (np.asfortranarray(mask).reshape(-1, order="F") != 0
+            ).astype(np.int8)
     changes = np.nonzero(np.diff(flat))[0] + 1
     edges = np.concatenate([[0], changes, [len(flat)]])
     counts = np.diff(edges).tolist()

@@ -94,7 +94,9 @@ def nms_host(boxes: np.ndarray, scores: np.ndarray,
     keep = []
     suppressed = np.zeros(len(boxes), bool)
     for i in order:
-        if suppressed[i]:
+        if suppressed[i] or scores[i] == -np.inf:
+            # -inf marks padding/invalid candidates (the convention
+            # nms_keep_mask documents) — never emit them as kept
             continue
         keep.append(i)
         ix1 = np.maximum(x1[i], x1)
