@@ -535,3 +535,48 @@ def test_max_ref_images_below_existing_ids_rejected(models):
             index=_index(rng), full_hw=(H, W), sam_hw=(H // 2, W // 2),
             amg=amg, dino_layer=1, max_masks=32, top_images=5,
             db_capacity=400, max_ref_images=5, mesh=None)
+
+
+def test_landscape_serving_pad_row_restriction(models):
+    """Landscape inputs activate the decoder's pad-row skipping (SAM
+    pads to a square; amg.resize_mats_and_rows drops zero-weight mask
+    rows). The full serving AMG must still match the independent
+    generate_masks harness mask-for-mask, and queries stay
+    deterministic."""
+    from revisit_anything_tpu.models.sam.amg import resize_mats_and_rows
+
+    sam_params, dino_params = models
+    rng = np.random.default_rng(41)
+    hw = (84, 112)                       # landscape: input 96x128, gh 7/8
+    input_hw = (96, 128)
+    _, _, gh = resize_mats_and_rows(SAM_SMALL, input_hw, hw)
+    assert gh < SAM_SMALL.grid           # restriction active
+
+    amg = AmgConfig(points_per_side=6, points_per_batch=36,
+                    pred_iou_thresh=-1e9, stability_score_thresh=0.0)
+    srv = SegVLADServer(
+        sam_params=sam_params, sam_cfg=SAM_SMALL,
+        dino_params=dino_params, dino_cfg=DINO_SMALL,
+        index=_index(rng), full_hw=hw, sam_hw=hw,
+        amg=amg, dino_layer=1, max_masks=32, top_images=5)
+
+    img = rng.integers(60, 200, hw + (3,), dtype=np.uint8)
+    yy, xx = np.ogrid[:hw[0], :hw[1]]
+    for _ in range(4):
+        cy, cx = rng.integers(10, hw[0] - 10), rng.integers(10, hw[1] - 10)
+        r = rng.integers(6, 16)
+        img[(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = rng.integers(
+            0, 255, 3)
+
+    masks_dev, stats = srv._amg_device(jax.device_put(img))
+    n = int(np.asarray(stats)[-1])
+    records = generate_masks(sam_params, SAM_SMALL, img, amg, max_masks=32)
+    assert n == len(records) > 0
+    np.testing.assert_array_equal(
+        np.asarray(masks_dev)[:n],
+        np.stack([r.segmentation for r in records]))
+
+    top1 = srv.query(img)
+    top2 = srv.query(img)
+    np.testing.assert_array_equal(top1, top2)
+    assert top1.shape == (5,)
