@@ -91,16 +91,22 @@ def _head_softmax_rows(st, n_tok: int, heads: int):
 
 def _probs_kernel(qst_ref, kbdt_ref, *refs, layer: int,
                   n_tok: int, heads: int, scale: float, d: int, da: int,
-                  eps: float):
-    """One prompt step: emit the i2t attention probabilities transposed.
+                  eps: float, pps: int = 1):
+    """One grid step: emit the i2t attention probabilities transposed.
 
     Layer 1 (shared queries): st = kbdT @ q1sT.
       qst_ref: [1, DA, M] shared pre-projected (img0+pe)Wq + b, transposed.
-      kbdt_ref: [1, HT, DA] per-prompt block-diagonal projected token keys
-        (the transpose of i2t_update's kbd).
+      kbdt_ref: [pps, HT, DA] per-prompt block-diagonal projected token
+        keys (the transpose of i2t_update's kbd). ``pps`` prompts share
+        the step: their key rows stack to ONE [pps·HT, DA] operand, so
+        the logits matmul runs at pps× the M-dim (56 rows underfill the
+        MXU's 128-row tile) and the grid has pps× fewer steps; the
+        per-(prompt, head) softmax groups are unchanged T-row groups.
+        Layer 2 is always pps=1 (its reconstruction state is per-prompt
+        and VMEM-bound).
     Layer 2 (reconstructed queries): refs = (img0t, p1, c1, peq2t, wq,
       vecs, out) where q2T = Wq2^T @ keys1T + peq2T (+ b folded in).
-    Output (last ref): [1, HT, M] bf16 probabilities.
+    Output (last ref): [pps, HT, M] bf16 probabilities.
     """
     if layer == 1:
         (pt_out_ref,) = refs
@@ -115,31 +121,40 @@ def _probs_kernel(qst_ref, kbdt_ref, *refs, layer: int,
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)         # [DA, M]
         qt = qt + peq2t_ref[0].astype(jnp.float32)
-    kbd = kbdt_ref[0].astype(jnp.float32)               # [HT, DA]
+    if pps == 1:
+        kbd = kbdt_ref[0].astype(jnp.float32)           # [HT, DA]
+    else:
+        shp = kbdt_ref.shape                            # [pps, HT, DA]
+        kbd = kbdt_ref[...].astype(jnp.float32).reshape(
+            shp[0] * shp[1], shp[2])                    # [pps·HT, DA]
     # per-head logits: head h contracts q rows h·hd.. with its key rows —
     # kbd is block-diagonal over heads, so ONE matmul does all heads
+    # (and, with pps > 1, all of the step's prompts)
     st = jax.lax.dot_general(
         kbd, qt, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale     # [HT, M]
-    pt_out_ref[0] = _head_softmax_rows(st, n_tok, heads).astype(
+        preferred_element_type=jnp.float32) * scale     # [pps·HT, M]
+    # (prompt, head) groups are all T-row groups — heads·pps of them
+    pt = _head_softmax_rows(st, n_tok, heads * pps).astype(
         pt_out_ref.dtype)
+    pt_out_ref[...] = pt.reshape(pt_out_ref.shape)
 
 
 @partial(jax.jit, static_argnames=("layer", "n_tok", "heads", "scale",
-                                   "eps", "interpret"))
+                                   "eps", "interpret", "pps"))
 def _probs_call(qst, kbdt, extra, layer: int, n_tok: int, heads: int,
-                scale: float, eps: float, interpret: bool):
+                scale: float, eps: float, interpret: bool, pps: int = 1):
     b = kbdt.shape[0]
     ht = kbdt.shape[1]
     da = kbdt.shape[2]
     m = qst.shape[2] if layer == 1 else extra[0].shape[2]
     d = extra[0].shape[1] if layer != 1 else 0
+    assert pps == 1 or (layer == 1 and b % pps == 0), (layer, b, pps)
     kernel = partial(_probs_kernel, layer=layer, n_tok=n_tok, heads=heads,
-                     scale=scale, d=d, da=da, eps=eps)
+                     scale=scale, d=d, da=da, eps=eps, pps=pps)
     in_specs = [
         pl.BlockSpec(qst.shape, lambda i: (0,) * qst.ndim,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ht, da), lambda i: (i, 0, 0),
+        pl.BlockSpec((pps, ht, da), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     args = [qst, kbdt]
@@ -162,9 +177,9 @@ def _probs_call(qst, kbdt, extra, layer: int, n_tok: int, heads: int,
         args += [img0t, p1, c1, peq2t, wq, vecs]
     return pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // pps,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, ht, m), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((pps, ht, m), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, ht, m), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
@@ -320,7 +335,8 @@ def i2t_probs(qst: Optional[jnp.ndarray], tok_k: jnp.ndarray,
               heads: int, *, layer: int = 1,
               recon: Optional[Tuple] = None,
               eps: float = 1e-6,
-              interpret: Optional[bool] = None) -> jnp.ndarray:
+              interpret: Optional[bool] = None,
+              pps: int = 1) -> jnp.ndarray:
     """Emit the image→tokens attention probabilities, transposed.
 
     Args:
@@ -332,6 +348,9 @@ def i2t_probs(qst: Optional[jnp.ndarray], tok_k: jnp.ndarray,
         peq2t [1, DA, M] — W_q·pe + b_q transposed, w_q [D, DA],
         vecs — from _pack_branch_vecs with layer-1 branch params).
 
+    ``pps``: prompts per grid step for layer 1 (whose queries are
+    shared) — see _probs_kernel; must divide B. Layer 2 ignores it.
+
     Returns P^T [B, HT, M] bf16.
     """
     b, t, da = tok_k.shape
@@ -342,7 +361,7 @@ def i2t_probs(qst: Optional[jnp.ndarray], tok_k: jnp.ndarray,
     scale = 1.0 / float(np.sqrt(hd))
     if layer == 1:
         return _probs_call(qst, kbdt, (), 1, t, heads, scale, float(eps),
-                           interpret)
+                           interpret, pps=pps)
     return _probs_call(jnp.zeros((1, 1, 1), kbdt.dtype), kbdt, recon, 2,
                        t, heads, scale, float(eps), interpret)
 

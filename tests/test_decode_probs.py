@@ -131,3 +131,23 @@ def test_t2i_from_probs_depth1_matches_oracle(rng):
         None, None, jnp.asarray(wk), jnp.asarray(wv), jnp.asarray(pekt),
         vecs, H, eps=EPS, interpret=True))
     np.testing.assert_allclose(got, want, atol=3e-2, rtol=3e-2)
+
+
+def test_probs_pps_matches_single(rng):
+    """Layer-1 prompts-per-step batching (shared queries, stacked key
+    rows) must emit the same probabilities as one prompt per step."""
+    import jax.numpy as jnp
+
+    from revisit_anything_tpu.ops.decode_probs import i2t_probs
+
+    b, t, heads, hd, m = 8, 7, 4, 8, 64
+    da = heads * hd
+    qst = jnp.asarray(rng.standard_normal((1, da, m)).astype(np.float32))
+    tok_k = jnp.asarray(
+        rng.standard_normal((b, t, da)).astype(np.float32))
+    base = np.asarray(i2t_probs(qst, tok_k, heads, layer=1,
+                                interpret=True), np.float32)
+    for pps in (2, 4, 8):
+        got = np.asarray(i2t_probs(qst, tok_k, heads, layer=1,
+                                   interpret=True, pps=pps), np.float32)
+        np.testing.assert_allclose(got, base, atol=2e-7, err_msg=str(pps))
