@@ -29,6 +29,12 @@ class SamArchConfig:
     decoder_mlp_dim: int = 2048
     iou_head_hidden: int = 256
     iou_head_depth: int = 3
+    # LayerNorm eps: 1e-6 matches the HuggingFace SamModel (the oracle
+    # every parity test runs against); facebook-SAM's two-way transformer
+    # uses plain nn.LayerNorm (1e-5). A deliberate choice — the HF
+    # convention is self-consistent across encoder/decoder; reconstruction
+    # vs facebook reference activations carries ~(4.5e-6/var) relative LN
+    # error on low-variance channels.
     eps: float = 1e-6
     mask_threshold: float = 0.0
 

@@ -8,8 +8,11 @@ TPU-native re-design of the reference encoder
 - The decomposed relative-position bias tables are gathered with
   statically precomputed index maps; the q-dependent bias is two einsums
   fused into the attention logits.
-- Softmax in f32; matmuls inherit the session precision (bf16-class on
-  TPU) — encoder outputs feed thresholded masks, tolerant to bf16.
+- Numerics: with f32 params, scores/softmax run f32. With bf16 params
+  the XLA windowed path keeps the [b, nh, N, N] scores AND the softmax
+  in bf16 (halves the dominant HBM traffic of the attention; a
+  deliberate measured tradeoff — encoder outputs feed thresholded
+  masks, tolerant to bf16); the flash kernel always reduces in f32.
 """
 
 from __future__ import annotations
@@ -80,6 +83,12 @@ def _rel_pos_gather(rel_pos: jnp.ndarray, q_size: int, k_size: int) -> jnp.ndarr
 # kernel pays its grid/pipeline overhead 28 times. Keep 1024.
 _FLASH_MIN_TOKENS = 1024
 
+# Test hook: the flash glue (bias construction, transposes, side wiring)
+# is backend-gated and would otherwise be unreachable off-TPU; tests set
+# True to drive it through the kernel's interpret mode (None = gate on
+# the real backend).
+_FLASH_OVERRIDE = None
+
 
 def _attention(x: jnp.ndarray, blk: Params, cfg: SamArchConfig) -> jnp.ndarray:
     """Windowed/global attention over NHWC tokens with decomposed rel-pos
@@ -98,8 +107,9 @@ def _attention(x: jnp.ndarray, blk: Params, cfg: SamArchConfig) -> jnp.ndarray:
     k = qkv[..., d:2 * d].reshape(b, h * w, nh, hd)
     v = qkv[..., 2 * d:].reshape(b, h * w, nh, hd)
 
-    use_flash = (jax.default_backend() == "tpu" and h == w
-                 and h * w >= _FLASH_MIN_TOKENS)
+    backend_flash = (_FLASH_OVERRIDE if _FLASH_OVERRIDE is not None
+                     else jax.default_backend() == "tpu")
+    use_flash = backend_flash and h == w and h * w >= _FLASH_MIN_TOKENS
     if use_flash:
         from revisit_anything_tpu.ops.attention import attend
         rh = _rel_pos_gather(blk["rel_pos_h"], h, h)

@@ -29,7 +29,7 @@ _NEG_INF = -1e30
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, eh_ref, ew_ref,
-                 o_ref, *, side: int, valid_len: int, scale: float,
+                 o_ref, *, valid_len: int, scale: float,
                  use_bias: bool):
     """One (batch*head, q-block) step: scores [bq, N] in VMEM, softmax,
     output [bq, D]."""
@@ -109,7 +109,9 @@ def _flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         eh[ks // side, ks] = 1.0
         ew[ks % side, ks] = 1.0
 
-    kernel = partial(_attn_kernel, side=side if use_bias else 0,
+    # (the side-based indexing lives entirely in the precomputed eh/ew
+    # expansion matrices — the kernel body never needs `side`)
+    kernel = partial(_attn_kernel,
                      valid_len=valid_len, scale=scale, use_bias=use_bias)
     return pl.pallas_call(
         kernel,

@@ -133,10 +133,11 @@ def _probs_kernel(qst_ref, kbdt_ref, *refs, layer: int,
     st = jax.lax.dot_general(
         kbd, qt, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale     # [pps·HT, M]
-    # (prompt, head) groups are all T-row groups — heads·pps of them
-    pt = _head_softmax_rows(st, n_tok, heads * pps).astype(
-        pt_out_ref.dtype)
-    pt_out_ref[...] = pt.reshape(pt_out_ref.shape)
+    # (prompt, head) groups are all T-row groups — heads·pps of them.
+    # Reshape BEFORE the bf16 cast: [pps·56, M] splits on 8-sublane f32
+    # tiles (56 % 8 == 0) but NOT on 16-sublane bf16 tiles.
+    pt = _head_softmax_rows(st, n_tok, heads * pps)
+    pt_out_ref[...] = pt.reshape(pt_out_ref.shape).astype(pt_out_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("layer", "n_tok", "heads", "scale",

@@ -306,3 +306,29 @@ def test_resize_mats_full_height_is_noop():
     wh, ww, gh = resize_mats_and_rows(cfg, (IMG, 96), (100, 70))
     assert gh == cfg.grid
     assert wh.shape == (100, 4 * cfg.grid)
+
+
+def test_encoder_flash_glue_matches_xla_path(rng):
+    """The flash-attention glue in the encoder (bias construction,
+    transposes, side wiring) is backend-gated and otherwise unreachable
+    off-TPU; drive it through the kernel's interpret mode and pin it to
+    the XLA branch (a swapped bias_h/bias_w or wrong transpose would
+    silently corrupt all 4 global layers in production encodes)."""
+    from revisit_anything_tpu.models.sam import encoder as enc
+
+    cfg = SamArchConfig(
+        encoder_dim=32, encoder_depth=1, encoder_heads=2,
+        global_attn_indexes=(0,), image_size=512, patch_size=16,
+        window_size=4, prompt_dim=32, decoder_heads=2,
+        decoder_mlp_dim=64, iou_head_hidden=16)   # grid 32 → 1024 tokens
+    params = sam_mod.init_sam_params(cfg, __import__("jax").random.PRNGKey(3))
+    img = rng.standard_normal((1, 512, 512, 3)).astype(np.float32)
+
+    ref = np.asarray(encode_image(params, cfg, img))
+    assert enc._FLASH_OVERRIDE is None
+    enc._FLASH_OVERRIDE = True
+    try:
+        got = np.asarray(encode_image(params, cfg, img))
+    finally:
+        enc._FLASH_OVERRIDE = None
+    np.testing.assert_allclose(got, ref, atol=2e-4)
