@@ -692,17 +692,16 @@ def cmd_build_index(args):
           f"{int(bank.image_indices.max()) + 1} images")
 
 
-def cmd_query(args):
-    """Online query: one image against a prebuilt index through the
-    serving pipeline (pipeline/serve.py — single uint8 upload, device-
-    resident masks, fused retrieval tail)."""
+def _build_server(args, db_capacity=None):
+    """SegVLADServer from a build-index npz + model flags (shared by the
+    one-shot ``query`` and the persistent ``serve`` commands). Returns
+    (server, image_keys, dino_hw)."""
     import jax
     from revisit_anything_tpu.models import dinov2 as dn
     from revisit_anything_tpu.models.sam import (SAM_REGISTRY,
                                                  init_sam_params,
                                                  load_sam_checkpoint)
-    from revisit_anything_tpu.pipeline.extract import (_resize_cv2_bilinear,
-                                                       load_image_rgb)
+    from revisit_anything_tpu.models.sam.amg import AmgConfig
     from revisit_anything_tpu.pipeline.serve import (SegVLADServer,
                                                      ServingIndex)
 
@@ -732,7 +731,6 @@ def cmd_query(args):
 
     dino_hw = (int(z["dino_h"]), int(z["dino_w"]))
     mask_hw = (int(z["mask_h"]), int(z["mask_w"]))
-    from revisit_anything_tpu.models.sam.amg import AmgConfig
     amg = AmgConfig(points_per_side=args.points_per_side,
                     points_per_batch=args.points_per_batch,
                     pred_iou_thresh=args.pred_iou_thresh,
@@ -741,20 +739,87 @@ def cmd_query(args):
         sam_params=sam_params, sam_cfg=sam_cfg,
         dino_params=dino_params, dino_cfg=dino_cfg, index=index,
         full_hw=dino_hw, sam_hw=mask_hw, dino_layer=args.layer,
-        top_images=args.topk, amg=amg)
+        top_images=args.topk, amg=amg, db_capacity=db_capacity)
+    return server, [str(k) for k in z["image_keys"]], dino_hw
 
-    img = load_image_rgb(args.image)
+
+def _load_query_image(path, dino_hw):
+    from revisit_anything_tpu.pipeline.extract import (_resize_cv2_bilinear,
+                                                       load_image_rgb)
+    img = load_image_rgb(path)
     if img.shape[:2] != dino_hw:
         img = _resize_cv2_bilinear(img, (dino_hw[1], dino_hw[0]))
-    top = server.query(img)
+    return img
+
+
+def _top_json(path, top, keys):
     # unfilled ranks are -1 (the query matched fewer distinct database
     # images than --topk) — report only real matches
     top = top[top >= 0]
-    keys = z["image_keys"]
-    print(json.dumps({"query": args.image,
-                      "matches": [str(keys[i]) if i < len(keys)
-                                  else f"image_{int(i)}" for i in top],
-                      "image_ids": top.tolist()}))
+    return json.dumps({"query": path,
+                       "matches": [keys[i] if i < len(keys)
+                                   else f"image_{int(i)}" for i in top],
+                       "image_ids": top.tolist()})
+
+
+def cmd_query(args):
+    """Online query: one image against a prebuilt index through the
+    serving pipeline (pipeline/serve.py — single uint8 upload, device-
+    resident masks, fused retrieval tail)."""
+    server, keys, dino_hw = _build_server(args)
+    top = server.query(_load_query_image(args.image, dino_hw))
+    print(_top_json(args.image, top, keys))
+
+
+def cmd_serve(args):
+    """Persistent query loop: model init + compiles are paid ONCE, then
+    stdin commands drive the live server (one JSON line per result):
+
+      query <image-path>     → top-k image ids/keys
+      add <image-path>       → extract + insert as a new db image
+                               (needs --db-capacity)
+      remove <image-id>      → drop an image from retrieval
+      snapshot <out.npz>     → persist the live index
+      quit                   → exit
+
+    The reference has no serving story (filesystem-staged batch scripts
+    only); this is the deployment surface of the incremental index."""
+    server, keys, dino_hw = _build_server(args,
+                                          db_capacity=args.db_capacity)
+    print(json.dumps({"ready": True, "images": server.num_images,
+                      "hw": list(dino_hw)}), flush=True)
+    stream = args._stdin if hasattr(args, "_stdin") else sys.stdin
+    for line in stream:
+        parts = line.strip().split(None, 1)
+        if not parts:
+            continue
+        cmd, arg = parts[0].lower(), (parts[1] if len(parts) > 1 else "")
+        try:
+            if cmd == "quit":
+                break
+            elif cmd == "query":
+                top = server.query(_load_query_image(arg, dino_hw))
+                print(_top_json(arg, top, keys), flush=True)
+            elif cmd == "add":
+                (new_id,) = server.add_reference_images(
+                    [_load_query_image(arg, dino_hw)])
+                while len(keys) < new_id:
+                    keys.append(f"image_{len(keys)}")
+                keys.append(arg)
+                print(json.dumps({"added": arg, "image_id": new_id}),
+                      flush=True)
+            elif cmd == "remove":
+                server.remove_reference_image(int(arg))
+                print(json.dumps({"removed": int(arg)}), flush=True)
+            elif cmd == "snapshot":
+                server.snapshot_index(arg, image_keys=keys)
+                print(json.dumps({"snapshot": arg}), flush=True)
+            else:
+                print(json.dumps({"error": f"unknown command {cmd!r}"}),
+                      flush=True)
+        except Exception as e:  # keep serving: report, don't die
+            print(json.dumps({"error": str(e), "command": cmd}),
+                  flush=True)
 
 
 def main(argv=None):
@@ -884,6 +949,27 @@ def main(argv=None):
     p.add_argument("--pred-iou-thresh", type=float, default=0.88)
     p.add_argument("--stability-score-thresh", type=float, default=0.95)
     p.set_defaults(func=cmd_query)
+
+    p = sub.add_parser("serve", help="persistent query/insert loop over "
+                                     "stdin (one JSON line per result)")
+    p.add_argument("--index", required=True)
+    p.add_argument("--topk", type=int, default=5)
+    p.add_argument("--sam-variant", default="vit_h",
+                   choices=["vit_h", "vit_l", "vit_b"])
+    p.add_argument("--sam-checkpoint", default=None)
+    p.add_argument("--dino-model", default="dinov2_vitg14",
+                   choices=["dinov2_vitg14", "dinov2_vitl14",
+                            "dinov2_vitb14", "dinov2_vits14"])
+    p.add_argument("--dino-checkpoint", default=None)
+    p.add_argument("--layer", type=int, default=31)
+    p.add_argument("--points-per-side", type=int, default=32)
+    p.add_argument("--points-per-batch", type=int, default=128)
+    p.add_argument("--pred-iou-thresh", type=float, default=0.88)
+    p.add_argument("--stability-score-thresh", type=float, default=0.95)
+    p.add_argument("--db-capacity", type=int, default=None,
+                   help="static row capacity enabling live add/remove/"
+                        "snapshot (pipeline/serve.py incremental mode)")
+    p.set_defaults(func=cmd_serve)
 
     p = sub.add_parser("train", help="VPR metric-learning training "
                                      "(VLAD-BuFF train.py equivalent)")

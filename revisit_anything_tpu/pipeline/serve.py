@@ -473,6 +473,13 @@ class SegVLADServer:
     # ----- database state (atomic pair) -----
 
     @property
+    def num_images(self) -> int:
+        """Number of image ids in use (NOT the Borda bin capacity, which
+        includes incremental headroom)."""
+        return int(self._next_image_id if self._cursor is not None
+                   else self.num_ref_images)
+
+    @property
     def _db(self):
         return self._db_state[0]
 

@@ -379,3 +379,76 @@ def test_cli_amg_standalone(tmp_path, capsys, monkeypatch, rng):
         lines = open(os.path.join(d, "metadata.csv")).read().splitlines()
         assert lines[0].startswith("id,area,bbox_x0")
         assert len(lines) == n_masks + 1
+
+
+def test_cli_serve_loop(toy_env, capsys, monkeypatch, rng, tmp_path):
+    """The persistent `serve` command: query / add / remove / snapshot /
+    quit over a command stream against a live incremental server."""
+    import io
+    import json
+
+    from revisit_anything_tpu.models import dinov2 as dn
+    from revisit_anything_tpu.models.sam import SAM_REGISTRY, SamArchConfig
+
+    tiny_dino = dn.DinoV2Config(embed_dim=32, depth=2, num_heads=2,
+                                ffn="mlp", pretrain_grid=(8, 8))
+    monkeypatch.setitem(dn.CONFIGS, "dinov2_vitg14", tiny_dino)
+    tiny_sam = SamArchConfig(encoder_dim=32, encoder_depth=2,
+                             encoder_heads=2, global_attn_indexes=(1,),
+                             image_size=128, patch_size=16, window_size=4,
+                             prompt_dim=32, decoder_heads=4,
+                             decoder_mlp_dim=64, iou_head_hidden=16)
+    monkeypatch.setitem(SAM_REGISTRY, "vit_h", tiny_sam)
+
+    env = toy_env
+    cli.main(["extract", *_common(env), "--method", "DINO",
+              "--dino-model", "dinov2_vitg14", "--layer", "1"])
+    cli.main(["vocab", *_common(env), "--clusters", "8",
+              "--cache-root", env["cache"], "--domain", "urban"])
+    cli.main(["pca", *_common(env), "--experiment",
+              "exp0_global_SegLoc_VLAD_PCA_o3", "--vocab-vlad", "domain",
+              "--cache-root", env["cache"], "--dim", "8"])
+    index_path = os.path.join(env["workdir"], "index.npz")
+    cli.main(["build-index", *_common(env),
+              "--experiment", "exp0_global_SegLoc_VLAD_PCA_o3",
+              "--vocab-vlad", "domain", "--cache-root", env["cache"],
+              "--output", index_path])
+    capsys.readouterr()
+
+    q0 = os.path.join(env["data_root"], "AmsterTime", "old", "im_00.png")
+    q1 = os.path.join(env["data_root"], "AmsterTime", "old", "im_01.png")
+    snap = str(tmp_path / "live.npz")
+    script = "\n".join([
+        f"query {q0}",
+        f"add {q1}",
+        f"query {q1}",
+        "remove 5",
+        f"snapshot {snap}",
+        "bogus cmd",
+        "query /nonexistent.png",
+        "quit",
+    ]) + "\n"
+    monkeypatch.setattr("sys.stdin", io.StringIO(script))
+    cli.main(["serve", "--index", index_path, "--layer", "1",
+              "--topk", "3", "--db-capacity", "400",
+              "--points-per-side", "6", "--points-per-batch", "36",
+              "--pred-iou-thresh=-1e9",
+              "--stability-score-thresh", "0.0"])
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert lines[0]["ready"] is True and lines[0]["images"] == 5
+    assert lines[1]["query"] == q0 and len(lines[1]["image_ids"]) >= 1
+    assert lines[2] == {"added": q1, "image_id": 5}
+    # the post-add query answers against the live index (retrieval
+    # QUALITY of incremental adds is covered by test_serve with planted
+    # signal; random tiny weights cannot guarantee self-retrieval here)
+    assert lines[3]["query"] == q1 and len(lines[3]["image_ids"]) >= 1
+    assert all(0 <= i <= 5 for i in lines[3]["image_ids"])
+    assert lines[4] == {"removed": 5}
+    assert lines[5] == {"snapshot": snap}
+    assert "error" in lines[6]            # unknown command reported
+    assert "error" in lines[7]            # bad path reported, loop alive
+    # the snapshot recorded the live add (image id 5 = 6 images)
+    assert os.path.exists(snap)
+    z = np.load(snap)
+    assert int(z["num_ref_images"]) == 6
