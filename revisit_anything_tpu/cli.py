@@ -853,9 +853,12 @@ def main(argv=None):
                         "(dino_wrapper.py dino_strides)")
     p.add_argument("--dinov1-binned", action="store_true",
                    help="GSP log-binned descriptors")
-    p.add_argument("--dinov1-upsample", action="store_true",
+    p.add_argument("--dinov1-upsample",
+                   action=argparse.BooleanOptionalAction, default=True,
                    help="bilinear align_corners upsample to dataset "
-                        "resolution (upsample_feat_vec)")
+                        "resolution — the reference wrapper hard-codes "
+                        "upsample=True (DINO/dino_wrapper.py); "
+                        "--no-dinov1-upsample keeps the strided grid")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed and shard images per host")
     p.set_defaults(func=cmd_extract)

@@ -106,10 +106,6 @@ class ExperimentConfig:
     pca_model_pkl: str = ""
     pca_model_pkl_map: str = ""
 
-    @property
-    def descriptor_dim(self) -> int:
-        return PCA_DIM if self.pca else VLAD_DIM
-
 
 @dataclasses.dataclass(frozen=True)
 class RetrievalConfig:
@@ -170,7 +166,7 @@ def _ds(name: str, h: int, w: int, sub_r: str, sub_q: str,
     )
 
 
-# The eight reference datasets (place_rec_global_config.py:8-140).
+# The nine reference datasets (place_rec_global_config.py:8-140).
 DATASETS: Dict[str, DatasetConfig] = {d.name: d for d in [
     _ds("baidu", 480, 640, "training_images_undistort", "query_images_undistort",
         "baidu", "indoor"),
@@ -199,7 +195,7 @@ def _segloc_exp(name: str, order: int, pca: bool,
         pca_model_pkl_map=pca_pkl_map)
 
 
-# The eight reference experiments (place_rec_global_config.py:143-232).
+# The nine reference experiments (place_rec_global_config.py:143-232).
 EXPERIMENTS: Dict[str, ExperimentConfig] = {e.name: e for e in [
     _segloc_exp("exp0_global_SegLoc_VLAD_PCA_o3", order=3, pca=True,
                 suffix="_results_exp11_global_SegLoc_VLAD_PCA_o3.pkl",

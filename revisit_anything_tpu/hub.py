@@ -72,7 +72,11 @@ def load_model(name: str, checkpoint: Optional[str] = None,
                   else dn.init_params(cfg, key))
         layer = kwargs.get("layer", 11)
         facet = kwargs.get("facet", "key")
-        stride = kwargs.get("stride", cfg.patch_size)
+        # the reference extractor defaults to an OVERLAPPING stride-4
+        # grid (ViTExtractor __init__ stride=4, and cfg dino_strides=4
+        # throughout func_vpr) — patch_size here would silently emit a
+        # ~4x-coarser non-reference grid
+        stride = kwargs.get("stride", 4)
 
         def forward(params, images):
             return d1.extract_dense(params, cfg, images, layer, facet,

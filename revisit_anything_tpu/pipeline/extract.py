@@ -37,18 +37,31 @@ def _resize_cv2_bilinear(img: np.ndarray, wh: Tuple[int, int]) -> np.ndarray:
     return cv2.resize(img, wh, interpolation=cv2.INTER_LINEAR)
 
 
+# module-level RNG: the reference draws the random pixel from the GLOBAL
+# numpy RNG (func_vpr.py:731-733) — a fresh default_rng(0) per call would
+# hand every zero-mask image the identical "random" pixel
+_FALLBACK_RNG = np.random.default_rng(0)
+
+
 def _fallback_records(hw: Tuple[int, int]):
-    """Synthetic masks for images where the AMG keeps nothing
-    (the reference's FastSAM empty-output fallback, func_vpr.py:721-736)."""
+    """Synthetic masks for images where the AMG keeps nothing — the
+    reference's FastSAM empty-output fallback (func_vpr.py:721-736: a
+    full-frame mask + one random pixel), reused here for the SAM path
+    too (a DOCUMENTED deviation: the reference SAM path would write an
+    empty masks group, which its own preload_masks cannot stack)."""
     from revisit_anything_tpu.io.h5io import MaskRecord
     h, w = hw
     full = np.ones((h, w), dtype=bool)
     pixel = np.zeros((h, w), dtype=bool)
-    rng = np.random.default_rng(0)
-    pixel[rng.integers(0, h), rng.integers(0, w)] = True
-    return [MaskRecord(m, int(m.sum()), (0, 0, 0, 0), 0.0,
-                       np.zeros((1, 2)), 0.0, (0, 0, w, h))
-            for m in (full, pixel)]
+    ry = int(_FALLBACK_RNG.integers(0, h))
+    rx = int(_FALLBACK_RNG.integers(0, w))
+    pixel[ry, rx] = True
+    # truthful XYWH bboxes (the reference fallback records carry only
+    # 'segmentation'; our schema always writes every field)
+    return [MaskRecord(full, h * w, (0, 0, w - 1, h - 1), 0.0,
+                       np.zeros((1, 2)), 0.0, (0, 0, w, h)),
+            MaskRecord(pixel, 1, (rx, ry, 0, 0), 0.0,
+                       np.zeros((1, 2)), 0.0, (0, 0, w, h))]
 
 
 def extract_sam_masks(image_paths: Sequence[str],
@@ -177,7 +190,9 @@ def extract_dinov1_features_to_h5(image_paths: Sequence[str],
                                   facet: str = "key",
                                   load_size: int = 224,
                                   binned: bool = False,
-                                  upsample: bool = False,
+                                  # the reference wrapper hard-codes
+                                  # upsample=True (dino_wrapper.py:4-40)
+                                  upsample: bool = True,
                                   batch_size: int = 8,
                                   progress: bool = True) -> None:
     """DINOv1 (legacy) dense features → h5 (`ift_dino` [1, D, gh, gw]).
@@ -210,15 +225,25 @@ def extract_dinov1_features_to_h5(image_paths: Sequence[str],
             keys = image_keys[s:s + batch_size]
             with timer.stage("dinov1.load"):
                 # /255 only — the reference applies NO ImageNet
-                # normalization on this path (see docstring)
-                x = np.stack([
-                    _resize_cv2_bilinear(
-                        _resize_cv2_bilinear(load_image_rgb(p), (tw, th)),
-                        (lw, lh))
+                # normalization on this path (see docstring). The
+                # load_size resize runs on the FLOAT image after /255
+                # (the reference's torchvision F.resize acts on the
+                # float tensor; an intermediate uint8 rounding would
+                # drift every pixel by up to 0.5/255).
+                from revisit_anything_tpu.ops.resize import (
+                    bilinear_resize_torch)
+                ds_res = np.stack([
+                    _resize_cv2_bilinear(load_image_rgb(p), (tw, th))
                     for p in paths]).astype(np.float32) / 255.0
+                x = np.asarray(bilinear_resize_torch(
+                    ds_res.transpose(0, 3, 1, 2), (lh, lw))
+                ).transpose(0, 2, 3, 1)
             with timer.stage("dinov1.forward"):
+                # f32 forward: this is the offline parity artifact path
+                # (the reference computes float32; f16 only behind its
+                # use_16bit flag)
                 feats = d1.extract_dense(params, cfg,
-                                         jnp.asarray(x, jnp.bfloat16),
+                                         jnp.asarray(x, jnp.float32),
                                          layer=layer, facet=facet,
                                          stride=stride)
                 if binned:

@@ -40,13 +40,18 @@ def create_triplets(preds: Sequence[Sequence[int]],
 
 def calc_margins(query_desc: np.ndarray, db_desc: np.ndarray,
                  triplets: Sequence[Tuple[int, int, int]]) -> np.ndarray:
-    """Per-triplet margin d(q, neg) − d(q, pos) in L2 (func_vpr.py
-    :1572-1608 semantics on whole-image descriptors)."""
+    """Per-triplet SIMILARITY margin sim(q, pos) − sim(q, neg) — the
+    whole-image analogue is calc_margins_global (func_vpr.py:1610-1629:
+    ``imFt_r_pos @ imFt_query − imFt_r_neg @ imFt_query``). Reported as
+    inner products, not L2 distances: for unit-norm descriptors
+    d = sqrt(2−2·sim) is a NONLINEAR transform, so distance margins
+    would have a systematically different distribution than reference
+    margin histograms."""
     margins = []
     for q, pos, neg in triplets:
-        dp = float(np.linalg.norm(query_desc[q] - db_desc[pos]))
-        dn = float(np.linalg.norm(query_desc[q] - db_desc[neg]))
-        margins.append(dn - dp)
+        sp = float(np.dot(query_desc[q], db_desc[pos]))
+        sn = float(np.dot(query_desc[q], db_desc[neg]))
+        margins.append(sp - sn)
     return np.asarray(margins)
 
 

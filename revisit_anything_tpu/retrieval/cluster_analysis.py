@@ -27,7 +27,11 @@ def tsne_embed(descriptors: np.ndarray, perplexity: float = 30.0,
         idx = np.sort(np.random.default_rng(seed).choice(
             len(x), max_points, replace=False))
         x = x[idx]
-    perplexity = min(perplexity, max(2.0, (len(x) - 1) / 3.0))
+    if len(x) < 2:
+        return np.zeros((len(x), 2), np.float32), idx
+    # sklearn requires perplexity < n_samples; a fixed lower clamp of 2
+    # raised for exactly the degenerate inputs it was meant to protect
+    perplexity = min(perplexity, max(1.0, (len(x) - 1) / 3.0))
     pts = TSNE(n_components=2, perplexity=perplexity,
                random_state=seed, init="pca").fit_transform(x)
     return pts, idx

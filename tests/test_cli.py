@@ -71,9 +71,11 @@ def _common(env):
 
 
 def test_cli_extract_dinov1(toy_env):
-    """--method DINOV1 (legacy collect_dino_features flow): stride-4
-    patched ViT-s8 key-facet features land in *_dinoV1_*.h5 at the
-    strided token grid."""
+    """--method DINOV1 (legacy collect_dino_features flow): patched
+    ViT-s8 key-facet features land in *_dinoV1_*.h5 — by default
+    UPSAMPLED to the dataset resolution like the reference wrapper
+    (dino_wrapper.py hard-codes upsample=True);
+    --no-dinov1-upsample keeps the strided token grid."""
     env = toy_env
     cli.main(["extract", *_common(env), "--method", "DINOV1",
               "--dinov1-model", "dino_vits8", "--dino-stride", "8"])
@@ -83,9 +85,16 @@ def test_cli_extract_dinov1(toy_env):
         keys = list(f.keys())
         assert len(keys) == 5
         arr = f[keys[0]]["ift_dino"][()]
+    assert arr.shape == (1, 384, 112, 112)     # dataset-resolution
+    assert np.isfinite(arr).all()
+
+    cli.main(["extract", *_common(env), "--method", "DINOV1",
+              "--dinov1-model", "dino_vits8", "--dino-stride", "8",
+              "--no-dinov1-upsample", "--force"])
+    with h5py.File(out, "r") as f:
+        arr = f[list(f.keys())[0]]["ift_dino"][()]
     # short side 112→224 (aspect-square), stride 8, patch 8 → 28×28 grid
     assert arr.shape == (1, 384, 28, 28)
-    assert np.isfinite(arr).all()
 
 
 def test_cli_extract_vocab_evaluate(toy_env, capsys):

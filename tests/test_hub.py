@@ -20,7 +20,14 @@ def test_dinov1_small(rng, monkeypatch):
     params, cfg, fwd = hub.load_model("dino_vits8", layer=1)
     out = np.asarray(fwd(params, rng.standard_normal(
         (1, 32, 32, 3)).astype(np.float32)))
-    assert out.shape == (1, 16, 32)
+    # reference default stride 4 (ViTExtractor __init__): 32px, patch 8,
+    # stride 4 → 7x7 overlapping grid
+    assert out.shape == (1, 49, 32)
+    # explicit stride overrides: patch-stride gives the plain 4x4 grid
+    _, _, fwd16 = hub.load_model("dino_vits8", layer=1, stride=8)
+    out16 = np.asarray(fwd16(params, rng.standard_normal(
+        (1, 32, 32, 3)).astype(np.float32)))
+    assert out16.shape == (1, 16, 32)
 
 
 def test_dinov2_small(rng, monkeypatch):
