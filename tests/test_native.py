@@ -127,3 +127,18 @@ def test_numpy_fallbacks_without_native_lib(monkeypatch):
     np.testing.assert_array_equal(nat.remove_small_regions(m, 5,
                                                            "islands")[0],
                                   rsr_n[0])
+
+
+def test_rle_encode_fallback_handles_uint8_255(monkeypatch):
+    """The numpy fallback must treat ANY nonzero value as foreground
+    like the native path — a uint8 mask of 255s once failed the ==1
+    test (int8 overflow → -1) and decoded parity-inverted."""
+    from revisit_anything_tpu import native
+
+    monkeypatch.setattr(native, "_build_and_load", lambda: None)
+    m = np.full((4, 6), 255, np.uint8)
+    m[0, 0] = 0
+    rle = native.rle_encode(m)
+    assert rle["counts"][0] == 1                 # leading zero run
+    back = native.rle_decode(rle)
+    np.testing.assert_array_equal(back, m != 0)

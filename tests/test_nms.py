@@ -104,3 +104,13 @@ def test_deep_suppression_chain():
     np.testing.assert_array_equal(keep, expect)
     # greedy on a chain keeps every other box
     assert keep[0] and not keep[1] and keep[2]
+
+
+def test_nms_host_never_keeps_padding_scores():
+    from revisit_anything_tpu.ops.nms import nms_host
+    boxes = np.array([[0, 0, 10, 10], [20, 20, 30, 30], [40, 40, 50, 50]],
+                     np.float32)
+    scores = np.array([1.0, -np.inf, 0.5], np.float32)
+    keep = nms_host(boxes, scores, 0.5)
+    assert 1 not in list(keep)
+    assert list(keep) == [0, 2]
