@@ -176,7 +176,26 @@ def resize_mats_and_rows(cfg: SamArchConfig, input_hw: Tuple[int, int],
           @ up_h[:input_hw[1]])
     used_cols = int(np.flatnonzero(np.abs(wh).sum(axis=0) > 0.0).max()) + 1
     gh = min(-(-used_cols // 4), cfg.grid)
+    if jax.default_backend() == "tpu":
+        gh = _round_rows_for_lanes(gh, cfg.grid)
     return wh[:, :4 * gh], ww, gh
+
+
+def _round_rows_for_lanes(gh: int, grid: int) -> int:
+    """Round the decoded-row count UP until gh·grid is 128-divisible.
+
+    Mosaic lane constraint: the probs-path mask head blocks the gh·grid
+    position axis into the MINOR dim of its p1/p2 refs, which must be
+    128-divisible (ops/maskhead._pick_block) — e.g. 240x320: gh 49 → 50,
+    content 3136 → 3200 (blk 640). The extra rows are pad rows whose
+    composed resize weights are exactly 0.0, so the flags are unchanged
+    (only a few extra all-zero wh columns and some discarded mask-head
+    positions). Applied only when the kernels really lower (TPU backend;
+    interpret mode has no lane constraint, and the tiny CPU test grids
+    could not satisfy it)."""
+    while gh < grid and (gh * grid) % 128:
+        gh += 1
+    return gh
 
 
 @partial(jax.jit, static_argnames=("cfg", "input_hw", "orig_hw", "amg"))

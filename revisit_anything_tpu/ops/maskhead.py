@@ -168,11 +168,24 @@ def _mask_head_kernel(keys_ref, up1w_ref, up2wbd_ref, hbd_ref, vecs_ref,
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
-def _pick_block(gg: int, block: int) -> int:
-    """Largest divisor of ``gg`` that is ≤ ``block`` (the grid needs an
-    integral number of position blocks; content-restricted grids are not
-    powers of two, e.g. 49·64 = 3136 → 1568)."""
+def _pick_block(gg: int, block: int, lane: int = 1) -> int:
+    """Largest divisor of ``gg`` that is ≤ ``block`` and a multiple of
+    ``lane``.
+
+    ``lane=128`` is REQUIRED for any block that lands in the MINOR dim of
+    a Pallas ref (the probs path's p1/p2 [Np, HT, gg] blocks): Mosaic
+    rejects minor block dims not divisible by 128 unless they equal the
+    full array dim. content-restricted grids are therefore rounded to a
+    multiple of 128 upstream (amg.resize_mats_and_rows), e.g. 50·64 =
+    3200 → blk 640. Falls back to the unconstrained divisor when no
+    lane-multiple divides ``gg`` (tiny interpret-mode grids, where the
+    single block equals the full array dim and is exempt)."""
     blk = min(block, gg)
+    if lane > 1 and gg % lane == 0:
+        blk = max((blk // lane) * lane, lane)
+        while gg % blk:
+            blk -= lane
+        return blk
     while gg % blk:
         blk -= 1
     return blk
@@ -289,7 +302,8 @@ def fused_mask_head(keys: jnp.ndarray, hyper: jnp.ndarray,
 
     content = gg if content is None else content
     assert content <= gg, (content, gg)
-    blk = _pick_block(content, block)
+    # keys blocks carry blk in their SECOND-minor dim — 8-divisible.
+    blk = _pick_block(content, block, lane=8)
 
     # conv2 as one block-diagonal matmul over the (2x2-block, c1) lanes
     up2wbd = jnp.zeros((4 * c1, 16 * c2), up2_w.dtype)
@@ -323,7 +337,7 @@ def fused_mask_head_probs(img0: jnp.ndarray, p1: jnp.ndarray,
                           up2_w: jnp.ndarray, up2_b: jnp.ndarray,
                           eps: float = 1e-6,
                           ln_eps: float = 1e-6,
-                          block: int = 2048,
+                          block: int = 4096,
                           content: int = None,
                           interpret: bool = False) -> jnp.ndarray:
     """fused_mask_head with the per-prompt branch RECONSTRUCTED in-kernel
@@ -341,6 +355,11 @@ def fused_mask_head_probs(img0: jnp.ndarray, p1: jnp.ndarray,
       content: compute only the first ``content`` positions — the grid
         stops before the pad-row blocks; p1/p2/img0 stay full-size with
         their trailing blocks simply never read (no slice copies).
+
+    block default 4096 = ONE position block per prompt: the TPU A/B
+    (scripts/ab_maskhead_block.py) measures blk 3200 ~4% faster than 640
+    at content 3200 and 4096 ≈ 2048 within noise at full content, at a
+    measured-safe ~30 MB VMEM peak.
     """
     np_ = p1.shape[0]
     gg, d = img0.shape[1], img0.shape[2]
@@ -349,7 +368,9 @@ def fused_mask_head_probs(img0: jnp.ndarray, p1: jnp.ndarray,
     m_tok = hyper.shape[1]
     content = gg if content is None else content
     assert content <= gg, (content, gg)
-    blk = _pick_block(content, block)
+    # p1/p2 blocks carry blk in their MINOR dim — Mosaic needs it
+    # 128-divisible (amg.resize_mats_and_rows rounds content to match).
+    blk = _pick_block(content, block, lane=128)
 
     up2wbd = jnp.zeros((4 * c1, 16 * c2), up2_w.dtype)
     for q in range(4):

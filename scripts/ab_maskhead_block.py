@@ -35,17 +35,20 @@ def main():
     v4096 = make(4096)
     v1024 = make(1024)
     # content-restricted variants (the production pad-row skip at
-    # 240x320: gh=49 -> 3136 positions; block divisors 1568/3136)
-    CONTENT = 3136
-    c1568 = make(1568, CONTENT)
-    c3136 = make(3136, CONTENT)
+    # 240x320: gh=49 rounded to 50 for the Mosaic lane constraint ->
+    # 3200 positions; legal 128-multiple block divisors 640/3200 —
+    # 1568/3136 FAIL Mosaic lowering, minor block dims must be
+    # 128-divisible)
+    CONTENT = 3200
+    c640 = make(640, CONTENT)
+    c3200 = make(3200, CONTENT)
 
     o_p = v2048(*args)
     for name, fn in (("4096", v4096), ("1024", v1024)):
         d = np.abs(np.asarray(o_p.astype(jnp.float32))
                    - np.asarray(fn(*args).astype(jnp.float32))).max()
         print(f"[ab_block] max |2048-{name}| = {d:.2e}", flush=True)
-    for name, fn in (("c1568", c1568), ("c3136", c3136)):
+    for name, fn in (("c640", c640), ("c3200", c3200)):
         d = np.abs(np.asarray(o_p.astype(jnp.float32))[:, :CONTENT]
                    - np.asarray(fn(*args).astype(jnp.float32))).max()
         print(f"[ab_block] max |2048[:c]-{name}| = {d:.2e}", flush=True)
@@ -66,11 +69,11 @@ def main():
         t_p = loop(v2048)
         t_4 = loop(v4096)
         t_1 = loop(v1024)
-        t_c1 = loop(c1568)
-        t_c3 = loop(c3136)
+        t_c1 = loop(c640)
+        t_c3 = loop(c3200)
         print(f"[ab_block] round{rnd} blk2048={1000*t_p:.3f}ms "
               f"blk4096={1000*t_4:.3f}ms blk1024={1000*t_1:.3f}ms "
-              f"c1568={1000*t_c1:.3f}ms c3136={1000*t_c3:.3f}ms",
+              f"c640={1000*t_c1:.3f}ms c3200={1000*t_c3:.3f}ms",
               flush=True)
 
 

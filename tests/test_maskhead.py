@@ -60,3 +60,43 @@ def test_gelu_polynomial_matches_exact_erf_form():
     assert np.abs(got - exact).max() < 2e-6
     # odd-function symmetry of the erf term: gelu(x) - gelu(-x) == x
     np.testing.assert_allclose(got - got[::-1], x, atol=2e-6)
+
+
+def test_pick_block_honors_mosaic_lane_constraint():
+    """The probs-path p1/p2 refs put the position block in their MINOR
+    dim: Mosaic rejects minor blocks not divisible by 128 (unless equal
+    to the full array dim). The real TPU lowering failed on the old
+    1568 choice for content 3136 — _pick_block(lane=128) must only
+    return 128-multiples when the content admits one."""
+    from revisit_anything_tpu.ops.maskhead import _pick_block
+
+    # production pad-row-skip shape (240x320): content 3200 → 640
+    assert _pick_block(3200, 2048, lane=128) == 640
+    # full grid: unchanged 2048
+    assert _pick_block(4096, 2048, lane=128) == 2048
+    # budget below one lane group still yields a legal block
+    assert _pick_block(3200, 100, lane=128) == 128
+    # plain path (block in the SECOND-minor dim): 8-divisible
+    assert _pick_block(3200, 2048, lane=8) == 1600
+    # no lane-multiple divisor → fallback (tiny interpret grids, where
+    # the single full-content block is exempt)
+    assert _pick_block(64, 2048, lane=128) == 64
+    for content, budget, lane in ((3200, 2048, 128), (4096, 4096, 128),
+                                  (2176, 2048, 128), (3584, 2048, 8)):
+        blk = _pick_block(content, budget, lane=lane)
+        assert blk % lane == 0 and content % blk == 0 and blk <= budget
+
+
+def test_round_rows_for_lanes():
+    """TPU content rounding: gh·grid must be 128-divisible so the probs
+    kernel's minor-dim blocks lower (amg._round_rows_for_lanes)."""
+    from revisit_anything_tpu.models.sam.amg import _round_rows_for_lanes
+
+    assert _round_rows_for_lanes(49, 64) == 50      # 240x320 production
+    assert _round_rows_for_lanes(50, 64) == 50
+    assert _round_rows_for_lanes(64, 64) == 64
+    assert _round_rows_for_lanes(33, 64) == 34
+    assert _round_rows_for_lanes(5, 8) == 8         # tiny grid → full
+    for gh in range(1, 65):
+        r = _round_rows_for_lanes(gh, 64)
+        assert gh <= r <= 64 and (r == 64 or (r * 64) % 128 == 0)
