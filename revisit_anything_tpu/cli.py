@@ -406,8 +406,17 @@ def cmd_train(args):
         step = step + step0
         print(f"resumed from {ckpt} at step {step0}")
 
-    places = discover_places(args.train_root,
-                             min_images=args.img_per_place)
+    if os.path.isdir(os.path.join(args.train_root, "Dataframes")):
+        # GSV-Cities as DISTRIBUTED: per-city DataFrame CSVs + flat
+        # Images/ folders (GSVCitiesDataset.py:57-100) — no conversion
+        # step needed.
+        from revisit_anything_tpu.training.data import discover_places_gsv
+        places = discover_places_gsv(
+            args.train_root, cities=args.cities or None,
+            min_img_per_place=args.img_per_place)
+    else:
+        places = discover_places(args.train_root,
+                                 min_images=args.img_per_place)
     print(f"{len(places)} places")
     batcher = PlacesBatcher(places, image_hw=tuple(args.image_size),
                             places_per_batch=args.batch_places,
@@ -976,6 +985,9 @@ def main(argv=None):
 
     p = sub.add_parser("train", help="VPR metric-learning training "
                                      "(VLAD-BuFF train.py equivalent)")
+    p.add_argument("--cities", nargs="*", default=None,
+                   help="GSV-Cities shipped format: restrict to these "
+                        "Dataframes/<City>.csv (default: all)")
     p.add_argument("--train-root", required=True,
                    help="city/place_id/image directory layout")
     p.add_argument("--ckpt-dir", default="./ckpts")

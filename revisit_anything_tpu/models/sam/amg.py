@@ -151,7 +151,7 @@ def _preprocess_device(image_uint8: jnp.ndarray, cfg: SamArchConfig,
 
 
 def resize_mats_and_rows(cfg: SamArchConfig, input_hw: Tuple[int, int],
-                         orig_hw: Tuple[int, int]):
+                         orig_hw: Tuple[int, int], on_tpu: bool = None):
     """Composed per-axis resize matrices for the lowres→original mask
     postprocess, plus the number of token ROWS the mask head must
     actually decode.
@@ -166,7 +166,21 @@ def resize_mats_and_rows(cfg: SamArchConfig, input_hw: Tuple[int, int],
     which on the per-row-deterministic MXU leaves the logits themselves
     unchanged too — tested to f32 associativity on CPU).
 
-    Returns (wh [H, 4·gh], ww [W, 4·g], gh).
+    ``on_tpu``: whether the consuming kernels lower through Mosaic (the
+    lane rounding below applies). Pass it explicitly from host/planning
+    code — the ``None`` default probes ``jax.default_backend()``, which
+    INITIALIZES the JAX backend and can hang indefinitely against a dead
+    axon tunnel (CLAUDE.md); callers that already know the backend (or
+    must stay backend-free) should not rely on the default.
+
+    Returns (wh [H, 4·gh], ww [W, 4·g], gh). NOTE: gh is
+    BACKEND-DEPENDENT — on TPU it is rounded up for the Mosaic lane
+    constraint (49 → 50 at 240x320), so block-layout logit shapes and the
+    wh column count differ between backends for the same config. Final
+    flags are unchanged (the extra columns are exactly 0.0), but never
+    cache gh or intermediate logits across backends — always derive
+    in-process (test_sam_model.test_mask_rows_cpu_tpu_row_counts_agree
+    pins the cross-backend flag equality).
     """
     from revisit_anything_tpu.ops.resize import bilinear_weight_matrix
     up_h = bilinear_weight_matrix(cfg.image_size, cfg.lowres_size)
@@ -176,7 +190,9 @@ def resize_mats_and_rows(cfg: SamArchConfig, input_hw: Tuple[int, int],
           @ up_h[:input_hw[1]])
     used_cols = int(np.flatnonzero(np.abs(wh).sum(axis=0) > 0.0).max()) + 1
     gh = min(-(-used_cols // 4), cfg.grid)
-    if jax.default_backend() == "tpu":
+    if on_tpu is None:
+        on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
         gh = _round_rows_for_lanes(gh, cfg.grid)
     return wh[:, :4 * gh], ww, gh
 
@@ -233,7 +249,8 @@ def _decode_batch(params: Params, cfg: SamArchConfig,
     from revisit_anything_tpu.ops.maskresize import (fused_resize_flags,
                                                      resize_flags_reference)
     g = cfg.grid
-    wh, ww, gh = resize_mats_and_rows(cfg, input_hw, orig_hw)
+    on_tpu = jax.default_backend() == "tpu"   # under jit: backend is live
+    wh, ww, gh = resize_mats_and_rows(cfg, input_hw, orig_hw, on_tpu=on_tpu)
     lowres_blk, iou = decode_masks(params, cfg, image_embedding, image_pe,
                                    sparse, dense, multimask=True,
                                    dense_shared=True, block_layout=True,
@@ -242,7 +259,7 @@ def _decode_batch(params: Params, cfg: SamArchConfig,
 
     thr = cfg.mask_threshold
     off = amg.stability_score_offset
-    if jax.default_backend() == "tpu":
+    if on_tpu:
         flags = fused_resize_flags(lowres_blk, wh, ww, thr, off,
                                    grid_hw=(gh, g))
     else:

@@ -188,6 +188,13 @@ def _pick_block(gg: int, block: int, lane: int = 1) -> int:
         return blk
     while gg % blk:
         blk -= 1
+    # The fallback only exists for grids the lane constraint exempts (the
+    # single block spans the full dim). Any other outcome would hit an
+    # opaque Mosaic lowering error on TPU — fail here with a clear one.
+    assert blk == gg or blk % lane == 0, (
+        f"_pick_block: grid dim {gg} admits no lane-{lane}-divisible block "
+        f"≤ {block} (got {blk}); round the content dim to a multiple of "
+        f"{lane} upstream (amg.resize_mats_and_rows)")
     return blk
 
 
@@ -302,8 +309,10 @@ def fused_mask_head(keys: jnp.ndarray, hyper: jnp.ndarray,
 
     content = gg if content is None else content
     assert content <= gg, (content, gg)
-    # keys blocks carry blk in their SECOND-minor dim — 8-divisible.
-    blk = _pick_block(content, block, lane=8)
+    # keys blocks carry blk in their SECOND-minor dim — Mosaic's native
+    # sublane tile is 8 for 4-byte dtypes, 16 for 2-byte (bf16).
+    blk = _pick_block(content, block,
+                      lane=8 if keys.dtype.itemsize == 4 else 16)
 
     # conv2 as one block-diagonal matmul over the (2x2-block, c1) lanes
     up2wbd = jnp.zeros((4 * c1, 16 * c2), up2_w.dtype)

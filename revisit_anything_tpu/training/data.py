@@ -43,6 +43,56 @@ def discover_places(root: str, min_images: int = 4) -> Dict[str, List[str]]:
     return places
 
 
+def discover_places_gsv(root: str, cities: List[str] = None,
+                        min_img_per_place: int = 4) -> Dict[str, List[str]]:
+    """GSV-Cities in its SHIPPED on-disk format → {place_key: [paths]}.
+
+    The dataset as distributed (gsv-cities) is NOT a directory tree of
+    places; it is ``root/Dataframes/<City>.csv`` (one row per image) plus
+    a flat ``root/Images/<city_id>/`` folder, with each image's filename
+    reconstructed from its row fields. This mirrors the reference loader
+    exactly (VLAD-BuFF/dataloaders/GSVCitiesDataset.py:57-100,139-176):
+
+    - city ``i`` (>0) offsets its place ids by ``i * 10**5`` so equal ids
+      from different cities stay distinct (``__getdataframes`` :78-81);
+    - only places with >= ``min_img_per_place`` images survive (:86-90);
+    - filename = ``{city_id}_{pl_id:07d}_{year:04d}_{month:02d}_
+      {northdeg:03d}_{lat}_{lon}_{panoid}.jpg`` where pl_id is the
+      UNPREFIXED id (``get_img_name`` :139-176) and lat/lon print via
+      float repr (pandas parses them as floats before ``str()``).
+
+    ``cities`` defaults to every CSV under ``Dataframes/`` (sorted —
+    deterministic prefixes; the reference hardcodes TRAIN_CITIES and
+    order only affects the synthetic prefix, not grouping).
+    Returns {zero-filled prefixed place id: [image paths]} ready for
+    ``PlacesBatcher``.
+    """
+    import csv
+
+    df_dir = os.path.join(root, "Dataframes")
+    if cities is None:
+        cities = sorted(os.path.splitext(f)[0] for f in os.listdir(df_dir)
+                        if f.lower().endswith(".csv"))
+    places: Dict[str, List[str]] = {}
+    for ci, city in enumerate(cities):
+        with open(os.path.join(df_dir, f"{city}.csv"), newline="") as fh:
+            for row in csv.DictReader(fh):
+                pl_id = int(row["place_id"])
+                pid = pl_id + ci * 10 ** 5
+                name = "_".join([
+                    row["city_id"],
+                    str(pl_id % 10 ** 5).zfill(7),
+                    str(int(row["year"])).zfill(4),
+                    str(int(row["month"])).zfill(2),
+                    str(int(row["northdeg"])).zfill(3),
+                    str(float(row["lat"])), str(float(row["lon"])),
+                    row["panoid"]]) + ".jpg"
+                path = os.path.join(root, "Images", row["city_id"], name)
+                places.setdefault(str(pid).zfill(7), []).append(path)
+    return {k: v for k, v in places.items()
+            if len(v) >= min_img_per_place}
+
+
 class PlacesBatcher:
     """Yields (images [B, H, W, 3] float32 normalized, labels [B]) with
     B = places_per_batch * img_per_place (GSVCitiesDataloader semantics:

@@ -295,6 +295,41 @@ def test_mask_rows_restriction_bit_identical(rng):
     np.testing.assert_array_equal(flags_part, flags_full)
 
 
+def test_mask_rows_cpu_tpu_row_counts_agree(rng):
+    """gh is backend-dependent at production dims (49 on CPU vs 50 on TPU
+    at 240x320 — the Mosaic lane rounding): the final threshold flags must
+    agree exactly, because every extra TPU column's composed resize weight
+    is exactly 0.0. Pins the cross-backend contract documented in
+    amg.resize_mats_and_rows (advisor r3 item 4)."""
+    from revisit_anything_tpu.models.sam.amg import resize_mats_and_rows
+    from revisit_anything_tpu.ops.maskresize import resize_flags_reference
+
+    cfg = SamArchConfig(
+        encoder_dim=DIM, encoder_depth=1, encoder_heads=4,
+        global_attn_indexes=(), image_size=1024, patch_size=16,
+        window_size=4, prompt_dim=PD, decoder_heads=4,
+        decoder_mlp_dim=128, iou_head_hidden=PD)       # grid 64
+    orig_hw, input_hw = (240, 320), (768, 1024)        # 17places half-res
+    wh_c, ww_c, gh_c = resize_mats_and_rows(cfg, input_hw, orig_hw,
+                                            on_tpu=False)
+    wh_t, ww_t, gh_t = resize_mats_and_rows(cfg, input_hw, orig_hw,
+                                            on_tpu=True)
+    assert (gh_c, gh_t) == (49, 50)
+    assert (gh_t * cfg.grid) % 128 == 0
+    # the TPU matrices extend the CPU ones by exactly-zero columns
+    np.testing.assert_array_equal(wh_t[:, :4 * gh_c], wh_c)
+    np.testing.assert_array_equal(wh_t[:, 4 * gh_c:], 0.0)
+    np.testing.assert_array_equal(ww_t, ww_c)
+
+    g = cfg.grid
+    lowres = rng.standard_normal((2, gh_t * g, 16, 3)).astype(np.float32)
+    flags_t = np.asarray(resize_flags_reference(
+        lowres, wh_t, ww_t, 0.0, 1.0, grid_hw=(gh_t, g)))
+    flags_c = np.asarray(resize_flags_reference(
+        lowres[:, :gh_c * g], wh_c, ww_c, 0.0, 1.0, grid_hw=(gh_c, g)))
+    np.testing.assert_array_equal(flags_t, flags_c)
+
+
 def test_resize_mats_full_height_is_noop():
     """Square/portrait-height inputs keep every token row."""
     from revisit_anything_tpu.models.sam.amg import resize_mats_and_rows

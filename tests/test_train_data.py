@@ -48,6 +48,76 @@ def test_batcher_deterministic_per_seed(tmp_path, rng):
         np.testing.assert_array_equal(la, lb)
 
 
+def make_gsv_dataset(tmp_path, rng, cities=("Boston", "London"),
+                     places=3, imgs=4, hw=(40, 40), skip_write=()):
+    """GSV-Cities SHIPPED layout: Dataframes/<City>.csv + Images/<city_id>/
+    with filenames the loader must reconstruct from the row fields
+    (GSVCitiesDataset.get_img_name)."""
+    (tmp_path / "Dataframes").mkdir()
+    header = "place_id,city_id,panoid,year,month,northdeg,lat,lon\n"
+    for city in cities:
+        cid = city[:3].upper()
+        rows = []
+        for p in range(places):
+            for i in range(imgs):
+                lat, lon = 41.5 + p * 0.125, -71.25 - i * 0.5
+                rows.append(f"{p + 10},{cid},pano{p}x{i},2019,{i + 1},"
+                            f"{p * 37 % 360},{lat},{lon}\n")
+                name = (f"{cid}_{p + 10:07d}_2019_{i + 1:02d}_"
+                        f"{p * 37 % 360:03d}_{lat}_{lon}_pano{p}x{i}.jpg")
+                if (city, p) not in skip_write:
+                    d = tmp_path / "Images" / cid
+                    d.mkdir(parents=True, exist_ok=True)
+                    img = rng.integers(0, 255, (*hw, 3), dtype=np.uint8)
+                    Image.fromarray(img).save(d / name)
+        (tmp_path / "Dataframes" / f"{city}.csv").write_text(
+            header + "".join(rows))
+    return str(tmp_path)
+
+
+def test_discover_places_gsv_shipped_format(tmp_path, rng):
+    """Shipped-format discovery: reference grouping semantics — per-city
+    place-id prefixing (i * 10**5), min_img_per_place filter, exact
+    filename reconstruction (every path must exist on disk)."""
+    import os
+
+    from revisit_anything_tpu.training.data import discover_places_gsv
+
+    root = make_gsv_dataset(tmp_path, rng)
+    places = discover_places_gsv(root)
+    # cities sorted: Boston -> prefix 0, London -> prefix 1; same raw ids
+    # (10..12) must stay distinct across cities (GSVCitiesDataset.py:78-81)
+    assert sorted(places) == ["0000010", "0000011", "0000012",
+                              "0100010", "0100011", "0100012"]
+    for paths in places.values():
+        assert len(paths) == 4
+        for p in paths:
+            assert os.path.exists(p), p     # filename recipe matches disk
+
+    # min_img_per_place: a 4-image place survives at the default, is
+    # dropped at 5 (GSVCitiesDataset.py:86-90)
+    assert discover_places_gsv(root, min_img_per_place=5) == {}
+
+    # explicit city selection reorders the prefixes
+    only = discover_places_gsv(root, cities=["London"])
+    assert sorted(only) == ["0000010", "0000011", "0000012"]
+    assert all("LON_" in p for paths in only.values() for p in paths)
+
+
+def test_gsv_shipped_feeds_batcher(tmp_path, rng):
+    """Discovery → PlacesBatcher → labels grouped by place, images loaded
+    from the reconstructed paths."""
+    from revisit_anything_tpu.training.data import discover_places_gsv
+
+    root = make_gsv_dataset(tmp_path, rng, cities=("Boston",), places=3)
+    places = discover_places_gsv(root)
+    b = PlacesBatcher(places, image_hw=(42, 56), places_per_batch=3,
+                      img_per_place=4, seed=0)
+    imgs, labels = next(iter(b))
+    assert imgs.shape == (12, 42, 56, 3)
+    np.testing.assert_array_equal(labels, np.repeat(np.arange(3), 4))
+
+
 def test_prefetch_preserves_order(tmp_path, rng):
     items = [(np.full((2, 2), i), i) for i in range(10)]
     out = list(prefetch(iter(items), depth=3))
