@@ -38,12 +38,18 @@ tail details.
 
 MFU: per-stage FLOPs come from XLA's compiled cost analysis
 (jit(...).lower().compile().cost_analysis()), peak from BENCH_PEAK_FLOPS
-(default 197e12 — TPU v5e bf16). Stage times are sync-measured minus the
-measured host↔device round-trip latency (the axon tunnel RTT dominates
-single-op timings). cost_analysis cannot see inside Pallas kernels; the
-decode stage (whose matmuls now live almost entirely in kernels) adds an
-analytic per-prompt count (_decode_kernel_flops) — encode/DINO kernel
-flops are <1% of their totals and are left uncounted.
+(default 197e12 — the TPU v5e bf16 DATASHEET peak; the chip reports
+"TPU v5 lite"). The chip's measured ACHIEVABLE large-matmul ceiling is
+166.3 TFLOP/s (84% of datasheet; scripts/probe_peak_flops.py, async-loop
+timed, stable ±1% across 12 probes at 4k³-16k³ bf16) — MFU here is
+utilization of the hardware peak, so even a perfect matmul kernel tops
+out at ~0.84. BASELINE.md's round-3 "265 TFLOPS measured" figure was
+WRONG (it predates the async-loop methodology) and every roofline is
+restated from these two numbers in BASELINE.md §"Peak FLOPS resolved".
+cost_analysis cannot see inside Pallas kernels; the decode stage (whose
+matmuls now live almost entirely in kernels) adds an analytic per-prompt
+count (_decode_kernel_flops) — encode/DINO kernel flops are <1% of their
+totals and are left uncounted.
 """
 
 import json
@@ -337,11 +343,16 @@ def main():
     # The shared TPU fluctuates under co-tenant load; a single pass can
     # measure a loaded window. Re-measure (bounded) until BOTH canaries
     # sit at nominal, keeping the best-throughput pass either way
-    # (BASELINE.md round-3 methodology).
+    # (BASELINE.md round-3 methodology). BENCH_PASSES / BENCH_PASS_SLEEP
+    # turn the same loop into a canary WATCHER: one warm process retries
+    # across hours until a nominal co-tenant window appears (round-3
+    # verdict item 1 — measure the headline, don't extrapolate it).
+    max_passes = int(os.environ.get("BENCH_PASSES", 4))
+    pass_sleep = float(os.environ.get("BENCH_PASS_SLEEP", 45))
     best = None
     nominal = False
     attempts = 0
-    for attempt in range(4):
+    for attempt in range(max_passes):
         attempts = attempt + 1
         r = measure_round()
         s = r[3]
@@ -368,8 +379,8 @@ def main():
             break
         if best is None or r[0] > best[0]:
             best = r
-        if attempt < 3:
-            time.sleep(45)
+        if attempt < max_passes - 1:
+            time.sleep(pass_sleep)
     qps, lat_ms, rtt_s, stage_s = best
     device_path_s = stage_s.pop("device_path")
 

@@ -151,6 +151,16 @@ _MASKHEAD_DISABLED = False
 # TPU at production sizes, "on"/"off" force it (tests / A-B benchmarks)
 _PROBS_PATH = "auto"
 
+# fully-fused decode tail (ops/decode_fused.py): ONE kernel for P1 →
+# keys1 → layer-2 t2i → token mid-ops → P2 → keys2 → final attention.
+# "auto" = whenever the probs path runs; "off" = the split per-consumer
+# kernels (the r3 shape, kept for parity tests and A/B benchmarks)
+_FUSED_TAIL = "auto"
+
+
+def _use_fused_tail() -> bool:
+    return _FUSED_TAIL != "off"
+
 
 def _use_token_kernel(m: int) -> bool:
     return jax.default_backend() == "tpu" and m >= 1024
@@ -366,11 +376,44 @@ def _run_two_way_probs(params_dec: Params, tokens, shared_src, src_pe_one,
     q1st = t_proj(i1["q"]["w"], i1["q"]["b"], src_pe_img)   # [1, DA, M]
     tok_k1 = _dense(queries + tokens, i1["k"])
     tok_v1 = _dense(queries, i1["v"])
-    p1 = i2t_probs(q1st, tok_k1, nh, layer=1, eps=cfg.eps,
-                   interpret=interpret)                     # [B, HT, M]
     c1m = jnp.einsum("bkd,de->bke", _block_diag_tokens_t(tok_v1, nh),
                      i1["out"]["w"].astype(dtype),
                      preferred_element_type=jnp.float32).astype(dtype)
+
+    if _use_fused_tail():
+        # ----- fused tail: layer-2 self-attn in XLA (batched), then ONE
+        # kernel for P1 → keys1 → t2i → token mid-ops → P2 → keys2 →
+        # final attention (ops/decode_fused.py) -----
+        from revisit_anything_tpu.ops.decode_fused import decode_tail_fused
+        q = queries + tokens
+        attn_out = _attn(l2["self_attn"], q, q, queries, nh)
+        queries_b = _layer_norm(queries + attn_out, l2["norm1"], cfg.eps)
+        i2 = l2["i2t"]
+        fa = params_dec["final_attn"]
+        peq2t = t_proj(i2["q"]["w"], i2["q"]["b"], src_pe_one)
+        pek2t = t_proj(l2["t2i"]["k"]["w"], l2["t2i"]["k"]["b"],
+                       src_pe_one)
+        pekft = t_proj(fa["k"]["w"], fa["k"]["b"], src_pe_one)
+        queries_out, p1, p2, c2m = decode_tail_fused(
+            img0t, q1st, peq2t, pek2t, pekft, tok_k1, c1m, queries_b,
+            tokens.astype(queries_b.dtype), l2, fa, i1, l1["norm4"],
+            params_dec["norm_final"], nh, eps=cfg.eps,
+            interpret=interpret)
+        branch_rows = jnp.zeros((8, d), dtype)
+        branch_rows = branch_rows.at[0].set(i1["out"]["b"].astype(dtype))
+        branch_rows = branch_rows.at[1].set(
+            l1["norm4"]["scale"].astype(dtype))
+        branch_rows = branch_rows.at[2].set(
+            l1["norm4"]["bias"].astype(dtype))
+        branch_rows = branch_rows.at[3].set(i2["out"]["b"].astype(dtype))
+        branch_rows = branch_rows.at[4].set(
+            l2["norm4"]["scale"].astype(dtype))
+        branch_rows = branch_rows.at[5].set(
+            l2["norm4"]["bias"].astype(dtype))
+        return queries_out, (p1, c1m, p2, c2m, branch_rows)
+
+    p1 = i2t_probs(q1st, tok_k1, nh, layer=1, eps=cfg.eps,
+                   interpret=interpret)                     # [B, HT, M]
 
     # ----- layer 2: token side -----
     q = queries + tokens

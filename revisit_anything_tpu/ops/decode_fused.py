@@ -1,0 +1,383 @@
+"""Fully-fused per-prompt SAM decode tail: P1 → keys1 → layer-2 t2i →
+token mid-ops → P2 → keys2 → final attention in ONE kernel.
+
+The probability-factored decode (ops/decode_probs.py) runs FOUR separate
+per-prompt kernels with XLA token-ops between them; the per-prompt image
+branch keys_l^T = LN(img0^T + C_l^T P_l^T + b) is therefore reconstructed
+once per consumer — keys1 three times, keys2 once — and each
+reconstruction pays both a [D, HT]·[HT, M] matmul AND a [D, M]-sized f32
+LayerNorm on the VPU (the dominant repeated cost), while P1/P2 make
+redundant HBM round trips between the kernels.
+
+This kernel carries one prompt's ENTIRE decode tail through a single VMEM
+residency:
+
+  P1 = softmax(kbd1 · q1s^T)                 (layer-1 i2t probabilities)
+  keys1^T = LN(img0^T + C1^T P1^T + b1)      (reconstructed ONCE)
+  t2i-2:  tokens attend to keys1 (block-diagonal head batching)
+  token mid-ops in-kernel: out-proj, LN, MLP, LN  ([8, D] — tiny)
+  P2 = softmax(kbd2 · (Wq2^T keys1^T + peq2^T))
+  keys2^T = LN(keys1^T + C2^T P2^T + b2)     (reconstructed ONCE)
+  final attention vs keys2, out-proj, final LN
+
+vs the split path this removes 2 keys1 reconstructions + their LNs, every
+inter-kernel HBM round trip of the token state, 3 kernel launches, and
+P1's HBM read (it is computed in-register; P1/P2 are still EMITTED once
+for the mask head, which keeps its own 2-recon probs path —
+ops/maskhead.fused_mask_head_probs).
+
+Numerics: identical op set to the split kernels up to f32 reassociation;
+bf16 rounding happens at exactly the points the split path rounds (P/C
+tensors and every token-side XLA store) — parity-tested against the
+split path in tests/test_decode_fused.py.
+
+Semantics anchor: /root/reference/sam/segment_anything/modeling/
+transformer.py:16-240 (TwoWayTransformer depth 2 + final attention).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from revisit_anything_tpu.ops.decode_probs import (_block_diag_tokens_t,
+                                                   _head_softmax_rows)
+
+Params = Dict[str, Any]
+
+# rowv row indices (lane-broadcast constants, width max(D, DA, MLP)):
+_RV = dict(bq_t2=0, bout_t2=1, n2s=2, n2b=3, lin1b=4, lin2b=5, n3s=6,
+           n3b=7, bk_i2=8, bv_i2=9, bq_fa=10, bout_fa=11, nfs=12, nfb=13)
+_RV_ROWS = 16
+
+# colv column indices (sublane-broadcast constants, height max(D, DA)):
+#   0-2: layer-1 branch b_out / ln scale / ln bias; 3-5: layer-2;
+#   6: t2i-l2 v bias (DA); 7: final-attn v bias (DA)
+_CV_COLS = 8
+
+
+def _ln_rows(x, scale, bias, eps):
+    """f32 LayerNorm over the LAST dim of [rows, D] (token-side LN,
+    matches decoder._layer_norm). ``scale``/``bias`` are [1, D] rows —
+    kept 2-D throughout (Mosaic's rank-1 handling is unreliable)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + eps)
+            * scale.astype(jnp.float32)
+            + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def _dense_rows(x, w_ref, b_row):
+    """Token-side dense matching decoder._dense: f32 accumulation,
+    rounded to x.dtype BEFORE the bias add (the XLA path's
+    ``.astype(x.dtype) + b``)."""
+    y = jax.lax.dot_general(x, w_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return y.astype(x.dtype) + b_row.astype(x.dtype)
+
+
+def _recon_step(y, c_bf, p_bf, b_col, s_col, bi_col, eps):
+    """One branch-reconstruction layer on the transposed state
+    (decode_probs._recon_t single step): y [D, M] f32 → LN(y + C^T P^T
+    + b)."""
+    a_t = jax.lax.dot_general(c_bf, p_bf, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    y = y + a_t + b_col.astype(jnp.float32)
+    mu = jnp.mean(y, axis=0, keepdims=True)
+    var = jnp.maximum(jnp.mean(y * y, axis=0, keepdims=True) - mu * mu,
+                      0.0)
+    return (y - mu) * jax.lax.rsqrt(var + eps) * s_col.astype(jnp.float32) \
+        + bi_col.astype(jnp.float32)
+
+
+def _bd_attend(q, kt, vt, heads: int, hd: int, scale: float, dtype):
+    """Block-diagonal-head token→image attention on transposed k/v
+    (decode_probs._t2i_probs_kernel's attention body). q [n_pad, DA] f32,
+    kt/vt [DA, M] f32 → [n_pad, DA] in ``dtype``."""
+    n_pad, da = q.shape
+    hn = heads * n_pad
+    rowg = jax.lax.broadcasted_iota(jnp.int32, (hn, da), 0) // n_pad
+    colg = jax.lax.broadcasted_iota(jnp.int32, (hn, da), 1) // hd
+    bmask = (rowg == colg).astype(jnp.float32)
+    q_bd = jnp.concatenate([q] * heads, axis=0) * bmask
+    s = jax.lax.dot_general(q_bd, kt, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    mx = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - mx)
+    p = e / jnp.sum(e, axis=1, keepdims=True)
+    o_all = jax.lax.dot_general(p, vt, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    return jnp.sum((o_all * bmask).reshape(heads, n_pad, da),
+                   axis=0).astype(dtype)
+
+
+def _bdiag_rows(tok, n_tok: int, heads: int, hd: int):
+    """[n_pad, DA] projected tokens → block-diagonal [H·T, DA]: head h's
+    T rows carry its hd channels (decode_probs._block_diag_tokens_t,
+    in-kernel form via concat + iota mask — Mosaic has no gather)."""
+    rows = jnp.concatenate([tok[:n_tok]] * heads, axis=0)   # [HT, DA]
+    ht, da = rows.shape
+    rowg = jax.lax.broadcasted_iota(jnp.int32, (ht, da), 0) // n_tok
+    colg = jax.lax.broadcasted_iota(jnp.int32, (ht, da), 1) // hd
+    return jnp.where(rowg == colg, rows, jnp.zeros_like(rows))
+
+
+def _tail_kernel(img0t_ref, q1st_ref, peq2t_ref, pek2t_ref, pekft_ref,
+                 wq_t2_ref, wkvt2_ref, wout_t2_ref, lin1_ref, lin2_ref,
+                 wk_i2_ref, wv_i2_ref, wout_i2_ref, wq2_ref,
+                 wq_fa_ref, wkvtf_ref, wout_fa_ref, rowv_ref, colv_ref,
+                 kbdt1_ref, c1m_ref, qin_ref, tok_ref,
+                 p1_ref, p2_ref, c2m_ref, qout_ref, *,
+                 heads: int, n_tok: int, eps: float):
+    d = img0t_ref.shape[1]
+    da = q1st_ref.shape[1]
+    hd = da // heads
+    scale = 1.0 / float(np.sqrt(hd))
+    dtype = qin_ref.dtype
+    rv = rowv_ref
+    cv = colv_ref
+
+    # ---- layer-1 i2t probabilities (was the i2t_probs layer-1 call) ----
+    s1 = jax.lax.dot_general(
+        kbdt1_ref[0].astype(jnp.float32), q1st_ref[0].astype(jnp.float32),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale        # [HT, M]
+    p1b = _head_softmax_rows(s1, n_tok, heads).astype(jnp.bfloat16)
+    p1_ref[0] = p1b.astype(p1_ref.dtype)
+
+    # ---- keys1^T (the ONLY reconstruction of layer 1) ----
+    keys1 = _recon_step(img0t_ref[0].astype(jnp.float32), c1m_ref[0],
+                        p1b.astype(c1m_ref.dtype),
+                        cv[:d, 0:1], cv[:d, 1:2], cv[:d, 2:3],
+                        eps)                               # [D, M] f32
+
+    # ---- layer-2 t2i: tokens attend to keys1 ----
+    kvt2 = jax.lax.dot_general(
+        wkvt2_ref[...].astype(jnp.float32), keys1,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [2·DA, M]
+    kt2 = kvt2[:da] + pek2t_ref[0].astype(jnp.float32)
+    vt2 = kvt2[da:] + cv[:da, 6:7].astype(jnp.float32)
+    qsum = qin_ref[0] + tok_ref[0]                         # [n_pad, D]
+    q2 = _dense_rows(qsum, wq_t2_ref,
+                     rv[_RV["bq_t2"]:_RV["bq_t2"] + 1, :da])
+    attn = _bd_attend(q2.astype(jnp.float32), kt2, vt2, heads, hd, scale,
+                      dtype)
+    queries = qin_ref[0] + _dense_rows(
+        attn, wout_t2_ref, rv[_RV["bout_t2"]:_RV["bout_t2"] + 1, :d])
+    queries = _ln_rows(queries, rv[_RV["n2s"]:_RV["n2s"] + 1, :d], rv[_RV["n2b"]:_RV["n2b"] + 1, :d],
+                       eps)
+
+    # ---- token MLP + LN (was XLA between the kernels) ----
+    mlp_dim = lin1_ref.shape[1]
+    h = jax.nn.relu(_dense_rows(queries, lin1_ref,
+                                rv[_RV["lin1b"]:_RV["lin1b"] + 1,
+                                   :mlp_dim]))
+    queries = queries + _dense_rows(h, lin2_ref,
+                                    rv[_RV["lin2b"]:_RV["lin2b"] + 1, :d])
+    queries = _ln_rows(queries, rv[_RV["n3s"]:_RV["n3s"] + 1, :d], rv[_RV["n3b"]:_RV["n3b"] + 1, :d],
+                       eps)
+
+    # ---- layer-2 i2t → P2 (queries from keys1, still in VMEM) ----
+    tok_k2 = _dense_rows(queries + tok_ref[0], wk_i2_ref,
+                         rv[_RV["bk_i2"]:_RV["bk_i2"] + 1, :da])
+    tok_v2 = _dense_rows(queries, wv_i2_ref,
+                         rv[_RV["bv_i2"]:_RV["bv_i2"] + 1, :da])
+    kbd2 = _bdiag_rows(tok_k2, n_tok, heads, hd)           # [HT, DA]
+    q2t = jax.lax.dot_general(
+        wq2_ref[...].astype(jnp.float32), keys1,
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [DA, M]
+    q2t = q2t + peq2t_ref[0].astype(jnp.float32)
+    s2 = jax.lax.dot_general(
+        kbd2.astype(jnp.float32), q2t, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    p2b = _head_softmax_rows(s2, n_tok, heads).astype(jnp.bfloat16)
+    p2_ref[0] = p2b.astype(p2_ref.dtype)
+
+    c2 = jax.lax.dot_general(
+        _bdiag_rows(tok_v2, n_tok, heads, hd), wout_i2_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dtype)  # [HT, D]
+    c2m_ref[0] = c2
+
+    # ---- keys2^T (the ONLY reconstruction of layer 2) ----
+    keys2 = _recon_step(keys1, c2, p2b.astype(c2.dtype),
+                        cv[:d, 3:4], cv[:d, 4:5], cv[:d, 5:6], eps)
+
+    # ---- final token→image attention vs keys2 ----
+    kvtf = jax.lax.dot_general(
+        wkvtf_ref[...].astype(jnp.float32), keys2,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ktf = kvtf[:da] + pekft_ref[0].astype(jnp.float32)
+    vtf = kvtf[da:] + cv[:da, 7:8].astype(jnp.float32)
+    qf = _dense_rows(queries + tok_ref[0], wq_fa_ref,
+                     rv[_RV["bq_fa"]:_RV["bq_fa"] + 1, :da])
+    attn_f = _bd_attend(qf.astype(jnp.float32), ktf, vtf, heads, hd,
+                        scale, dtype)
+    queries = queries + _dense_rows(
+        attn_f, wout_fa_ref, rv[_RV["bout_fa"]:_RV["bout_fa"] + 1, :d])
+    queries = _ln_rows(queries, rv[_RV["nfs"]:_RV["nfs"] + 1, :d], rv[_RV["nfb"]:_RV["nfb"] + 1, :d],
+                       eps)
+    qout_ref[0] = queries
+
+
+@partial(jax.jit, static_argnames=("heads", "n_tok", "eps", "interpret"))
+def _tail_call(shared, weights, rowv, colv, kbdt1, c1m, qin, tok,
+               heads: int, n_tok: int, eps: float, interpret: bool):
+    img0t = shared[0]
+    b, ht, _ = kbdt1.shape
+    d, m = img0t.shape[1], img0t.shape[2]
+    n_pad = qin.shape[1]
+    kernel = partial(_tail_kernel, heads=heads, n_tok=n_tok, eps=eps)
+
+    def inv(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, _n=nd: (0,) * _n,
+                            memory_space=pltpu.VMEM)
+
+    def per_prompt(shape):
+        nd = len(shape)
+        return pl.BlockSpec((1,) + shape[1:],
+                            lambda i, _n=nd: (i,) + (0,) * (_n - 1),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = ([inv(s.shape) for s in shared]
+                + [inv(w.shape) for w in weights]
+                + [inv(rowv.shape), inv(colv.shape)]
+                + [per_prompt(kbdt1.shape), per_prompt(c1m.shape),
+                   per_prompt(qin.shape), per_prompt(tok.shape)])
+    out_specs = [
+        pl.BlockSpec((1, ht, m), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ht, m), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ht, d), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, ht, m), jnp.bfloat16),
+        jax.ShapeDtypeStruct((b, ht, m), jnp.bfloat16),
+        jax.ShapeDtypeStruct((b, ht, d), qin.dtype),
+        jax.ShapeDtypeStruct((b, n_pad, d), qin.dtype),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*shared, *weights, rowv, colv, kbdt1, c1m, qin, tok)
+
+
+def decode_tail_fused(img0t: jnp.ndarray, q1st: jnp.ndarray,
+                      peq2t: jnp.ndarray, pek2t: jnp.ndarray,
+                      pekft: jnp.ndarray,
+                      tok_k1: jnp.ndarray, c1m: jnp.ndarray,
+                      queries_b: jnp.ndarray, tokens: jnp.ndarray,
+                      l2: Params, fa: Params, i1: Params, l1n4: Params,
+                      norm_final: Params, heads: int,
+                      eps: float = 1e-6,
+                      interpret: bool = False
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                                 jnp.ndarray]:
+    """Host-side wrapper: pack weights and run the fused tail.
+
+    Args:
+      img0t: [1, D, M] shared branch input, transposed.
+      q1st: [1, DA, M] layer-1 i2t queries ((img0+pe)Wq1 + b)^T.
+      peq2t/pek2t/pekft: [1, DA, M] transposed pe-terms — layer-2 i2t
+        W_q·pe + b_q, layer-2 t2i W_k·pe + b_k, final-attn W_k·pe + b_k.
+      tok_k1: [B, T, DA] layer-1 i2t projected token keys.
+      c1m: [B, HT, D] layer-1 C = V^bd @ W_out (bf16 — also feeds the
+        mask head).
+      queries_b: [B, T, D] token state after layer-2 self-attn + norm1.
+      tokens: [B, T, D] the prompt tokens (for the ``+ tokens`` terms).
+      l2 / fa: layer-2 / final-attention param subtrees; i1: layer-1 i2t
+        params (out bias); l1n4: layer-1 norm4; norm_final.
+
+    Returns (queries_out [B, T, D] after norm_final, p1 [B, HT, M] bf16,
+    p2 [B, HT, M] bf16, c2m [B, HT, D]).
+    """
+    b, t, d = queries_b.shape
+    dtype = queries_b.dtype
+    da = l2["t2i"]["q"]["w"].shape[1]
+    mlp_dim = l2["lin1"]["w"].shape[1]
+    i2 = l2["i2t"]
+    t2 = l2["t2i"]
+
+    kbdt1 = _block_diag_tokens_t(tok_k1, heads)            # [B, HT, DA]
+
+    n_pad = -(-t // 8) * 8
+    if n_pad != t:
+        pad = ((0, 0), (0, n_pad - t), (0, 0))
+        queries_b = jnp.pad(queries_b, pad)
+        tokens = jnp.pad(tokens, pad)
+
+    def wt(p):
+        return p["w"].astype(dtype)
+
+    weights = (
+        wt(t2["q"]),                                        # wq_t2 [D, DA]
+        jnp.concatenate([t2["k"]["w"].T, t2["v"]["w"].T],
+                        axis=0).astype(dtype),              # wkvt2
+        wt(t2["out"]),                                      # [DA, D]
+        wt(l2["lin1"]), wt(l2["lin2"]),
+        wt(i2["k"]), wt(i2["v"]), wt(i2["out"]), wt(i2["q"]),
+        wt(fa["q"]),
+        jnp.concatenate([fa["k"]["w"].T, fa["v"]["w"].T],
+                        axis=0).astype(dtype),              # wkvtf
+        wt(fa["out"]),
+    )
+
+    width = max(d, da, mlp_dim)
+    rowv = jnp.zeros((_RV_ROWS, width), dtype)
+
+    def rset(rv, key, vec):
+        return rv.at[_RV[key], :vec.shape[0]].set(vec.astype(dtype))
+
+    rowv = rset(rowv, "bq_t2", t2["q"]["b"])
+    rowv = rset(rowv, "bout_t2", t2["out"]["b"])
+    rowv = rset(rowv, "n2s", l2["norm2"]["scale"])
+    rowv = rset(rowv, "n2b", l2["norm2"]["bias"])
+    rowv = rset(rowv, "lin1b", l2["lin1"]["b"])
+    rowv = rset(rowv, "lin2b", l2["lin2"]["b"])
+    rowv = rset(rowv, "n3s", l2["norm3"]["scale"])
+    rowv = rset(rowv, "n3b", l2["norm3"]["bias"])
+    rowv = rset(rowv, "bk_i2", i2["k"]["b"])
+    rowv = rset(rowv, "bv_i2", i2["v"]["b"])
+    rowv = rset(rowv, "bq_fa", fa["q"]["b"])
+    rowv = rset(rowv, "bout_fa", fa["out"]["b"])
+    rowv = rset(rowv, "nfs", norm_final["scale"])
+    rowv = rset(rowv, "nfb", norm_final["bias"])
+
+    colv = jnp.zeros((max(d, da), _CV_COLS), dtype)
+    colv = colv.at[:d, 0].set(i1["out"]["b"].astype(dtype))
+    colv = colv.at[:d, 1].set(l1n4["scale"].astype(dtype))
+    colv = colv.at[:d, 2].set(l1n4["bias"].astype(dtype))
+    colv = colv.at[:d, 3].set(i2["out"]["b"].astype(dtype))
+    colv = colv.at[:d, 4].set(l2["norm4"]["scale"].astype(dtype))
+    colv = colv.at[:d, 5].set(l2["norm4"]["bias"].astype(dtype))
+    colv = colv.at[:da, 6].set(t2["v"]["b"].astype(dtype))
+    colv = colv.at[:da, 7].set(fa["v"]["b"].astype(dtype))
+
+    shared = (img0t.astype(dtype), q1st.astype(dtype), peq2t.astype(dtype),
+              pek2t.astype(dtype), pekft.astype(dtype))
+    p1, p2, c2m, qout = _tail_call(
+        shared, weights, rowv, colv, kbdt1, c1m.astype(dtype),
+        queries_b, tokens, heads, tok_k1.shape[1], float(eps),
+        bool(interpret))
+    return qout[:, :t], p1, p2, c2m

@@ -273,6 +273,59 @@ def test_incremental_add_then_retrieve(models):
     assert rank(top, ids[1]) == len(top)
 
 
+def test_batched_insert_matches_per_image(models):
+    """A multi-image chunk (ONE db copy, _compact_insert_many) must leave
+    the database BIT-identical to per-image inserts (insert_chunk=1):
+    same compaction, same ids, same cursor."""
+    sam_params, dino_params = models
+    rng = np.random.default_rng(23)
+    amg = AmgConfig(points_per_side=6, points_per_batch=36,
+                    pred_iou_thresh=-1e9, stability_score_thresh=0.0)
+    idx = _index(rng)
+
+    def build(chunk):
+        return SegVLADServer(
+            sam_params=sam_params, sam_cfg=SAM_SMALL,
+            dino_params=dino_params, dino_cfg=DINO_SMALL,
+            index=idx, full_hw=(H, W), sam_hw=(H // 2, W // 2),
+            amg=amg, dino_layer=1, max_masks=32, top_images=5,
+            db_capacity=600, mesh=None, insert_chunk=chunk)
+
+    imgs = [_image(rng) for _ in range(4)]
+    srv_b = build(4)        # one chunk of 4 → one copy
+    srv_s = build(1)        # four single-image chunks
+    ids_b = srv_b.add_reference_images(imgs)
+    ids_s = srv_s.add_reference_images(imgs)
+    assert ids_b == ids_s
+    assert srv_b._cursor == srv_s._cursor
+    np.testing.assert_array_equal(np.asarray(srv_b._db, np.float32),
+                                  np.asarray(srv_s._db, np.float32))
+    np.testing.assert_array_equal(np.asarray(srv_b._db_ids),
+                                  np.asarray(srv_s._db_ids))
+
+
+def test_batched_insert_chunk_capacity_split(models):
+    """A batch larger than the remaining full-block room must split into
+    chunks and still insert every image (the stacked guard tail may not
+    exceed capacity mid-batch)."""
+    sam_params, dino_params = models
+    rng = np.random.default_rng(29)
+    amg = AmgConfig(points_per_side=6, points_per_batch=36,
+                    pred_iou_thresh=-1e9, stability_score_thresh=0.0)
+    idx = _index(rng)
+    srv = SegVLADServer(
+        sam_params=sam_params, sam_cfg=SAM_SMALL,
+        dino_params=dino_params, dino_cfg=DINO_SMALL,
+        index=idx, full_hw=(H, W), sam_hw=(H // 2, W // 2),
+        amg=amg, dino_layer=1, max_masks=32, top_images=5,
+        db_capacity=len(idx.db) + 3 * 32, mesh=None, insert_chunk=8)
+    imgs = [_image(rng) for _ in range(2)]
+    ids = srv.add_reference_images(imgs)    # room=3 blocks, chunk of 2 ok
+    assert len(ids) == 2
+    for img, iid in zip(imgs, ids):
+        assert iid in list(np.asarray(srv.query(img)))
+
+
 def test_incremental_matches_prebuilt(models):
     """A server whose rows arrived incrementally answers exactly like one
     whose index was built with those rows up front."""
