@@ -153,13 +153,17 @@ _PROBS_PATH = "auto"
 
 # fully-fused decode tail (ops/decode_fused.py): ONE kernel for P1 →
 # keys1 → layer-2 t2i → token mid-ops → P2 → keys2 → final attention.
-# "auto" = whenever the probs path runs; "off" = the split per-consumer
-# kernels (the r3 shape, kept for parity tests and A/B benchmarks)
+# "auto" = on TPU whenever the probs path runs (the big interpret-mode
+# kernel body would slow every CPU test); "on" forces it (the parity
+# tests); "off" = the split per-consumer kernels (the r3 shape, kept
+# for parity tests and A/B benchmarks)
 _FUSED_TAIL = "auto"
 
 
 def _use_fused_tail() -> bool:
-    return _FUSED_TAIL != "off"
+    if _FUSED_TAIL == "auto":
+        return jax.default_backend() == "tpu"
+    return _FUSED_TAIL == "on"
 
 
 def _use_token_kernel(m: int) -> bool:

@@ -53,7 +53,8 @@ Params = Dict[str, Any]
 
 # rowv row indices (lane-broadcast constants, width max(D, DA, MLP)):
 _RV = dict(bq_t2=0, bout_t2=1, n2s=2, n2b=3, lin1b=4, lin2b=5, n3s=6,
-           n3b=7, bk_i2=8, bv_i2=9, bq_fa=10, bout_fa=11, nfs=12, nfb=13)
+           n3b=7, bk_i2=8, bv_i2=9, bq_fa=10, bout_fa=11, nfs=12, nfb=13,
+           vb_t2=14, vb_fa=15)
 _RV_ROWS = 16
 
 # colv column indices (sublane-broadcast constants, height max(D, DA)):
@@ -97,23 +98,49 @@ def _recon_step(y, c_bf, p_bf, b_col, s_col, bi_col, eps):
         + bi_col.astype(jnp.float32)
 
 
-def _bd_attend(q, kt, vt, heads: int, hd: int, scale: float, dtype):
-    """Block-diagonal-head token→image attention on transposed k/v
-    (decode_probs._t2i_probs_kernel's attention body). q [n_pad, DA] f32,
-    kt/vt [DA, M] f32 → [n_pad, DA] in ``dtype``."""
+def _bd_attend_q(q, keys, wk, wv, pekt, vb_row, heads: int, hd: int,
+                 scale: float, dtype):
+    """Block-diagonal-head token→image attention with the k/v projections
+    pushed to the QUERY/CONTEXT side.
+
+    Only n_pad≈8 token rows attend, so projecting the whole [D, M]
+    branch to k/v ([2·DA, D]·[D, M] ≈ 1.07 GF/prompt) is wasteful:
+      s = q_bd·(Wk^T·keys + pe) = (q_bd·Wk^T)·keys + q_bd·pe
+      o = p·(Wv^T·keys + vb)^T = (p·keys^T)·Wv + vb   (softmax rows sum
+                                                       to 1 exactly)
+    — the big matmuls shrink to [H·n, D]·[D, M] and [H·n, M]·[M, D]
+    (~0.34 GF vs ~0.67 GF per attention). The block-diagonal head
+    structure survives the refactor because q_bd's zeroed columns select
+    head h's rows of Wk^T/Wv exactly as they selected its k/v rows.
+    Same arithmetic as the transposed-k/v form up to f32 reassociation.
+
+    q [n_pad, DA] f32; keys [D, M] f32; wk/wv [D, DA]; pekt [DA, M];
+    vb_row [1, DA] → [n_pad, DA] in ``dtype``.
+    """
     n_pad, da = q.shape
     hn = heads * n_pad
     rowg = jax.lax.broadcasted_iota(jnp.int32, (hn, da), 0) // n_pad
     colg = jax.lax.broadcasted_iota(jnp.int32, (hn, da), 1) // hd
     bmask = (rowg == colg).astype(jnp.float32)
-    q_bd = jnp.concatenate([q] * heads, axis=0) * bmask
-    s = jax.lax.dot_general(q_bd, kt, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+    q_bd = jnp.concatenate([q] * heads, axis=0) * bmask    # [hn, DA]
+    qhat = jax.lax.dot_general(q_bd, wk.astype(jnp.float32),
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    s = jax.lax.dot_general(qhat, keys, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = (s + jax.lax.dot_general(q_bd, pekt.astype(jnp.float32),
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)) \
+        * scale
     mx = jnp.max(s, axis=1, keepdims=True)
     e = jnp.exp(s - mx)
     p = e / jnp.sum(e, axis=1, keepdims=True)
-    o_all = jax.lax.dot_general(p, vt, (((1,), (1,)), ((), ())),
+    ctx = jax.lax.dot_general(p, keys, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    o_all = jax.lax.dot_general(ctx, wv.astype(jnp.float32),
+                                (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
+    o_all = o_all + vb_row.astype(jnp.float32)
     return jnp.sum((o_all * bmask).reshape(heads, n_pad, da),
                    axis=0).astype(dtype)
 
@@ -130,9 +157,10 @@ def _bdiag_rows(tok, n_tok: int, heads: int, hd: int):
 
 
 def _tail_kernel(img0t_ref, q1st_ref, peq2t_ref, pek2t_ref, pekft_ref,
-                 wq_t2_ref, wkvt2_ref, wout_t2_ref, lin1_ref, lin2_ref,
-                 wk_i2_ref, wv_i2_ref, wout_i2_ref, wq2_ref,
-                 wq_fa_ref, wkvtf_ref, wout_fa_ref, rowv_ref, colv_ref,
+                 wq_t2_ref, wk_t2_ref, wv_t2_ref, wout_t2_ref, lin1_ref,
+                 lin2_ref, wk_i2_ref, wv_i2_ref, wout_i2_ref, wq2_ref,
+                 wq_fa_ref, wk_fa_ref, wv_fa_ref, wout_fa_ref, rowv_ref,
+                 colv_ref,
                  kbdt1_ref, c1m_ref, qin_ref, tok_ref,
                  p1_ref, p2_ref, c2m_ref, qout_ref, *,
                  heads: int, n_tok: int, eps: float):
@@ -158,18 +186,14 @@ def _tail_kernel(img0t_ref, q1st_ref, peq2t_ref, pek2t_ref, pekft_ref,
                         cv[:d, 0:1], cv[:d, 1:2], cv[:d, 2:3],
                         eps)                               # [D, M] f32
 
-    # ---- layer-2 t2i: tokens attend to keys1 ----
-    kvt2 = jax.lax.dot_general(
-        wkvt2_ref[...].astype(jnp.float32), keys1,
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                # [2·DA, M]
-    kt2 = kvt2[:da] + pek2t_ref[0].astype(jnp.float32)
-    vt2 = kvt2[da:] + cv[:da, 6:7].astype(jnp.float32)
+    # ---- layer-2 t2i: tokens attend to keys1 (query-side projections) --
     qsum = qin_ref[0] + tok_ref[0]                         # [n_pad, D]
     q2 = _dense_rows(qsum, wq_t2_ref,
                      rv[_RV["bq_t2"]:_RV["bq_t2"] + 1, :da])
-    attn = _bd_attend(q2.astype(jnp.float32), kt2, vt2, heads, hd, scale,
-                      dtype)
+    attn = _bd_attend_q(q2.astype(jnp.float32), keys1, wk_t2_ref[...],
+                        wv_t2_ref[...], pek2t_ref[0],
+                        rv[_RV["vb_t2"]:_RV["vb_t2"] + 1, :da],
+                        heads, hd, scale, dtype)
     queries = qin_ref[0] + _dense_rows(
         attn, wout_t2_ref, rv[_RV["bout_t2"]:_RV["bout_t2"] + 1, :d])
     queries = _ln_rows(queries, rv[_RV["n2s"]:_RV["n2s"] + 1, :d], rv[_RV["n2b"]:_RV["n2b"] + 1, :d],
@@ -191,14 +215,21 @@ def _tail_kernel(img0t_ref, q1st_ref, peq2t_ref, pek2t_ref, pekft_ref,
     tok_v2 = _dense_rows(queries, wv_i2_ref,
                          rv[_RV["bv_i2"]:_RV["bv_i2"] + 1, :da])
     kbd2 = _bdiag_rows(tok_k2, n_tok, heads, hd)           # [HT, DA]
-    q2t = jax.lax.dot_general(
-        wq2_ref[...].astype(jnp.float32), keys1,
-        (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                # [DA, M]
-    q2t = q2t + peq2t_ref[0].astype(jnp.float32)
+    # i2t logits with the q projection pushed to the token side:
+    # kbd2·(Wq2^T·keys1 + pe) = (kbd2·Wq2^T)·keys1 + kbd2·pe —
+    # [HT, D]·[D, M] (117 MF) instead of [DA, D]·[D, M] (268 MF)
+    kbd2f = kbd2.astype(jnp.float32)
+    khat2 = jax.lax.dot_general(
+        kbd2f, wq2_ref[...].astype(jnp.float32),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [HT, D]
     s2 = jax.lax.dot_general(
-        kbd2.astype(jnp.float32), q2t, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
+        khat2, keys1, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    s2 = (s2 + jax.lax.dot_general(
+        kbd2f, peq2t_ref[0].astype(jnp.float32),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)) * scale
     p2b = _head_softmax_rows(s2, n_tok, heads).astype(jnp.bfloat16)
     p2_ref[0] = p2b.astype(p2_ref.dtype)
 
@@ -212,17 +243,13 @@ def _tail_kernel(img0t_ref, q1st_ref, peq2t_ref, pek2t_ref, pekft_ref,
     keys2 = _recon_step(keys1, c2, p2b.astype(c2.dtype),
                         cv[:d, 3:4], cv[:d, 4:5], cv[:d, 5:6], eps)
 
-    # ---- final token→image attention vs keys2 ----
-    kvtf = jax.lax.dot_general(
-        wkvtf_ref[...].astype(jnp.float32), keys2,
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    ktf = kvtf[:da] + pekft_ref[0].astype(jnp.float32)
-    vtf = kvtf[da:] + cv[:da, 7:8].astype(jnp.float32)
+    # ---- final token→image attention vs keys2 (query-side) ----
     qf = _dense_rows(queries + tok_ref[0], wq_fa_ref,
                      rv[_RV["bq_fa"]:_RV["bq_fa"] + 1, :da])
-    attn_f = _bd_attend(qf.astype(jnp.float32), ktf, vtf, heads, hd,
-                        scale, dtype)
+    attn_f = _bd_attend_q(qf.astype(jnp.float32), keys2, wk_fa_ref[...],
+                          wv_fa_ref[...], pekft_ref[0],
+                          rv[_RV["vb_fa"]:_RV["vb_fa"] + 1, :da],
+                          heads, hd, scale, dtype)
     queries = queries + _dense_rows(
         attn_f, wout_fa_ref, rv[_RV["bout_fa"]:_RV["bout_fa"] + 1, :d])
     queries = _ln_rows(queries, rv[_RV["nfs"]:_RV["nfs"] + 1, :d], rv[_RV["nfb"]:_RV["nfb"] + 1, :d],
@@ -332,14 +359,11 @@ def decode_tail_fused(img0t: jnp.ndarray, q1st: jnp.ndarray,
 
     weights = (
         wt(t2["q"]),                                        # wq_t2 [D, DA]
-        jnp.concatenate([t2["k"]["w"].T, t2["v"]["w"].T],
-                        axis=0).astype(dtype),              # wkvt2
+        wt(t2["k"]), wt(t2["v"]),                           # [D, DA] each
         wt(t2["out"]),                                      # [DA, D]
         wt(l2["lin1"]), wt(l2["lin2"]),
         wt(i2["k"]), wt(i2["v"]), wt(i2["out"]), wt(i2["q"]),
-        wt(fa["q"]),
-        jnp.concatenate([fa["k"]["w"].T, fa["v"]["w"].T],
-                        axis=0).astype(dtype),              # wkvtf
+        wt(fa["q"]), wt(fa["k"]), wt(fa["v"]),
         wt(fa["out"]),
     )
 
@@ -363,6 +387,8 @@ def decode_tail_fused(img0t: jnp.ndarray, q1st: jnp.ndarray,
     rowv = rset(rowv, "bout_fa", fa["out"]["b"])
     rowv = rset(rowv, "nfs", norm_final["scale"])
     rowv = rset(rowv, "nfb", norm_final["bias"])
+    rowv = rset(rowv, "vb_t2", t2["v"]["b"])
+    rowv = rset(rowv, "vb_fa", fa["v"]["b"])
 
     colv = jnp.zeros((max(d, da), _CV_COLS), dtype)
     colv = colv.at[:d, 0].set(i1["out"]["b"].astype(dtype))

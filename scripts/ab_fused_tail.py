@@ -1,11 +1,18 @@
 """Interleaved A/B: fused decode tail (ops/decode_fused.py) vs the r3
 split per-consumer kernels, at production shapes on real TPU.
 
-_FUSED_TAIL is a trace-time flag and decode_masks/_decode_batch are
-module-jitted, so each variant is traced into its OWN jit wrapper with
-the inner caches cleared first; after tracing, the flag is irrelevant and
-the two executables are timed interleaved (async loops, one sync),
-BASELINE.md methodology.
+_FUSED_TAIL is a trace-time flag and the decode fns are module-jitted, so
+each variant is traced with the inner caches cleared first; after tracing
+the flag is irrelevant and the two executables are timed interleaved
+(async loops, one sync — BASELINE.md methodology).
+
+Compiles are the expensive part through the tunnel (the compile server
+drops long compiles under co-tenant load — observed Broken pipe at ~35
+min on the full _decode_batch HLO), so the A/B compares at the
+``two_way + mask-head inputs`` level (much smaller programs), compiles
+the PRODUCTION (fused) variant first, and retries dropped compiles.
+The full fused _decode_batch is then timed on its own for the stage
+number, with encode/dino canaries for the load context.
 """
 import sys
 import time
@@ -13,24 +20,40 @@ import time
 import numpy as np
 
 
+def _retry(label, fn, attempts=4, sleep_s=45):
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:                       # noqa: BLE001
+            msg = str(e).splitlines()[0][:160]
+            print(f"[ab] {label} attempt {i + 1} failed: {msg}",
+                  file=sys.stderr, flush=True)
+            if i == attempts - 1:
+                raise
+            time.sleep(sleep_s)
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     from revisit_anything_tpu.config import get_dataset
+    from revisit_anything_tpu.models import dinov2 as dn
     from revisit_anything_tpu.models.sam import SAM_VIT_H, init_sam_params
     from revisit_anything_tpu.models.sam import decoder as dec_mod
     from revisit_anything_tpu.models.sam.amg import (AmgConfig,
                                                      _decode_batch,
                                                      build_point_grid,
                                                      resize_longest_side)
-    from revisit_anything_tpu.models.sam.decoder import decode_masks
+    from revisit_anything_tpu.models.sam.decoder import (_run_two_way_probs,
+                                                         decode_masks)
     from revisit_anything_tpu.models.sam.encoder import encode_image
     from revisit_anything_tpu.models.sam.prompt import (
-        dense_positional_embedding)
+        dense_positional_embedding, embed_points, no_mask_dense_embedding)
     from revisit_anything_tpu.ops.resize import bilinear_weight_matrix
-    from revisit_anything_tpu.pipeline.serve import _sam_preprocess_fused
-    from revisit_anything_tpu.utils.packing import packed_init
+    from revisit_anything_tpu.pipeline.serve import (_dino_desc_device,
+                                                     _sam_preprocess_fused)
+    from revisit_anything_tpu.utils.packing import maybe_unpack, packed_init
 
     rng = np.random.default_rng(0)
     ds = get_dataset("17places")
@@ -63,51 +86,82 @@ def main():
     amg = AmgConfig(points_per_batch=128,
                     pred_iou_thresh=-1e9, stability_score_thresh=0.0)
 
-    def make_variant(flag):
+    up = maybe_unpack(sam_params)
+    dec = up["decoder"]
+    bsz = pts.shape[0]
+    sparse = embed_points(up, cfg, pts[:, None, :],
+                          jnp.ones((bsz, 1), jnp.int32), pad=True)
+    dense = no_mask_dense_embedding(up, cfg, 1)
+    g, d = cfg.grid, cfg.prompt_dim
+    out_tokens = jnp.concatenate([dec["iou_token"], dec["mask_tokens"]],
+                                 axis=0)
+    tokens = jnp.concatenate(
+        [jnp.broadcast_to(out_tokens[None], (bsz,) + out_tokens.shape),
+         sparse.astype(out_tokens.dtype)], axis=1)
+    shared_src = (emb[None] + dense[:1]).reshape(1, g * g, d)
+    src_pe_one = image_pe.reshape(1, g * g, d).astype(shared_src.dtype)
+
+    def sync_tree(o):
+        leaf = jax.tree_util.tree_leaves(o)[0]
+        float(jnp.ravel(leaf)[0].astype(jnp.float32))
+
+    def make_two_way(flag):
         dec_mod._FUSED_TAIL = flag
-        decode_masks.clear_cache()
-        _decode_batch.clear_cache()
-        fn = jax.jit(lambda e, pe, p: _decode_batch(
-            sam_params, cfg, e, pe, p, input_hw, sam_hw, amg))
-        out = fn(emb, image_pe, pts)           # trace + compile NOW
-        jax.block_until_ready(out)
-        float(jnp.ravel(out[1])[0])
+        # params enter as jit ARGUMENTS (CLAUDE.md: closing over device
+        # params embeds them as HLO constants — forces a device→host
+        # readback at trace time and bloats the uploaded program)
+        fn = jax.jit(lambda dc, tk, ss, pe: _run_two_way_probs(
+            dc, tk, ss, pe, cfg))
+        out = _retry(f"compile two_way[{flag}]",
+                     lambda: fn(dec, tokens, shared_src, src_pe_one))
+        sync_tree(out)
         return fn, out
 
-    print("[ab] tracing split...", file=sys.stderr, flush=True)
-    f_split, o_split = make_variant("off")
-    print("[ab] tracing fused...", file=sys.stderr, flush=True)
-    f_fused, o_fused = make_variant("auto")
+    # production variant FIRST (its executable matters even if the
+    # split's compile keeps getting dropped)
+    print("[ab] compiling fused two_way...", file=sys.stderr, flush=True)
+    f_fused, o_fused = make_two_way("auto")
+    print("[ab] compiling split two_way...", file=sys.stderr, flush=True)
+    f_split, o_split = make_two_way("off")
     dec_mod._FUSED_TAIL = "auto"
 
-    # ---- parity ----
-    m_s, iou_s = np.asarray(o_split[0]), np.asarray(o_split[1], np.float32)
-    m_f, iou_f = np.asarray(o_fused[0]), np.asarray(o_fused[1], np.float32)
-    mism = int((m_s != m_f).sum())
-    diou = float(np.abs(iou_s - iou_f).max())
-    dstab = float(np.abs(np.asarray(o_split[2], np.float32)
-                         - np.asarray(o_fused[2], np.float32)).max())
-    print(f"[ab] parity: mask-bit mismatches {mism}/{m_s.size} "
-          f"({100*mism/m_s.size:.4f}%), max|d iou|={diou:.2e}, "
-          f"max|d stab|={dstab:.2e}", flush=True)
+    # ---- parity (queries + p1/p2/c2m feed everything downstream) ----
+    q_f, (p1_f, c1_f, p2_f, c2_f, _) = o_fused
+    q_s, (p1_s, c1_s, p2_s, c2_s, _) = o_split
+    for name, a, b in (("queries", q_f, q_s), ("p1", p1_f, p1_s),
+                       ("p2", p2_f, p2_s), ("c2m", c2_f, c2_s)):
+        da = np.asarray(a, np.float32)
+        db_ = np.asarray(b, np.float32)
+        print(f"[ab] parity {name}: max|d|={np.abs(da - db_).max():.2e}",
+              flush=True)
 
-    def sync(x):
-        float(jnp.ravel(x)[0])
-
-    def loop(fn, n=10):
-        out = fn(emb, image_pe, pts)[1]
-        sync(out)
+    def loop(fn, *args, n=10):
+        out = fn(*args)
+        sync_tree(out)
         t0 = time.perf_counter()
         for _ in range(n):
-            out = fn(emb, image_pe, pts)[1]
-        sync(out)
+            out = fn(*args)
+        sync_tree(out)
         return (time.perf_counter() - t0) / n
 
     for rnd in range(4):
-        ts = loop(f_split)
-        tf = loop(f_fused)
-        print(f"[ab] round{rnd} split={1000*ts:.2f}ms "
-              f"fused={1000*tf:.2f}ms ({ts/tf:.3f}x)", flush=True)
+        enc = loop(lambda: encode_image(sam_params, cfg, pre)[0], n=6)
+        ts = loop(f_split, dec, tokens, shared_src, src_pe_one)
+        tf = loop(f_fused, dec, tokens, shared_src, src_pe_one)
+        print(f"[ab] round{rnd} enc={1000*enc:.1f}ms "
+              f"two_way split={1000*ts:.2f}ms fused={1000*tf:.2f}ms "
+              f"({ts/tf:.3f}x)", flush=True)
+
+    # ---- full fused decode batch (the production stage number) ----
+    db_fn = lambda: _decode_batch(sam_params, cfg, emb, image_pe, pts,  # noqa
+                                  input_hw, sam_hw, amg)[1]
+    _retry("compile fused _decode_batch", db_fn)
+    for rnd in range(3):
+        enc = loop(lambda: encode_image(sam_params, cfg, pre)[0], n=6)
+        tdb = loop(db_fn, n=8)
+        print(f"[ab] round{rnd} enc={1000*enc:.1f}ms "
+              f"decode_batch fused={1000*tdb:.2f}ms "
+              f"(x8 batches = {8000*tdb:.1f}ms/query)", flush=True)
 
 
 if __name__ == "__main__":

@@ -59,7 +59,7 @@ def _run(setup, fused: str, **kw):
 
 def test_fused_tail_matches_split_path(setup):
     m_split, iou_split = _run(setup, "off")
-    m_fused, iou_fused = _run(setup, "auto")
+    m_fused, iou_fused = _run(setup, "on")
     assert m_fused.shape == m_split.shape
     np.testing.assert_allclose(m_fused, m_split, atol=2e-5)
     np.testing.assert_allclose(iou_fused, iou_split, atol=2e-5)
@@ -71,7 +71,7 @@ def test_fused_tail_matches_split_path_mask_rows(setup):
     cfg = setup[0]
     rows = cfg.grid - 2
     m_split, iou_split = _run(setup, "off", mask_rows=rows)
-    m_fused, iou_fused = _run(setup, "auto", mask_rows=rows)
+    m_fused, iou_fused = _run(setup, "on", mask_rows=rows)
     assert m_fused.shape[1] == rows * cfg.grid
     np.testing.assert_allclose(m_fused, m_split, atol=2e-5)
     np.testing.assert_allclose(iou_fused, iou_split, atol=2e-5)
@@ -83,7 +83,7 @@ def test_fused_tail_matches_materialized_reference(setup):
     path is held to (bf16-probability rounding is the only extra
     rounding point; at f32 params the paths agree to ~1e-2 on logits)."""
     cfg, params, emb, pe, sparse, dense = setup
-    m_fused, iou_fused = _run(setup, "auto")
+    m_fused, iou_fused = _run(setup, "on")
     masks_ref, iou_ref = decode_masks(params, cfg, emb, pe, sparse, dense,
                                       multimask=True, dense_shared=True,
                                       block_layout=True, probs_path=False)
