@@ -164,6 +164,51 @@ def test_serving_matches_staged_query(models):
     np.testing.assert_array_equal(top_served, top_staged)
 
 
+def test_serving_with_fused_decode_tail_matches_split(models):
+    """The production TPU decode runs ops/decode_fused.py (gated off on
+    CPU for test speed); force it through the FULL serving path in
+    interpret mode and pin query answers against the split-kernel server
+    — the integration-level guarantee behind the kernel-level parity
+    tests (tests/test_decode_fused.py)."""
+    from revisit_anything_tpu.models.sam import decoder as dec_mod
+    sam_params, dino_params = models
+    rng = np.random.default_rng(41)
+    idx = _index(rng)
+    amg = AmgConfig(points_per_side=6, points_per_batch=36,
+                    pred_iou_thresh=-1e9, stability_score_thresh=0.0)
+    kw = dict(sam_params=sam_params, sam_cfg=SAM_SMALL,
+              dino_params=dino_params, dino_cfg=DINO_SMALL,
+              index=idx, full_hw=(H, W), sam_hw=(H // 2, W // 2),
+              amg=amg, dino_layer=1, max_masks=32, top_images=5)
+    img = _image(rng)
+    # the probs path must be forced too: _use_probs_path gates on TPU
+    from revisit_anything_tpu.models.sam.amg import _decode_batch
+    from revisit_anything_tpu.models.sam.decoder import decode_masks
+    from revisit_anything_tpu.pipeline import serve as serve_mod
+
+    def clear():
+        # the flags are trace-time and the whole front is module-jitted:
+        # without clearing, the second variant silently reuses the
+        # first's cached computation
+        serve_mod._query_front_fused.clear_cache()
+        _decode_batch.clear_cache()
+        decode_masks.clear_cache()
+
+    old_probs, old_tail = dec_mod._PROBS_PATH, dec_mod._FUSED_TAIL
+    try:
+        dec_mod._PROBS_PATH = "on"
+        dec_mod._FUSED_TAIL = "off"
+        clear()
+        top_split = SegVLADServer(mesh=None, **kw).query(img)
+        dec_mod._FUSED_TAIL = "on"
+        clear()
+        top_fused = SegVLADServer(mesh=None, **kw).query(img)
+    finally:
+        dec_mod._PROBS_PATH, dec_mod._FUSED_TAIL = old_probs, old_tail
+        clear()
+    np.testing.assert_array_equal(top_split, top_fused)
+
+
 def test_serving_sharded_db_matches_unsharded(models):
     """mesh-sharded database serving equals the single-device answer on the
     8-device CPU mesh (db rows not divisible by the device count)."""
