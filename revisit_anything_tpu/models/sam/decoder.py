@@ -159,11 +159,26 @@ _PROBS_PATH = "auto"
 # for parity tests and A/B benchmarks)
 _FUSED_TAIL = "auto"
 
+# keys-emission mode of the fused tail: the kernel stores keys2 (the
+# post-layer-2 image branch — the exact tensor the mask head upscales)
+# ONCE per prompt and the mask head runs its plain non-recon path,
+# skipping 2 branch reconstructions + 2 full f32 LayerNorms per prompt
+# (the mask head's measured VPU bound). "auto" = on whenever the fused
+# tail runs; "off" = the r4 probs-consuming mask head (A/B benchmarks,
+# parity tests).
+_TAIL_KEYS = "auto"
+
 
 def _use_fused_tail() -> bool:
     if _FUSED_TAIL == "auto":
         return jax.default_backend() == "tpu"
     return _FUSED_TAIL == "on"
+
+
+def _use_tail_keys() -> bool:
+    if _TAIL_KEYS == "auto":
+        return True
+    return _TAIL_KEYS == "on"
 
 
 def _use_token_kernel(m: int) -> bool:
@@ -335,8 +350,10 @@ def _run_two_way_probs(params_dec: Params, tokens, shared_src, src_pe_one,
     (self-attention, MLPs, out-projections, LayerNorms) stay in XLA —
     they are [B, T, D] sized.
 
-    Returns (queries, pstate) where pstate = (p1, c1m, p2, c2m,
-    branch_rows) feeds ops.maskhead.fused_mask_head_probs.
+    Returns (queries, pstate, keys): exactly one of pstate/keys is
+    non-None — pstate = (p1, c1m, p2, c2m, branch_rows) feeds
+    ops.maskhead.fused_mask_head_probs; keys [B, M, D] (the fused tail's
+    keys-emission mode, _use_tail_keys) feeds the plain mask head.
     """
     from revisit_anything_tpu.ops.decode_probs import (
         _block_diag_tokens_t, _pack_branch_vecs, i2t_probs, t2i_from_probs)
@@ -398,6 +415,13 @@ def _run_two_way_probs(params_dec: Params, tokens, shared_src, src_pe_one,
         pek2t = t_proj(l2["t2i"]["k"]["w"], l2["t2i"]["k"]["b"],
                        src_pe_one)
         pekft = t_proj(fa["k"]["w"], fa["k"]["b"], src_pe_one)
+        if _use_tail_keys():
+            queries_out, keys2 = decode_tail_fused(
+                img0t, q1st, peq2t, pek2t, pekft, tok_k1, c1m, queries_b,
+                tokens.astype(queries_b.dtype), l2, fa, i1, l1["norm4"],
+                params_dec["norm_final"], nh, eps=cfg.eps,
+                interpret=interpret, emit_keys=True)
+            return queries_out, None, keys2
         queries_out, p1, p2, c2m = decode_tail_fused(
             img0t, q1st, peq2t, pek2t, pekft, tok_k1, c1m, queries_b,
             tokens.astype(queries_b.dtype), l2, fa, i1, l1["norm4"],
@@ -414,7 +438,7 @@ def _run_two_way_probs(params_dec: Params, tokens, shared_src, src_pe_one,
             l2["norm4"]["scale"].astype(dtype))
         branch_rows = branch_rows.at[5].set(
             l2["norm4"]["bias"].astype(dtype))
-        return queries_out, (p1, c1m, p2, c2m, branch_rows)
+        return queries_out, (p1, c1m, p2, c2m, branch_rows), None
 
     p1 = i2t_probs(q1st, tok_k1, nh, layer=1, eps=cfg.eps,
                    interpret=interpret)                     # [B, HT, M]
@@ -477,7 +501,7 @@ def _run_two_way_probs(params_dec: Params, tokens, shared_src, src_pe_one,
     branch_rows = branch_rows.at[3].set(i2["out"]["b"].astype(dtype))
     branch_rows = branch_rows.at[4].set(l2["norm4"]["scale"].astype(dtype))
     branch_rows = branch_rows.at[5].set(l2["norm4"]["bias"].astype(dtype))
-    return queries, (p1, c1m, p2, c2m, branch_rows)
+    return queries, (p1, c1m, p2, c2m, branch_rows), None
 
 
 def _attn_preprojected(attn_p, q, k, v, num_heads: int):
@@ -640,9 +664,8 @@ def decode_masks(params: Params, cfg: SamArchConfig,
         shared_src = (image_embedding[None]
                       + dense_prompts[:1]).reshape(1, g * g, d)
         src_pe_one = image_pe.reshape(1, g * g, d).astype(shared_src.dtype)
-        queries, pstate = _run_two_way_probs(dec, tokens, shared_src,
-                                             src_pe_one, cfg)
-        keys = None
+        queries, pstate, keys = _run_two_way_probs(dec, tokens, shared_src,
+                                                   src_pe_one, cfg)
     elif dense_shared:
         # AMG: the identical no-mask dense prompt for every point — the
         # image branch stays a single [1, M, D] tensor until it genuinely

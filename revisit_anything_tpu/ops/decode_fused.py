@@ -162,8 +162,20 @@ def _tail_kernel(img0t_ref, q1st_ref, peq2t_ref, pek2t_ref, pekft_ref,
                  wq_fa_ref, wk_fa_ref, wv_fa_ref, wout_fa_ref, rowv_ref,
                  colv_ref,
                  kbdt1_ref, c1m_ref, qin_ref, tok_ref,
-                 p1_ref, p2_ref, c2m_ref, qout_ref, *,
-                 heads: int, n_tok: int, eps: float):
+                 *out_refs,
+                 heads: int, n_tok: int, eps: float,
+                 emit_keys: bool = False):
+    if emit_keys:
+        # keys-emission mode: the branch state after layer 2 (keys2 —
+        # exactly the tensor the SAM mask head consumes) is stored ONCE
+        # in [M, D] layout; the probabilities/c2m never leave the kernel,
+        # and the mask head skips its 2 reconstructions + 2 f32
+        # LayerNorms per prompt (its measured VPU bound).
+        keys_ref, qout_ref = out_refs
+        p1_ref = p2_ref = c2m_ref = None
+    else:
+        p1_ref, p2_ref, c2m_ref, qout_ref = out_refs
+        keys_ref = None
     d = img0t_ref.shape[1]
     da = q1st_ref.shape[1]
     hd = da // heads
@@ -178,7 +190,8 @@ def _tail_kernel(img0t_ref, q1st_ref, peq2t_ref, pek2t_ref, pekft_ref,
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale        # [HT, M]
     p1b = _head_softmax_rows(s1, n_tok, heads).astype(jnp.bfloat16)
-    p1_ref[0] = p1b.astype(p1_ref.dtype)
+    if p1_ref is not None:
+        p1_ref[0] = p1b.astype(p1_ref.dtype)
 
     # ---- keys1^T (the ONLY reconstruction of layer 1) ----
     keys1 = _recon_step(img0t_ref[0].astype(jnp.float32), c1m_ref[0],
@@ -231,17 +244,25 @@ def _tail_kernel(img0t_ref, q1st_ref, peq2t_ref, pek2t_ref, pekft_ref,
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)) * scale
     p2b = _head_softmax_rows(s2, n_tok, heads).astype(jnp.bfloat16)
-    p2_ref[0] = p2b.astype(p2_ref.dtype)
+    if p2_ref is not None:
+        p2_ref[0] = p2b.astype(p2_ref.dtype)
 
     c2 = jax.lax.dot_general(
         _bdiag_rows(tok_v2, n_tok, heads, hd), wout_i2_ref[...],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dtype)  # [HT, D]
-    c2m_ref[0] = c2
+    if c2m_ref is not None:
+        c2m_ref[0] = c2
 
     # ---- keys2^T (the ONLY reconstruction of layer 2) ----
     keys2 = _recon_step(keys1, c2, p2b.astype(c2.dtype),
                         cv[:d, 3:4], cv[:d, 4:5], cv[:d, 5:6], eps)
+    if keys_ref is not None:
+        # [D, M] f32 → [M, D] in the activation dtype: ONE in-register
+        # transpose per prompt (the [M, D] layout is what the mask-head /
+        # resize consumers read; keeping the kernel-internal state [D, M]
+        # keeps its per-position LayerNorms on the cheap sublane axis).
+        keys_ref[0] = jnp.transpose(keys2.astype(keys_ref.dtype))
 
     # ---- final token→image attention vs keys2 (query-side) ----
     qf = _dense_rows(queries + tok_ref[0], wq_fa_ref,
@@ -257,14 +278,17 @@ def _tail_kernel(img0t_ref, q1st_ref, peq2t_ref, pek2t_ref, pekft_ref,
     qout_ref[0] = queries
 
 
-@partial(jax.jit, static_argnames=("heads", "n_tok", "eps", "interpret"))
+@partial(jax.jit, static_argnames=("heads", "n_tok", "eps", "interpret",
+                                   "emit_keys"))
 def _tail_call(shared, weights, rowv, colv, kbdt1, c1m, qin, tok,
-               heads: int, n_tok: int, eps: float, interpret: bool):
+               heads: int, n_tok: int, eps: float, interpret: bool,
+               emit_keys: bool = False):
     img0t = shared[0]
     b, ht, _ = kbdt1.shape
     d, m = img0t.shape[1], img0t.shape[2]
     n_pad = qin.shape[1]
-    kernel = partial(_tail_kernel, heads=heads, n_tok=n_tok, eps=eps)
+    kernel = partial(_tail_kernel, heads=heads, n_tok=n_tok, eps=eps,
+                     emit_keys=emit_keys)
 
     def inv(shape):
         nd = len(shape)
@@ -282,22 +306,34 @@ def _tail_call(shared, weights, rowv, colv, kbdt1, c1m, qin, tok,
                 + [inv(rowv.shape), inv(colv.shape)]
                 + [per_prompt(kbdt1.shape), per_prompt(c1m.shape),
                    per_prompt(qin.shape), per_prompt(tok.shape)])
-    out_specs = [
-        pl.BlockSpec((1, ht, m), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ht, m), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, ht, d), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((b, ht, m), jnp.bfloat16),
-        jax.ShapeDtypeStruct((b, ht, m), jnp.bfloat16),
-        jax.ShapeDtypeStruct((b, ht, d), qin.dtype),
-        jax.ShapeDtypeStruct((b, n_pad, d), qin.dtype),
-    ]
+    if emit_keys:
+        out_specs = [
+            pl.BlockSpec((1, m, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((b, m, d), qin.dtype),
+            jax.ShapeDtypeStruct((b, n_pad, d), qin.dtype),
+        ]
+    else:
+        out_specs = [
+            pl.BlockSpec((1, ht, m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ht, m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ht, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((b, ht, m), jnp.bfloat16),
+            jax.ShapeDtypeStruct((b, ht, m), jnp.bfloat16),
+            jax.ShapeDtypeStruct((b, ht, d), qin.dtype),
+            jax.ShapeDtypeStruct((b, n_pad, d), qin.dtype),
+        ]
     return pl.pallas_call(
         kernel,
         grid=(b,),
@@ -318,9 +354,9 @@ def decode_tail_fused(img0t: jnp.ndarray, q1st: jnp.ndarray,
                       l2: Params, fa: Params, i1: Params, l1n4: Params,
                       norm_final: Params, heads: int,
                       eps: float = 1e-6,
-                      interpret: bool = False
-                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
-                                 jnp.ndarray]:
+                      interpret: bool = False,
+                      emit_keys: bool = False
+                      ) -> Tuple[jnp.ndarray, ...]:
     """Host-side wrapper: pack weights and run the fused tail.
 
     Args:
@@ -337,7 +373,11 @@ def decode_tail_fused(img0t: jnp.ndarray, q1st: jnp.ndarray,
         params (out bias); l1n4: layer-1 norm4; norm_final.
 
     Returns (queries_out [B, T, D] after norm_final, p1 [B, HT, M] bf16,
-    p2 [B, HT, M] bf16, c2m [B, HT, D]).
+    p2 [B, HT, M] bf16, c2m [B, HT, D]) — or, with ``emit_keys``,
+    (queries_out, keys2 [B, M, D]): the post-layer-2 image branch (the
+    tensor the SAM mask head upscales, transformer.py:16-240 ``keys``)
+    stored ONCE in the activation dtype, with the probability/c2m
+    emissions skipped entirely.
     """
     b, t, d = queries_b.shape
     dtype = queries_b.dtype
@@ -402,6 +442,12 @@ def decode_tail_fused(img0t: jnp.ndarray, q1st: jnp.ndarray,
 
     shared = (img0t.astype(dtype), q1st.astype(dtype), peq2t.astype(dtype),
               pek2t.astype(dtype), pekft.astype(dtype))
+    if emit_keys:
+        keys2, qout = _tail_call(
+            shared, weights, rowv, colv, kbdt1, c1m.astype(dtype),
+            queries_b, tokens, heads, tok_k1.shape[1], float(eps),
+            bool(interpret), emit_keys=True)
+        return qout[:, :t], keys2
     p1, p2, c2m, qout = _tail_call(
         shared, weights, rowv, colv, kbdt1, c1m.astype(dtype),
         queries_b, tokens, heads, tok_k1.shape[1], float(eps),

@@ -107,6 +107,10 @@ def main():
 
     def make_two_way(flag):
         dec_mod._FUSED_TAIL = flag
+        # this A/B compares the r4 fused tail vs the r3 split kernels at
+        # the PROBS-output level; keys-emission (r4 late) is a separate
+        # A/B (ab_tail_keys.py)
+        dec_mod._TAIL_KEYS = "off"
         # params enter as jit ARGUMENTS (CLAUDE.md: closing over device
         # params embeds them as HLO constants — forces a device→host
         # readback at trace time and bloats the uploaded program)
@@ -126,8 +130,8 @@ def main():
     dec_mod._FUSED_TAIL = "auto"
 
     # ---- parity (queries + p1/p2/c2m feed everything downstream) ----
-    q_f, (p1_f, c1_f, p2_f, c2_f, _) = o_fused
-    q_s, (p1_s, c1_s, p2_s, c2_s, _) = o_split
+    q_f, (p1_f, c1_f, p2_f, c2_f, _), _ = o_fused
+    q_s, (p1_s, c1_s, p2_s, c2_s, _), _ = o_split
     for name, a, b in (("queries", q_f, q_s), ("p1", p1_f, p1_s),
                        ("p2", p2_f, p2_s), ("c2m", c2_f, c2_s)):
         da = np.asarray(a, np.float32)

@@ -80,9 +80,13 @@ def main():
     shared_src = (emb[None] + dense[:1]).reshape(1, g * g, d)
     src_pe_one = image_pe.reshape(1, g * g, d).astype(shared_src.dtype)
 
+    # the probs-consuming phase split (this probe predates the r4 keys-
+    # emission mode; force the probs outputs it decomposes)
+    from revisit_anything_tpu.models.sam import decoder as dec_mod
+    dec_mod._TAIL_KEYS = "off"
     two_way = jax.jit(lambda tk, ss, pe: _run_two_way_probs(
         dec, tk, ss, pe, cfg))
-    queries, pstate = two_way(tokens, shared_src, src_pe_one)
+    queries, pstate, _ = two_way(tokens, shared_src, src_pe_one)
     p1, c1m, p2, c2m, branch_rows = pstate
     mask_tokens_out = queries[:, 1:1 + cfg.num_mask_tokens]
     hyper = jnp.stack(

@@ -38,14 +38,16 @@ def setup():
     return cfg, params, emb, pe, sparse, dense
 
 
-def _run(setup, fused: str, **kw):
+def _run(setup, fused: str, tail_keys: str = "auto", **kw):
     cfg, params, emb, pe, sparse, dense = setup
     old = dec_mod._FUSED_TAIL
+    old_keys = dec_mod._TAIL_KEYS
     dec_mod._FUSED_TAIL = fused
-    # _FUSED_TAIL is a TRACE-time flag and decode_masks is module-jitted:
-    # without clearing, the second flag value would silently reuse the
-    # first value's cached computation and the comparison would be
-    # self-vs-self.
+    dec_mod._TAIL_KEYS = tail_keys
+    # _FUSED_TAIL/_TAIL_KEYS are TRACE-time flags and decode_masks is
+    # module-jitted: without clearing, the second flag value would
+    # silently reuse the first value's cached computation and the
+    # comparison would be self-vs-self.
     decode_masks.clear_cache()
     try:
         masks, iou = decode_masks(params, cfg, emb, pe, sparse, dense,
@@ -53,6 +55,7 @@ def _run(setup, fused: str, **kw):
                                   block_layout=True, probs_path=True, **kw)
     finally:
         dec_mod._FUSED_TAIL = old
+        dec_mod._TAIL_KEYS = old_keys
         decode_masks.clear_cache()
     return np.asarray(masks, np.float32), np.asarray(iou, np.float32)
 
@@ -75,6 +78,26 @@ def test_fused_tail_matches_split_path_mask_rows(setup):
     assert m_fused.shape[1] == rows * cfg.grid
     np.testing.assert_allclose(m_fused, m_split, atol=2e-5)
     np.testing.assert_allclose(iou_fused, iou_split, atol=2e-5)
+
+
+def test_keys_emission_matches_probs_mask_head(setup):
+    """The keys-emission mode (the kernel stores keys2 once, the mask
+    head skips its reconstructions) vs the probs-consuming mask head —
+    same arithmetic up to the recon LayerNorm's reassociation axis."""
+    m_probs, iou_probs = _run(setup, "on", tail_keys="off")
+    m_keys, iou_keys = _run(setup, "on", tail_keys="on")
+    assert m_keys.shape == m_probs.shape
+    np.testing.assert_allclose(m_keys, m_probs, atol=2e-5)
+    np.testing.assert_allclose(iou_keys, iou_probs, atol=2e-5)
+
+
+def test_keys_emission_matches_probs_mask_head_mask_rows(setup):
+    cfg = setup[0]
+    rows = cfg.grid - 2
+    m_probs, _ = _run(setup, "on", tail_keys="off", mask_rows=rows)
+    m_keys, _ = _run(setup, "on", tail_keys="on", mask_rows=rows)
+    assert m_keys.shape[1] == rows * cfg.grid
+    np.testing.assert_allclose(m_keys, m_probs, atol=2e-5)
 
 
 def test_fused_tail_matches_materialized_reference(setup):
