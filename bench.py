@@ -193,7 +193,13 @@ def main():
         db_image_ids=np.repeat(np.arange(n_db_segs // 50), 50),
         num_ref_images=n_db_segs // 50, order=3)
 
-    amg = AmgConfig(points_per_batch=128,
+    # 1024-prompt decode batch: ONE decode dispatch per query instead
+    # of an 8-step scan — 1.7x on the decode stage at matched load
+    # (scripts/ab_decode_bsz.py ladder 128->256->512->1024; bigger
+    # matmul M-dims in the XLA portions + amortized per-batch fixed
+    # costs). Flag parity across batch sizes is bf16-rounding class
+    # (probe_bsz_parity.py); 256<->512<->1024 are bit-identical.
+    amg = AmgConfig(points_per_batch=1024,
                     pred_iou_thresh=-1e9, stability_score_thresh=0.0)
     # mesh=None: the reported unit is queries/sec/CHIP — on a multi-chip
     # host the auto mesh would shard the retrieval db and inflate it

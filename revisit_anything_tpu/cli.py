@@ -916,7 +916,7 @@ def main(argv=None):
                    choices=["vit_h", "vit_l", "vit_b"])
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--points-per-side", type=int, default=32)
-    p.add_argument("--points-per-batch", type=int, default=128)
+    p.add_argument("--points-per-batch", type=int, default=1024)
     p.add_argument("--pred-iou-thresh", type=float, default=0.88)
     p.add_argument("--stability-score-thresh", type=float, default=0.95)
     p.add_argument("--box-nms-thresh", type=float, default=0.7)
@@ -957,7 +957,7 @@ def main(argv=None):
     # AMG knobs (reference SamAutomaticMaskGenerator defaults,
     # automatic_mask_generator.py:35-87)
     p.add_argument("--points-per-side", type=int, default=32)
-    p.add_argument("--points-per-batch", type=int, default=128)
+    p.add_argument("--points-per-batch", type=int, default=1024)
     p.add_argument("--pred-iou-thresh", type=float, default=0.88)
     p.add_argument("--stability-score-thresh", type=float, default=0.95)
     p.set_defaults(func=cmd_query)
@@ -975,7 +975,7 @@ def main(argv=None):
     p.add_argument("--dino-checkpoint", default=None)
     p.add_argument("--layer", type=int, default=31)
     p.add_argument("--points-per-side", type=int, default=32)
-    p.add_argument("--points-per-batch", type=int, default=128)
+    p.add_argument("--points-per-batch", type=int, default=1024)
     p.add_argument("--pred-iou-thresh", type=float, default=0.88)
     p.add_argument("--stability-score-thresh", type=float, default=0.95)
     p.add_argument("--db-capacity", type=int, default=None,

@@ -43,7 +43,12 @@ Params = Dict[str, Any]
 @dataclasses.dataclass(frozen=True)
 class AmgConfig:
     points_per_side: int = 32
-    points_per_batch: int = 256
+    # TPU memory knob (reference default 64 on GPU, automatic_mask_
+    # generator.py:36): 1024 = the full 32x32 grid in ONE decode
+    # dispatch — measured fastest on v5e (BASELINE.md bsz ladder);
+    # per-prompt Pallas grids keep VMEM flat and the big per-prompt
+    # intermediates never materialize in HBM.
+    points_per_batch: int = 1024
     pred_iou_thresh: float = 0.88
     stability_score_thresh: float = 0.95
     stability_score_offset: float = 1.0
