@@ -70,22 +70,39 @@ def _decode_kernel_flops(n_prompts: int, orig_hw=(240, 320),
     M=4096 image positions, D=256, DA=128 cross-attn dim, H*T=56
     block-diagonal token lanes, mask head c1=64/c2=32, resize g=64.
     ``mask_rows``: token rows the mask head/resize actually decode
-    (amg.resize_mats_and_rows — pad rows are skipped)."""
+    (amg.resize_mats_and_rows — pad rows are skipped).
+
+    Counts the PRODUCTION TPU path as of round 4: the fully-fused
+    keys-emission decode tail (ops/decode_fused.py — query-side k/v
+    projections shrink each token→image attention to ~0.34 GF, and the
+    branch is reconstructed exactly twice) plus the plain (non-recon)
+    mask head and the fused resize. The r3 split-kernel layout executed
+    ~4.2 GF/prompt; the fused tail executes ~2.8 — reported MFU/roofline
+    figures count the FLOPs that actually run, not the algorithmic count
+    of an older layout."""
     m, d, da, ht = 4096, 256, 128, 56
+    heads, n_pad, mlp = 8, 8, 2048
+    hn = heads * n_pad
     mc = mask_rows * 64            # content positions (mask head/resize)
-    i2t = (m * d * da * 2          # q projection
-           + m * da * ht * 2 * 2   # logits + p@v (block-diagonal)
-           + m * da * d * 2        # out projection
-           + m * d * 2 * da * 2)   # next-attention k|v emission
-    t2i = 8 * 8 * 16 * m * 2 * 2 * 3        # 3 attends, tokens tiny
-    mask_head = (mc * ht * d * 2 * 2         # branch recon (2 layers)
-                 + mc * d * d * 2            # conv1
-                 + mc * d * 512 * 2          # conv2 (block-diag, w/ zeros)
-                 + mc * 512 * 48 * 2)        # hypernetwork
+    # one query-side block-diagonal token→image attention
+    # (decode_fused._bd_attend_q): qhat/out-proj + scores/context + pe
+    attend_q = (hn * da * d * 2 * 2
+                + hn * d * m * 2 * 2
+                + hn * da * m * 2)
+    tail = (ht * da * m * 2            # layer-1 i2t logits (P1)
+            + d * ht * m * 2 * 2       # keys1 + keys2 reconstructions
+            + attend_q * 2             # layer-2 t2i + final attention
+            + ht * d * m * 2           # layer-2 i2t logits vs keys1
+            + ht * da * m * 2          # layer-2 i2t pe term
+            + ht * d * da * 2 * 2      # khat2 + c2 (small)
+            + n_pad * (d * da * 6 + d * mlp * 4 + da * d * 2))  # tok ops
+    mask_head = (mc * d * d * 2            # conv1
+                 + mc * d * 512 * 2        # conv2 (block-diag, w/ zeros)
+                 + mc * 512 * 48 * 2)      # hypernetwork
     oh, ow = orig_hw
     resize = (oh * 4 * mask_rows * 768 * 2   # rows [H,4gh]x[4gh,3·4g]
               + 3 * oh * 256 * ow * 2)       # 3 column contractions
-    return float(n_prompts) * (2 * i2t + t2i + mask_head + resize)
+    return float(n_prompts) * (tail + mask_head + resize)
 
 
 def _flops(jitted, *args, **kwargs):
