@@ -370,7 +370,7 @@ def main():
     # turn the same loop into a canary WATCHER: one warm process retries
     # across hours until a nominal co-tenant window appears (round-3
     # verdict item 1 — measure the headline, don't extrapolate it).
-    max_passes = int(os.environ.get("BENCH_PASSES", 4))
+    max_passes = max(1, int(os.environ.get("BENCH_PASSES", 4)))
     pass_sleep = float(os.environ.get("BENCH_PASS_SLEEP", 45))
     best = None
     nominal = False

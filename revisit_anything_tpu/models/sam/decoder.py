@@ -410,7 +410,6 @@ def _run_two_way_probs(params_dec: Params, tokens, shared_src, src_pe_one,
         attn_out = _attn(l2["self_attn"], q, q, queries, nh)
         queries_b = _layer_norm(queries + attn_out, l2["norm1"], cfg.eps)
         i2 = l2["i2t"]
-        fa = params_dec["final_attn"]
         peq2t = t_proj(i2["q"]["w"], i2["q"]["b"], src_pe_one)
         pek2t = t_proj(l2["t2i"]["k"]["w"], l2["t2i"]["k"]["b"],
                        src_pe_one)
@@ -427,17 +426,8 @@ def _run_two_way_probs(params_dec: Params, tokens, shared_src, src_pe_one,
             tokens.astype(queries_b.dtype), l2, fa, i1, l1["norm4"],
             params_dec["norm_final"], nh, eps=cfg.eps,
             interpret=interpret)
-        branch_rows = jnp.zeros((8, d), dtype)
-        branch_rows = branch_rows.at[0].set(i1["out"]["b"].astype(dtype))
-        branch_rows = branch_rows.at[1].set(
-            l1["norm4"]["scale"].astype(dtype))
-        branch_rows = branch_rows.at[2].set(
-            l1["norm4"]["bias"].astype(dtype))
-        branch_rows = branch_rows.at[3].set(i2["out"]["b"].astype(dtype))
-        branch_rows = branch_rows.at[4].set(
-            l2["norm4"]["scale"].astype(dtype))
-        branch_rows = branch_rows.at[5].set(
-            l2["norm4"]["bias"].astype(dtype))
+        branch_rows = _pack_branch_rows(i1, l1["norm4"], i2, l2["norm4"],
+                                        d, dtype)
         return queries_out, (p1, c1m, p2, c2m, branch_rows), None
 
     p1 = i2t_probs(q1st, tok_k1, nh, layer=1, eps=cfg.eps,
@@ -494,14 +484,25 @@ def _run_two_way_probs(params_dec: Params, tokens, shared_src, src_pe_one,
     queries = queries + _dense(attn_pre, fa["out"])
     queries = _layer_norm(queries, params_dec["norm_final"], cfg.eps)
 
-    branch_rows = jnp.zeros((8, d), dtype)
-    branch_rows = branch_rows.at[0].set(i1["out"]["b"].astype(dtype))
-    branch_rows = branch_rows.at[1].set(l1["norm4"]["scale"].astype(dtype))
-    branch_rows = branch_rows.at[2].set(l1["norm4"]["bias"].astype(dtype))
-    branch_rows = branch_rows.at[3].set(i2["out"]["b"].astype(dtype))
-    branch_rows = branch_rows.at[4].set(l2["norm4"]["scale"].astype(dtype))
-    branch_rows = branch_rows.at[5].set(l2["norm4"]["bias"].astype(dtype))
+    branch_rows = _pack_branch_rows(i1, l1["norm4"], i2, l2["norm4"],
+                                    d, dtype)
     return queries, (p1, c1m, p2, c2m, branch_rows), None
+
+
+def _pack_branch_rows(i1, l1n4, i2, l2n4, d: int, dtype) -> jnp.ndarray:
+    """[8, D] branch-reconstruction constants for
+    ops.maskhead.fused_mask_head_probs, rows 0-5 in its consumption order
+    (layer-1 b_out / LN scale / LN bias, then layer-2). ONE packing shared
+    by the fused-tail and split probs paths — the parity tests compare the
+    two, so the row layout must never desynchronize."""
+    rows = jnp.zeros((8, d), dtype)
+    rows = rows.at[0].set(i1["out"]["b"].astype(dtype))
+    rows = rows.at[1].set(l1n4["scale"].astype(dtype))
+    rows = rows.at[2].set(l1n4["bias"].astype(dtype))
+    rows = rows.at[3].set(i2["out"]["b"].astype(dtype))
+    rows = rows.at[4].set(l2n4["scale"].astype(dtype))
+    rows = rows.at[5].set(l2n4["bias"].astype(dtype))
+    return rows
 
 
 def _attn_preprojected(attn_p, q, k, v, num_heads: int):

@@ -58,8 +58,12 @@ _RV = dict(bq_t2=0, bout_t2=1, n2s=2, n2b=3, lin1b=4, lin2b=5, n3s=6,
 _RV_ROWS = 16
 
 # colv column indices (sublane-broadcast constants, height max(D, DA)):
-#   0-2: layer-1 branch b_out / ln scale / ln bias; 3-5: layer-2;
-#   6: t2i-l2 v bias (DA); 7: final-attn v bias (DA)
+#   0-2: layer-1 branch b_out / ln scale / ln bias; 3-5: layer-2.
+# Columns 6-7 are PACKED (t2i-l2 / final-attn v biases) but NEVER read by
+# the kernel — those biases flow through rowv rows vb_t2/vb_fa (the
+# attention consumes them as [1, DA] rows). They stay packed only to keep
+# the production HLO (and its warm compile cache) byte-stable; edit bias
+# plumbing via _RV, not here.
 _CV_COLS = 8
 
 

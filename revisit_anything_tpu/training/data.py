@@ -58,8 +58,11 @@ def discover_places_gsv(root: str, cities: List[str] = None,
     - only places with >= ``min_img_per_place`` images survive (:86-90);
     - filename = ``{city_id}_{pl_id:07d}_{year:04d}_{month:02d}_
       {northdeg:03d}_{lat}_{lon}_{panoid}.jpg`` where pl_id is the
-      UNPREFIXED id (``get_img_name`` :139-176) and lat/lon print via
-      float repr (pandas parses them as floats before ``str()``).
+      UNPREFIXED id and every other field renders via ``str()`` of the
+      value pandas parsed (``get_img_name`` :139-176) — a float-typed
+      column (e.g. a re-exported CSV where NaNs made ``year`` float64)
+      prints ``2019.0`` in the filename exactly as it does on disk, so
+      the fields must NOT be coerced through int()/float() per-row.
 
     ``cities`` defaults to every CSV under ``Dataframes/`` (sorted —
     deterministic prefixes; the reference hardcodes TRAIN_CITIES and
@@ -67,7 +70,7 @@ def discover_places_gsv(root: str, cities: List[str] = None,
     Returns {zero-filled prefixed place id: [image paths]} ready for
     ``PlacesBatcher``.
     """
-    import csv
+    import pandas as pd
 
     df_dir = os.path.join(root, "Dataframes")
     if cities is None:
@@ -75,20 +78,20 @@ def discover_places_gsv(root: str, cities: List[str] = None,
                         if f.lower().endswith(".csv"))
     places: Dict[str, List[str]] = {}
     for ci, city in enumerate(cities):
-        with open(os.path.join(df_dir, f"{city}.csv"), newline="") as fh:
-            for row in csv.DictReader(fh):
-                pl_id = int(row["place_id"])
-                pid = pl_id + ci * 10 ** 5
-                name = "_".join([
-                    row["city_id"],
-                    str(pl_id % 10 ** 5).zfill(7),
-                    str(int(row["year"])).zfill(4),
-                    str(int(row["month"])).zfill(2),
-                    str(int(row["northdeg"])).zfill(3),
-                    str(float(row["lat"])), str(float(row["lon"])),
-                    row["panoid"]]) + ".jpg"
-                path = os.path.join(root, "Images", row["city_id"], name)
-                places.setdefault(str(pid).zfill(7), []).append(path)
+        df = pd.read_csv(os.path.join(df_dir, f"{city}.csv"))
+        for row in df.itertuples(index=False):
+            pl_id = int(row.place_id)
+            pid = pl_id + ci * 10 ** 5
+            name = "_".join([
+                str(row.city_id),
+                str(pl_id % 10 ** 5).zfill(7),
+                str(row.year).zfill(4),
+                str(row.month).zfill(2),
+                str(row.northdeg).zfill(3),
+                str(row.lat), str(row.lon),
+                str(row.panoid)]) + ".jpg"
+            path = os.path.join(root, "Images", str(row.city_id), name)
+            places.setdefault(str(pid).zfill(7), []).append(path)
     return {k: v for k, v in places.items()
             if len(v) >= min_img_per_place}
 

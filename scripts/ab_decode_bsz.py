@@ -13,69 +13,15 @@ import time
 
 import numpy as np
 
-
-def _retry(label, fn, attempts=4, sleep_s=60):
-    for i in range(attempts):
-        try:
-            return fn()
-        except Exception as e:                       # noqa: BLE001
-            msg = str(e).splitlines()[0][:160]
-            print(f"[ab] {label} attempt {i + 1} failed: {msg}",
-                  file=sys.stderr, flush=True)
-            if i == attempts - 1:
-                raise
-            time.sleep(sleep_s)
+from _ab_common import point_grid, retry, sam_setup, sync_tree
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
-
-    from revisit_anything_tpu.config import get_dataset
-    from revisit_anything_tpu.models.sam import SAM_VIT_H, init_sam_params
-    from revisit_anything_tpu.models.sam.amg import (AmgConfig,
-                                                     _decode_batch,
-                                                     build_point_grid,
-                                                     resize_longest_side)
+    from revisit_anything_tpu.models.sam.amg import AmgConfig, _decode_batch
     from revisit_anything_tpu.models.sam.encoder import encode_image
-    from revisit_anything_tpu.models.sam.prompt import (
-        dense_positional_embedding)
-    from revisit_anything_tpu.ops.resize import bilinear_weight_matrix
-    from revisit_anything_tpu.pipeline.serve import _sam_preprocess_fused
-    from revisit_anything_tpu.utils.packing import packed_init
 
-    rng = np.random.default_rng(0)
-    ds = get_dataset("17places")
-    H, W = ds.size.hw
-    sam_hw = ds.sam_size.hw
-    cfg = SAM_VIT_H
-
-    sam_params = packed_init(
-        lambda k: init_sam_params(cfg, k, dtype=jnp.bfloat16),
-        jax.random.PRNGKey(0))
-
-    input_hw = resize_longest_side(sam_hw[0], sam_hw[1], cfg.image_size)
-    img = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
-    img_dev = jax.device_put(img)
-    down_h = bilinear_weight_matrix(sam_hw[0], H)
-    down_w = bilinear_weight_matrix(sam_hw[1], W)
-    up_h = bilinear_weight_matrix(input_hw[0], sam_hw[0])
-    up_w = bilinear_weight_matrix(input_hw[1], sam_hw[1])
-    rh = jnp.asarray(up_h @ down_h)
-    rw = jnp.asarray(up_w @ down_w)
-    pre = _sam_preprocess_fused(img_dev, rh, rw, cfg, cfg.image_size)
-    emb = encode_image(sam_params, cfg, pre)[0]
-    image_pe = dense_positional_embedding(sam_params, cfg)[0]
-
-    grid = build_point_grid(32)
-    pts_orig = grid * np.array([sam_hw[1], sam_hw[0]], np.float32)
-    scale = np.array([input_hw[1] / sam_hw[1], input_hw[0] / sam_hw[0]],
-                     np.float32)
-    pts_all = jnp.asarray((pts_orig * scale).astype(np.float32))  # [1024,2]
-
-    def sync_tree(o):
-        leaf = jax.tree_util.tree_leaves(o)[0]
-        float(jnp.ravel(leaf)[0].astype(jnp.float32))
+    s = sam_setup()
+    pts_all = point_grid(s)                               # [1024, 2]
 
     sizes = tuple(int(a) for a in sys.argv[1:]) or (128, 256)
     fns = {}
@@ -85,12 +31,12 @@ def main():
         pts = pts_all[:bsz]
 
         def fn(p=pts, a=amg):
-            return _decode_batch(sam_params, cfg, emb, image_pe, p,
-                                 input_hw, sam_hw, a)
+            return _decode_batch(s.sam_params, s.cfg, s.emb, s.image_pe, p,
+                                 s.input_hw, s.sam_hw, a)
         print(f"[ab] compiling _decode_batch bsz={bsz}...",
               file=sys.stderr, flush=True)
         t0 = time.perf_counter()
-        _retry(f"compile bsz={bsz}", lambda: sync_tree(fn()))
+        retry(f"compile bsz={bsz}", lambda: sync_tree(fn()))
         print(f"[ab] compiled bsz={bsz} in {time.perf_counter()-t0:.0f}s",
               file=sys.stderr, flush=True)
         fns[bsz] = fn
@@ -124,7 +70,7 @@ def main():
         return (time.perf_counter() - t0) / n
 
     for rnd in range(4):
-        enc = loop(lambda: encode_image(sam_params, cfg, pre)[0], n=6)
+        enc = loop(lambda: encode_image(s.sam_params, s.cfg, s.pre)[0], n=6)
         parts = [f"round{rnd} enc={1000*enc:.1f}ms"]
         per_q = {}
         for bsz in sizes:

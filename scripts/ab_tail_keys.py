@@ -1,115 +1,51 @@
-"""Interleaved A/B: keys-emission decode tail (the fused tail stores
-keys2 once, the mask head runs its plain non-recon path) vs the r4
-probs-consuming mask head (the tail emits p1/p2/c2m and the mask head
-reconstructs the branch twice, paying 2 f32 LayerNorms per prompt).
+"""Interleaved A/B: keys-emission fused tail (kernel emits keys2 [M, D],
+mask head runs its plain non-recon path) vs the probs handoff (mask head
+reconstructs the branch from P1/P2). Measures two_way + mask head
+separately and the full _decode_batch, with parity checks.
 
-The work MOVES between the two phases (tail kernel gains a [M, D] store
-+ transpose; mask head loses 2 recon matmuls + 2 LNs), so the signal is
-the SUM two_way + mask_head, timed per phase with async loops in one
-process (BASELINE.md methodology). Programs are small (phase-level) and
-the production variant compiles first (CLAUDE.md compile-server rule).
+Methodology: BASELINE.md rules — production variant compiled first,
+retries for tunnel-dropped compiles, async loops, one process.
 """
 import sys
 import time
 
 import numpy as np
 
-
-def _retry(label, fn, attempts=4, sleep_s=45):
-    for i in range(attempts):
-        try:
-            return fn()
-        except Exception as e:                       # noqa: BLE001
-            msg = str(e).splitlines()[0][:160]
-            print(f"[ab] {label} attempt {i + 1} failed: {msg}",
-                  file=sys.stderr, flush=True)
-            if i == attempts - 1:
-                raise
-            time.sleep(sleep_s)
+from _ab_common import point_grid, prompt_tokens, retry, sam_setup, sync_tree
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from revisit_anything_tpu.config import get_dataset
-    from revisit_anything_tpu.models.sam import SAM_VIT_H, init_sam_params
     from revisit_anything_tpu.models.sam import decoder as dec_mod
     from revisit_anything_tpu.models.sam.amg import (AmgConfig,
                                                      _decode_batch,
-                                                     build_point_grid,
-                                                     resize_longest_side,
                                                      resize_mats_and_rows)
     from revisit_anything_tpu.models.sam.decoder import (_mlp,
                                                          _run_two_way_probs)
     from revisit_anything_tpu.models.sam.encoder import encode_image
-    from revisit_anything_tpu.models.sam.prompt import (
-        dense_positional_embedding, embed_points, no_mask_dense_embedding)
     from revisit_anything_tpu.ops.maskhead import (fused_mask_head,
                                                    fused_mask_head_probs)
-    from revisit_anything_tpu.ops.resize import bilinear_weight_matrix
-    from revisit_anything_tpu.pipeline.serve import _sam_preprocess_fused
-    from revisit_anything_tpu.utils.packing import maybe_unpack, packed_init
 
-    rng = np.random.default_rng(0)
-    ds = get_dataset("17places")
-    H, W = ds.size.hw
-    sam_hw = ds.sam_size.hw
-    cfg = SAM_VIT_H
-
-    sam_params = packed_init(
-        lambda k: init_sam_params(cfg, k, dtype=jnp.bfloat16),
-        jax.random.PRNGKey(0))
-
-    input_hw = resize_longest_side(sam_hw[0], sam_hw[1], cfg.image_size)
-    img = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
-    img_dev = jax.device_put(img)
-    down_h = bilinear_weight_matrix(sam_hw[0], H)
-    down_w = bilinear_weight_matrix(sam_hw[1], W)
-    up_h = bilinear_weight_matrix(input_hw[0], sam_hw[0])
-    up_w = bilinear_weight_matrix(input_hw[1], sam_hw[1])
-    rh = jnp.asarray(up_h @ down_h)
-    rw = jnp.asarray(up_w @ down_w)
-    pre = _sam_preprocess_fused(img_dev, rh, rw, cfg, cfg.image_size)
-    emb = encode_image(sam_params, cfg, pre)[0]
-    image_pe = dense_positional_embedding(sam_params, cfg)[0]
-    _, _, mask_rows = resize_mats_and_rows(cfg, input_hw, sam_hw)
+    s = sam_setup()
+    cfg = s.cfg
+    _, _, mask_rows = resize_mats_and_rows(cfg, s.input_hw, s.sam_hw,
+                                           on_tpu=True)
     content = mask_rows * cfg.grid
 
-    grid = build_point_grid(32)
-    pts_orig = grid * np.array([sam_hw[1], sam_hw[0]], np.float32)
-    scale = np.array([input_hw[1] / sam_hw[1], input_hw[0] / sam_hw[0]],
-                     np.float32)
-    pts = jnp.asarray((pts_orig * scale).astype(np.float32)[:128])
+    pts = point_grid(s)[:128]
     amg = AmgConfig(points_per_batch=128,
                     pred_iou_thresh=-1e9, stability_score_thresh=0.0)
-
-    up = maybe_unpack(sam_params)
-    dec = up["decoder"]
-    bsz = pts.shape[0]
-    sparse = embed_points(up, cfg, pts[:, None, :],
-                          jnp.ones((bsz, 1), jnp.int32), pad=True)
-    dense = no_mask_dense_embedding(up, cfg, 1)
-    g, d = cfg.grid, cfg.prompt_dim
-    out_tokens = jnp.concatenate([dec["iou_token"], dec["mask_tokens"]],
-                                 axis=0)
-    tokens = jnp.concatenate(
-        [jnp.broadcast_to(out_tokens[None], (bsz,) + out_tokens.shape),
-         sparse.astype(out_tokens.dtype)], axis=1)
-    shared_src = (emb[None] + dense[:1]).reshape(1, g * g, d)
-    src_pe_one = image_pe.reshape(1, g * g, d).astype(shared_src.dtype)
-
-    def sync_tree(o):
-        leaf = [x for x in jax.tree_util.tree_leaves(o) if x is not None][0]
-        float(jnp.ravel(leaf)[0].astype(jnp.float32))
+    dec, tokens, shared_src, src_pe_one = prompt_tokens(s, pts)
 
     def make_two_way(tail_keys):
         dec_mod._FUSED_TAIL = "auto"
         dec_mod._TAIL_KEYS = tail_keys
         fn = jax.jit(lambda dc, tk, ss, pe: _run_two_way_probs(
             dc, tk, ss, pe, cfg))
-        out = _retry(f"compile two_way[keys={tail_keys}]",
-                     lambda: fn(dec, tokens, shared_src, src_pe_one))
+        out = retry(f"compile two_way[keys={tail_keys}]",
+                    lambda: fn(dec, tokens, shared_src, src_pe_one))
         sync_tree(out)
         return fn, out
 
@@ -141,18 +77,18 @@ def main():
             k, h, dec["up1_w"], dec["up1_b"], dec["up_ln"]["scale"],
             dec["up_ln"]["bias"], dec["up2_w"], dec["up2_b"],
             block=blk, **mh_kw))
-        _retry(f"compile mask_head[keys,blk={blk}]",
-               lambda: sync_tree(fn(keys2, hyper)))
+        retry(f"compile mask_head[keys,blk={blk}]",
+              lambda: sync_tree(fn(keys2, hyper)))
         return fn
 
     def mh_probs():
-        fn = jax.jit(lambda s, a, b, c, e, br, h: fused_mask_head_probs(
-            s, a, b, c, e, br, h, dec["up1_w"], dec["up1_b"],
+        fn = jax.jit(lambda s_, a, b, c, e, br, h: fused_mask_head_probs(
+            s_, a, b, c, e, br, h, dec["up1_w"], dec["up1_b"],
             dec["up_ln"]["scale"], dec["up_ln"]["bias"], dec["up2_w"],
             dec["up2_b"], ln_eps=cfg.eps, **mh_kw))
-        _retry("compile mask_head[probs]",
-               lambda: sync_tree(fn(shared_src, p1, c1m, p2, c2m,
-                                    branch_rows, hyper)))
+        retry("compile mask_head[probs]",
+              lambda: sync_tree(fn(shared_src, p1, c1m, p2, c2m,
+                                   branch_rows, hyper)))
         return fn
 
     print("[ab] compiling keys mask heads...", file=sys.stderr, flush=True)
@@ -177,7 +113,7 @@ def main():
         return (time.perf_counter() - t0) / n
 
     for rnd in range(4):
-        enc = loop(lambda: encode_image(sam_params, cfg, pre)[0], n=6)
+        enc = loop(lambda: encode_image(s.sam_params, cfg, s.pre)[0], n=6)
         tw_p = loop(f_probs, dec, tokens, shared_src, src_pe_one)
         tw_k = loop(f_keys, dec, tokens, shared_src, src_pe_one)
         mh_p = loop(f_mh_p, shared_src, p1, c1m, p2, c2m, branch_rows,
@@ -198,16 +134,16 @@ def main():
         dec_mod._TAIL_KEYS = tail_keys
         from revisit_anything_tpu.models.sam.decoder import decode_masks
         decode_masks.clear_cache()
-        fn = lambda: _decode_batch(sam_params, cfg, emb, image_pe, pts,  # noqa
-                                   input_hw, sam_hw, amg)[1]
-        _retry(f"compile _decode_batch[keys={tail_keys}]", fn)
+        fn = lambda: _decode_batch(s.sam_params, cfg, s.emb, s.image_pe,  # noqa
+                                   pts, s.input_hw, s.sam_hw, amg)[1]
+        retry(f"compile _decode_batch[keys={tail_keys}]", fn)
         return fn
 
     print("[ab] compiling keys _decode_batch...", file=sys.stderr,
           flush=True)
     db_k = make_db("on")
     for rnd in range(3):
-        enc = loop(lambda: encode_image(sam_params, cfg, pre)[0], n=6)
+        enc = loop(lambda: encode_image(s.sam_params, cfg, s.pre)[0], n=6)
         tdb = loop(db_k, n=8)
         print(f"[ab] round{rnd} enc={1000*enc:.1f}ms "
               f"decode_batch keys={1000*tdb:.2f}ms "

@@ -11,62 +11,31 @@ For the FIRST 128 prompts decoded under both batch sizes, quantifies:
 Decides whether bsz=256 flips are the bf16-rounding class (all flips at
 margins ~ the logit delta) or a real divergence.
 """
-import sys
-
 import numpy as np
+
+from _ab_common import point_grid, sam_setup
 
 
 def main():
-    import jax
     import jax.numpy as jnp
 
-    from revisit_anything_tpu.config import get_dataset
-    from revisit_anything_tpu.models.sam import SAM_VIT_H, init_sam_params
-    from revisit_anything_tpu.models.sam.amg import (
-        build_point_grid, resize_longest_side, resize_mats_and_rows)
+    from revisit_anything_tpu.models.sam.amg import resize_mats_and_rows
     from revisit_anything_tpu.models.sam.decoder import decode_masks
-    from revisit_anything_tpu.models.sam.encoder import encode_image
     from revisit_anything_tpu.models.sam.prompt import (
-        dense_positional_embedding, embed_points, no_mask_dense_embedding)
+        embed_points, no_mask_dense_embedding)
     from revisit_anything_tpu.ops.maskresize import fused_resize_flags
-    from revisit_anything_tpu.ops.resize import bilinear_weight_matrix
-    from revisit_anything_tpu.pipeline.serve import _sam_preprocess_fused
-    from revisit_anything_tpu.utils.packing import packed_init, maybe_unpack
+    from revisit_anything_tpu.utils.packing import maybe_unpack
 
-    rng = np.random.default_rng(0)
-    ds = get_dataset("17places")
-    H, W = ds.size.hw
-    sam_hw = ds.sam_size.hw
-    cfg = SAM_VIT_H
-
-    sam_params = packed_init(
-        lambda k: init_sam_params(cfg, k, dtype=jnp.bfloat16),
-        jax.random.PRNGKey(0))
-
-    input_hw = resize_longest_side(sam_hw[0], sam_hw[1], cfg.image_size)
-    img = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
-    img_dev = jax.device_put(img)
-    down_h = bilinear_weight_matrix(sam_hw[0], H)
-    down_w = bilinear_weight_matrix(sam_hw[1], W)
-    up_h = bilinear_weight_matrix(input_hw[0], sam_hw[0])
-    up_w = bilinear_weight_matrix(input_hw[1], sam_hw[1])
-    rh = jnp.asarray(up_h @ down_h)
-    rw = jnp.asarray(up_w @ down_w)
-    pre = _sam_preprocess_fused(img_dev, rh, rw, cfg, cfg.image_size)
-    emb = encode_image(sam_params, cfg, pre)[0]
-    image_pe = dense_positional_embedding(sam_params, cfg)[0]
-    wh, ww, gh = resize_mats_and_rows(cfg, input_hw, sam_hw, on_tpu=True)
+    s = sam_setup()
+    cfg, emb, image_pe = s.cfg, s.emb, s.image_pe
+    wh, ww, gh = resize_mats_and_rows(cfg, s.input_hw, s.sam_hw, on_tpu=True)
     g = cfg.grid
     thr = float(cfg.mask_threshold)
     off = 1.0
 
-    grid = build_point_grid(32)
-    pts_orig = grid * np.array([sam_hw[1], sam_hw[0]], np.float32)
-    scale = np.array([input_hw[1] / sam_hw[1], input_hw[0] / sam_hw[0]],
-                     np.float32)
-    pts_all = (pts_orig * scale).astype(np.float32)
+    pts_all = np.asarray(point_grid(s))
 
-    up = maybe_unpack(sam_params)
+    up = maybe_unpack(s.sam_params)
     dense1 = no_mask_dense_embedding(up, cfg, 1)
 
     lows, ious = {}, {}

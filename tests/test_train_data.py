@@ -159,3 +159,40 @@ def test_prefetch_reraises_worker_exception():
     import pytest
     with pytest.raises(RuntimeError, match="corrupt image"):
         list(it)
+
+
+def test_gsv_float_typed_columns_render_like_pandas(tmp_path, rng):
+    """A re-exported CSV whose year/northdeg columns parse as float (NaNs
+    elsewhere in the pipeline make pandas infer float64) must reconstruct
+    filenames via str() of the parsed value — '2019.0'/'177.5' EXACTLY as
+    the reference's get_img_name does (GSVCitiesDataset.py:155-176) —
+    not crash in int() or silently build non-existent int-formatted
+    paths."""
+    import os
+
+    from PIL import Image
+
+    from revisit_anything_tpu.training.data import discover_places_gsv
+
+    (tmp_path / "Dataframes").mkdir()
+    header = "place_id,city_id,panoid,year,month,northdeg,lat,lon\n"
+    rows, names = [], []
+    for i in range(4):
+        lat, lon = 41.5 + i * 0.125, -71.25
+        # year/northdeg carry a float-typed column (one decimal value
+        # forces the whole pandas column to float64)
+        rows.append(f"10,BOS,pano{i},2019.0,{i + 1},177.5,{lat},{lon}\n")
+        names.append(f"BOS_0000010_2019.0_{i + 1:02d}_177.5_{lat}_{lon}_"
+                     f"pano{i}.jpg")
+    (tmp_path / "Dataframes" / "Boston.csv").write_text(
+        header + "".join(rows))
+    d = tmp_path / "Images" / "BOS"
+    d.mkdir(parents=True)
+    for name in names:
+        Image.fromarray(
+            rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)).save(d / name)
+
+    places = discover_places_gsv(str(tmp_path))
+    assert sorted(places) == ["0000010"]
+    for p in places["0000010"]:
+        assert os.path.exists(p), p
