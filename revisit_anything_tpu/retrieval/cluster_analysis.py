@@ -1,10 +1,13 @@
-"""Cluster / descriptor-space analysis — the minimal equivalent of the
-reference's cluster_analysis.py (VLAD-BuFF/cluster_analysis.py, 1127 LoC
-of t-SNE and cluster-visualization plumbing; low VPR-functional value so
-this keeps only the quantitative core).
+"""Cluster / descriptor-space analysis — the quantitative core of the
+reference's cluster_analysis.py (VLAD-BuFF/cluster_analysis.py, 1127 LoC;
+the interactive mpld3 tooltips and per-cluster image-grid plumbing are
+deliberately out of scope).
 
 Provides: 2-D t-SNE embedding of descriptors, per-image cluster usage
-histograms from hard assignments, and an optional scatter-plot writer.
+histograms from hard assignments, per-cluster triplet margins + the
+cross-method cluster-rank-difference analysis (the HoPD burstiness
+diagnostic), pairwise cosine-similarity maps, and headless-safe plot
+writers (t-SNE scatter, HoD distance histograms).
 """
 
 from __future__ import annotations
@@ -72,5 +75,77 @@ def save_tsne_plot(points_2d: np.ndarray, labels: Optional[np.ndarray],
                c=labels if labels is not None else None, cmap="tab20")
     ax.set_title("t-SNE of segment descriptors")
     fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path
+
+
+def triplet_margin(query: np.ndarray, positive: np.ndarray,
+                   negative: np.ndarray) -> np.ndarray:
+    """Per-cluster triplet margin ‖q−n‖ − ‖q−p‖ over [C, D_c] per-cluster
+    VLAD blocks (compute_triplet_margin,
+    VLAD-BuFF/cluster_analysis.py:295-298). Positive margin = the cluster
+    separates the negative further than the positive."""
+    query = np.asarray(query, np.float64)
+    return (np.linalg.norm(query - np.asarray(negative, np.float64), axis=1)
+            - np.linalg.norm(query - np.asarray(positive, np.float64),
+                             axis=1))
+
+
+def rank_clusters(margins: np.ndarray) -> np.ndarray:
+    """Cluster ids ordered by ascending margin (rank_clusters, :301-302):
+    rank 0 = the cluster that discriminates WORST."""
+    return np.argsort(np.asarray(margins))
+
+
+def cluster_rank_difference(ranks_a: np.ndarray, ranks_b: np.ndarray):
+    """Per-cluster rank shift between two methods' margin rankings
+    (compute_cluster_rank_difference, :305-308).
+
+    Returns (shifts, cluster): ``shifts[i]`` = rank of ``ranks_b[i]``'s
+    cluster under method B minus its rank under method A (iterated in
+    method-B order, as the reference does), and ``cluster`` = the id with
+    the maximum shift — the cluster method A demotes hardest relative to
+    B (the VLAD-BuFF-vs-NetVLAD burstiness diagnostic)."""
+    ra, rb = list(np.asarray(ranks_a)), list(np.asarray(ranks_b))
+    shifts = [rb.index(c) - ra.index(c) for c in rb]
+    return np.asarray(shifts), int(rb[int(np.argmax(shifts))])
+
+
+def pairwise_cosine(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """[N, M] cosine-similarity map between row sets (the quantitative
+    core of the reference's ``cs`` heatmaps, :657-705). Zero rows map to
+    zero similarity instead of NaN."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    na = np.linalg.norm(a, axis=1, keepdims=True)
+    nb = np.linalg.norm(b, axis=1, keepdims=True)
+    na[na == 0] = 1.0
+    nb[nb == 0] = 1.0
+    return (a / na) @ (b / nb).T
+
+
+def save_distance_histograms(dist_pos: np.ndarray, dist_neg: np.ndarray,
+                             out_path: str, title: str = "") -> Optional[str]:
+    """HoD-style histogram of query–positive vs query–negative distances
+    (HoD, :311-368; one panel per call — the reference's two-method
+    side-by-side is two calls). Returns the path, or None when matplotlib
+    is unavailable (headless-safe)."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return None
+    fig, ax = plt.subplots(figsize=(7.5, 7))
+    ax.hist(np.asarray(dist_pos), bins=30, alpha=0.5, color="g",
+            label="Query-Positive Distances")
+    ax.hist(np.asarray(dist_neg), bins=30, alpha=0.5, color="r",
+            label="Query-Negative Distances")
+    ax.legend()
+    ax.set_title(f"Histogram of Distances {title}".rstrip())
+    ax.set_xlabel("Distance")
+    ax.set_ylabel("Frequency")
+    fig.tight_layout()
+    fig.savefig(out_path)
     plt.close(fig)
     return out_path

@@ -118,3 +118,50 @@ def test_cluster_analysis_smoke(rng, tmp_path):
     out = save_tsne_plot(pts, np.repeat(np.arange(3), 20),
                          str(tmp_path / "tsne.png"))
     assert out is None or os.path.exists(out)
+
+
+def test_cluster_margin_and_rank_analysis(rng, tmp_path):
+    """Quantitative core of the reference's cluster_analysis: triplet
+    margins (compute_triplet_margin :295), margin ranking (:301), the
+    cross-method rank-difference diagnostic (:305-308) — checked against
+    a literal transcription of the reference's list arithmetic — plus
+    cosine maps and the HoD histogram writer."""
+    from revisit_anything_tpu.retrieval.cluster_analysis import (
+        cluster_rank_difference, pairwise_cosine, rank_clusters,
+        save_distance_histograms, triplet_margin)
+
+    C, Dc = 8, 12
+    q = rng.standard_normal((C, Dc))
+    p = q + 0.1 * rng.standard_normal((C, Dc))      # positives close
+    n = rng.standard_normal((C, Dc))                # negatives far
+    m = triplet_margin(q, p, n)
+    assert m.shape == (C,)
+    ref = np.linalg.norm(q - n, axis=1) - np.linalg.norm(q - p, axis=1)
+    np.testing.assert_allclose(m, ref, rtol=1e-12)
+    assert (m > 0).mean() > 0.5                     # mostly discriminative
+
+    ra = rank_clusters(m)
+    assert np.array_equal(np.sort(ra), np.arange(C))
+    assert m[ra[0]] == m.min() and m[ra[-1]] == m.max()
+
+    rb = rank_clusters(rng.permutation(m))
+    shifts, worst = cluster_rank_difference(ra, rb)
+    ra_l, rb_l = list(ra), list(rb)
+    ref_shifts = [rb_l.index(c) - ra_l.index(c) for c in rb_l]
+    assert np.array_equal(shifts, ref_shifts)
+    assert worst == rb_l[int(np.argmax(ref_shifts))]
+    same, _ = cluster_rank_difference(ra, ra)
+    assert np.array_equal(same, np.zeros(C, np.int64))
+
+    cs = pairwise_cosine(q, p)
+    assert cs.shape == (C, C)
+    assert np.all(cs <= 1.0 + 1e-12) and np.all(cs >= -1.0 - 1e-12)
+    # positives correlate strongest on the diagonal
+    assert (np.argmax(cs, axis=1) == np.arange(C)).mean() > 0.8
+    z = pairwise_cosine(np.zeros((2, 4)), q[:3, :4])
+    assert np.all(z == 0.0)                          # zero rows, no NaN
+
+    out = save_distance_histograms(
+        np.linalg.norm(q - p, axis=1), np.linalg.norm(q - n, axis=1),
+        str(tmp_path / "hod.png"), title="SegVLAD")
+    assert out is None or os.path.exists(out)
