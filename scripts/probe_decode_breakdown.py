@@ -57,7 +57,24 @@ def main():
         k, hy, dec["up1_w"], dec["up1_b"], dec["up_ln"]["scale"],
         dec["up_ln"]["bias"], dec["up2_w"], dec["up2_b"],
         eps=cfg.eps, content=content, interpret=False))
-    retry("compile mask_head", lambda: sync_tree(mask_head(keys2, hyper)))
+    # standalone mask head holds keys2 [B, 4096, 256] LIVE next to params
+    # and outputs (inside the production program it is consumed and
+    # freed), so B=1024 can exhaust HBM — fall back to a sub-batch and
+    # report per-prompt-scaled numbers
+    mh_bsz = bsz
+    keys_mh, hyper_mh = keys2, hyper
+    for cand in (bsz, 256, 128):
+        try:
+            keys_mh, hyper_mh = keys2[:cand], hyper[:cand]
+            retry(f"compile mask_head[b={cand}]",
+                  lambda: sync_tree(mask_head(keys_mh, hyper_mh)),
+                  attempts=2, sleep_s=20)
+            mh_bsz = cand
+            break
+        except Exception as e:                            # noqa: BLE001
+            print(f"[dec] mask_head b={cand} unavailable: "
+                  f"{str(e).splitlines()[0][:120]}", flush=True)
+            mh_bsz = 0
 
     from revisit_anything_tpu.models.sam.prompt import (
         embed_points, no_mask_dense_embedding)
@@ -86,20 +103,25 @@ def main():
         "decode_batch": lambda: _decode_batch(
             s.sam_params, cfg, s.emb, s.image_pe, pts, s.input_hw,
             s.sam_hw, amg)[1],
-        "mask_head": lambda: mask_head(keys2, hyper),
         "two_way": lambda: two_way(tokens, shared_src, src_pe_one)[0],
         "decode_masks": lambda: dmasks(s.emb, s.image_pe, sparse, dense)[1],
     }
+    if mh_bsz:
+        stages["mask_head"] = lambda: mask_head(keys_mh, hyper_mh)
     for rnd in range(3):
         t = {}
         for name, fn in stages.items():
             try:
                 t[name] = loop(fn)
             except Exception as e:                        # noqa: BLE001
-                print(f"[dec] round{rnd} {name} FAILED: {e}", flush=True)
+                print(f"[dec] round{rnd} {name} FAILED: "
+                      f"{str(e).splitlines()[0][:120]}", flush=True)
                 continue
-            print(f"[dec] round{rnd} bsz={bsz} {name}={1000*t[name]:.2f}ms",
-                  flush=True)
+            scale = bsz / mh_bsz if name == "mask_head" else 1.0
+            note = (f" (b={mh_bsz} x{scale:.0f})"
+                    if name == "mask_head" and mh_bsz != bsz else "")
+            print(f"[dec] round{rnd} bsz={bsz} "
+                  f"{name}={1000*t[name]*scale:.2f}ms{note}", flush=True)
         if "decode_masks" in t and "decode_batch" in t:
             print(f"[dec] round{rnd} resize+stats≈"
                   f"{1000*(t['decode_batch']-t['decode_masks']):.2f}ms",
