@@ -295,8 +295,32 @@ def main():
     from revisit_anything_tpu.models.sam.amg import resize_mats_and_rows
     _, _, mask_rows = resize_mats_and_rows(SAM_VIT_H, server.input_hw,
                                            sam_hw)
+    # _decode_kernel_flops models exactly ONE decode layout — the fused
+    # keys-emission tail. Resolve the flags actually in effect and refuse
+    # to report a FLOP count for any other mode (ADVICE r4: a silently
+    # mismatched mode misstates decode GFLOPs/MFU by ~1.5x).
+    from revisit_anything_tpu.models.sam import decoder as _dec
+    if _dec._MASKHEAD_DISABLED:
+        decode_tail_mode = "xla_maskhead"
+    elif not _dec._use_probs_path(server._bsz):
+        decode_tail_mode = "split_xla"
+    elif not _dec._use_fused_tail():
+        decode_tail_mode = "probs_split"
+    elif not _dec._use_tail_keys():
+        decode_tail_mode = "fused_probs"
+    else:
+        decode_tail_mode = "fused_keys"
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and decode_tail_mode != "fused_keys":
+        raise RuntimeError(
+            f"bench FLOP model assumes the fused keys-emission decode "
+            f"tail but the active mode is {decode_tail_mode!r} "
+            f"(_FUSED_TAIL={_dec._FUSED_TAIL!r} _TAIL_KEYS="
+            f"{_dec._TAIL_KEYS!r} _PROBS_PATH={_dec._PROBS_PATH!r} "
+            f"_MASKHEAD_DISABLED={_dec._MASKHEAD_DISABLED}); update "
+            f"_decode_kernel_flops or restore the production flags")
     kernel_flops = (_decode_kernel_flops(server._bsz, sam_hw, mask_rows)
-                    if jax.default_backend() == "tpu" else 0.0)
+                    if on_tpu else 0.0)
     pm = server._pool(masks_dev, server._pool_a, server._pool_b)
     stage_flops = {
         "sam_encode": _flops(encode_image, sam_params, SAM_VIT_H, pre),
@@ -435,6 +459,7 @@ def main():
         "warmup_s": round(warmup_s, 1),
         "measure_passes": attempts,
         "load_nominal": nominal,
+        "decode_tail_mode": decode_tail_mode,
         "stages": stage_report,
     }))
 

@@ -589,6 +589,19 @@ def cmd_evaluate_global(args):
                            or args.dataset)
 
 
+def _points_per_batch(args) -> int:
+    """Resolve --points-per-batch per backend. On TPU the whole 1024-point
+    grid decodes in ONE dispatch through the fused Pallas tail (round-4
+    measured optimum). Other backends fall back to XLA paths that
+    materialize per-prompt [B, 4096, 256] intermediates (~4 GiB f32 at
+    B=1024), so they default to the reference GPU batch of 64
+    (automatic_mask_generator.py:62)."""
+    if args.points_per_batch is not None:
+        return args.points_per_batch
+    import jax
+    return 1024 if jax.default_backend() == "tpu" else 64
+
+
 def cmd_amg(args):
     """Standalone automatic mask generation over an image or directory —
     the reference's sam/scripts/amg.py CLI: per image, one output folder
@@ -609,7 +622,7 @@ def cmd_amg(args):
         params = init_sam_params(cfg, jax.random.PRNGKey(0))
     amg = AmgConfig(
         points_per_side=args.points_per_side,
-        points_per_batch=args.points_per_batch,
+        points_per_batch=_points_per_batch(args),
         pred_iou_thresh=args.pred_iou_thresh,
         stability_score_thresh=args.stability_score_thresh,
         box_nms_thresh=args.box_nms_thresh,
@@ -741,7 +754,7 @@ def _build_server(args, db_capacity=None):
     dino_hw = (int(z["dino_h"]), int(z["dino_w"]))
     mask_hw = (int(z["mask_h"]), int(z["mask_w"]))
     amg = AmgConfig(points_per_side=args.points_per_side,
-                    points_per_batch=args.points_per_batch,
+                    points_per_batch=_points_per_batch(args),
                     pred_iou_thresh=args.pred_iou_thresh,
                     stability_score_thresh=args.stability_score_thresh)
     server = SegVLADServer(
@@ -916,7 +929,10 @@ def main(argv=None):
                    choices=["vit_h", "vit_l", "vit_b"])
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--points-per-side", type=int, default=32)
-    p.add_argument("--points-per-batch", type=int, default=1024)
+    p.add_argument("--points-per-batch", type=int, default=None,
+                   help="prompts per decode dispatch (default: 1024 on "
+                        "TPU, 64 elsewhere — the XLA fallback holds "
+                        "~4 MiB/prompt of intermediates)")
     p.add_argument("--pred-iou-thresh", type=float, default=0.88)
     p.add_argument("--stability-score-thresh", type=float, default=0.95)
     p.add_argument("--box-nms-thresh", type=float, default=0.7)
@@ -957,7 +973,10 @@ def main(argv=None):
     # AMG knobs (reference SamAutomaticMaskGenerator defaults,
     # automatic_mask_generator.py:35-87)
     p.add_argument("--points-per-side", type=int, default=32)
-    p.add_argument("--points-per-batch", type=int, default=1024)
+    p.add_argument("--points-per-batch", type=int, default=None,
+                   help="prompts per decode dispatch (default: 1024 on "
+                        "TPU, 64 elsewhere — the XLA fallback holds "
+                        "~4 MiB/prompt of intermediates)")
     p.add_argument("--pred-iou-thresh", type=float, default=0.88)
     p.add_argument("--stability-score-thresh", type=float, default=0.95)
     p.set_defaults(func=cmd_query)
@@ -975,7 +994,10 @@ def main(argv=None):
     p.add_argument("--dino-checkpoint", default=None)
     p.add_argument("--layer", type=int, default=31)
     p.add_argument("--points-per-side", type=int, default=32)
-    p.add_argument("--points-per-batch", type=int, default=1024)
+    p.add_argument("--points-per-batch", type=int, default=None,
+                   help="prompts per decode dispatch (default: 1024 on "
+                        "TPU, 64 elsewhere — the XLA fallback holds "
+                        "~4 MiB/prompt of intermediates)")
     p.add_argument("--pred-iou-thresh", type=float, default=0.88)
     p.add_argument("--stability-score-thresh", type=float, default=0.95)
     p.add_argument("--db-capacity", type=int, default=None,

@@ -40,7 +40,11 @@ def sync_tree(o):
 
 def timed_loop(fn, n, sync=sync_tree):
     """Async-loop timing: n back-to-back dispatches, ONE final sync,
-    seconds per dispatch (BASELINE.md methodology amendment 2)."""
+    seconds per dispatch (BASELINE.md methodology amendment 2). Runs one
+    warm dispatch+sync FIRST so compile/warmup never lands inside the
+    timed window (ADVICE r4 — the scripts' local loop() helpers all do
+    this; the shared helper must match)."""
+    sync(fn())
     out = None
     t0 = time.perf_counter()
     for _ in range(n):

@@ -24,6 +24,11 @@ def main():
     pts_all = point_grid(s)                               # [1024, 2]
 
     sizes = tuple(int(a) for a in sys.argv[1:]) or (128, 256)
+    # the parity check below slices the LARGER batch's first n prompts
+    # against the smaller batch (io2[:n]); a descending invocation would
+    # silently compare mismatched prompt sets (ADVICE r4)
+    assert sizes == tuple(sorted(sizes)), \
+        f"pass batch sizes in ascending order, got {sizes}"
     fns = {}
     for bsz in sizes:                       # production (cached) FIRST
         amg = AmgConfig(points_per_batch=bsz,
