@@ -151,6 +151,47 @@ def test_device_voting_matches_host(artifacts):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_recall_invariant_to_bf16_class_descriptor_deltas(artifacts):
+    """Recall@1..5 is invariant to descriptor perturbations of the
+    measured bf16 delta class — the cheap stand-in for real-checkpoint
+    parity this environment cannot run (round-4 verdict item 7).
+
+    Magnitude: the r4 decode batch-size ladder measured max|Δ| 3.7e-4
+    (iou) / 4e-4 (masks) between bit-nonidentical but equivalent device
+    layouts (BASELINE.md "Parity: 256↔512"); we inject uniform ±5e-4 —
+    strictly larger — into every RAW segment VLAD on both sides, then
+    re-normalize rows exactly as the retrieval stage would see them.
+    If retrieval rankings flipped under this, bf16 kernel layout changes
+    could silently move Recall; they must not."""
+    files, targets = artifacts
+    db_masks, db_dino, db_keys = files["db"]
+    q_masks, q_dino, q_keys = files["q"]
+    centers = fit_vocabulary_from_h5(db_dino, db_keys, num_clusters=8)
+    kw = dict(order=3, mask_hw=(H // 2, W // 2), desired_hw=(H, W),
+              num_clusters=8, progress=False)
+    db_bank = compute_segment_vlads(db_masks, db_dino, db_keys, centers, **kw)
+    q_bank = compute_segment_vlads(q_masks, q_dino, q_keys, centers, **kw)
+    gt = [[t] for t in targets]
+    base = run_segloc_retrieval(db_bank, q_bank, gt)
+
+    import dataclasses as dc
+
+    def perturbed(bank, rng):
+        d = bank.descriptors + rng.uniform(
+            -5e-4, 5e-4, bank.descriptors.shape).astype(np.float32)
+        d = d / np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-12)
+        return dc.replace(bank, descriptors=d)
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        res = run_segloc_retrieval(perturbed(db_bank, rng),
+                                   perturbed(q_bank, rng), gt)
+        assert res.recalls == base.recalls, (seed, res.recalls,
+                                             base.recalls)
+        for a, b in zip(res.predictions, base.predictions):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_global_vlads_match_reference_patchgrid_semantics(tmp_path):
     """aggFt's AnyLoc vlad branch aggregates the RAW patch grid — the
     upsample in that branch is commented out (func_vpr.py:949-956)."""
