@@ -1,13 +1,14 @@
 """Cluster / descriptor-space analysis — the quantitative core of the
 reference's cluster_analysis.py (VLAD-BuFF/cluster_analysis.py, 1127 LoC;
-the interactive mpld3 tooltips and per-cluster image-grid plumbing are
-deliberately out of scope).
+the interactive mpld3 tooltip scatter remains deliberately out of scope —
+it is a browser-embedding presentation layer, not an algorithm).
 
 Provides: 2-D t-SNE embedding of descriptors, per-image cluster usage
 histograms from hard assignments, per-cluster triplet margins + the
 cross-method cluster-rank-difference analysis (the HoPD burstiness
 diagnostic), pairwise cosine-similarity maps, and headless-safe plot
-writers (t-SNE scatter, HoD distance histograms).
+writers (t-SNE scatter, HoD distance histograms, per-cluster
+soft-assignment overlays and the 2-row per-cluster diagnostic panel).
 """
 
 from __future__ import annotations
@@ -122,6 +123,155 @@ def pairwise_cosine(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     na[na == 0] = 1.0
     nb[nb == 0] = 1.0
     return (a / na) @ (b / nb).T
+
+
+def _mpl():
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        return plt
+    except Exception:
+        return None
+
+
+def _grid_side(n: int) -> int:
+    s = int(round(float(np.sqrt(n))))
+    assert s * s == n, f"soft-assign rows must be square grids, got {n}"
+    return s
+
+
+def save_cluster_overlay(image_rgb: np.ndarray, soft_assign: np.ndarray,
+                         cluster: int, out_path: str,
+                         alpha: float = 0.35,
+                         title: Optional[str] = None) -> Optional[str]:
+    """One cluster's soft-assignment map overlaid on the image — the
+    reference's per-cluster dump loop (cluster_analysis.py:113-146: image
+    resized to the assignment grid, ``imshow`` overlay at alpha, colorbar,
+    axes off). ``soft_assign``: [C, P] with P a square grid. Returns the
+    path, or None when matplotlib is unavailable (headless-safe)."""
+    plt = _mpl()
+    if plt is None:
+        return None
+    w = _grid_side(soft_assign.shape[1])
+    from PIL import Image
+    img = Image.fromarray(np.asarray(image_rgb)).resize((w, w))
+    fig, ax = plt.subplots(figsize=(10, 6))
+    ax.imshow(img)
+    ax.set_title(title if title is not None else f"Cluster: {cluster}")
+    im = ax.imshow(np.asarray(soft_assign)[cluster].reshape(w, w),
+                   aspect="auto", alpha=alpha)
+    fig.colorbar(im)
+    ax.axis("off")
+    fig.savefig(out_path, bbox_inches="tight", pad_inches=0)
+    plt.close(fig)
+    return out_path
+
+
+def save_cluster_panel(image_rgb: np.ndarray, assigns, cluster: int,
+                       out_path: str, w_burst: Optional[np.ndarray] = None,
+                       self_dis: Optional[np.ndarray] = None,
+                       title: str = "") -> Optional[str]:
+    """The reference's 2x6 per-(image, cluster) diagnostic panel
+    (cluster_analysis.py:149-247), pure matplotlib: row 1 = the original
+    image, one soft-assignment overlay per method (``assigns``: ordered
+    dict/map name → [C, P]), the 1/w_burst map, and the selfDis heatmap;
+    row 2 = ``visualize_pixel_intensities`` bar plots (:284-290) of each
+    row-1 map. Unused slots are blanked like the reference's None
+    branches. Returns the path, or None when matplotlib is unavailable."""
+    plt = _mpl()
+    if plt is None:
+        return None
+    names = list(assigns)
+    cols = max(6, 2 + len(names) + (w_burst is not None)
+               + (self_dis is not None))
+    fig, axes = plt.subplots(2, cols, figsize=(5 * cols, 6))
+    if title:
+        fig.suptitle(title, fontsize=16)
+
+    first = assigns[names[0]]
+    w = _grid_side(first.shape[1])
+    from PIL import Image
+    img_resized = np.asarray(
+        Image.fromarray(np.asarray(image_rgb)).resize((w, w)))
+
+    def intensities(data, ax):
+        vals = np.asarray(data).ravel()
+        ax.bar(range(len(vals)), vals)
+        ax.set_xlabel("Pixel Index")
+        ax.set_ylabel("Intensity")
+        if len(vals) and float(np.max(vals)) > 0:
+            ax.set_ylim([0, float(np.max(vals))])
+
+    axes[0, 0].imshow(np.asarray(image_rgb))
+    axes[0, 0].axis("off")
+    col = 1
+    for name in names:
+        m = np.asarray(assigns[name])[cluster].reshape(w, w)
+        axes[0, col].set_title(f"{name}: SA, Cluster: {cluster}")
+        axes[0, col].imshow(img_resized)
+        im = axes[0, col].imshow(m, aspect="auto", alpha=0.75)
+        fig.colorbar(im, ax=axes[0, col])
+        intensities(m, axes[1, col])
+        col += 1
+    if w_burst is not None:
+        wb = 1.0 / np.asarray(w_burst, np.float64)
+        wb = wb.reshape(_grid_side(wb.size), -1)
+        axes[0, col].set_title("1/w_burst")
+        axes[0, col].imshow(img_resized)
+        im = axes[0, col].imshow(wb, aspect="auto", alpha=0.75)
+        fig.colorbar(im, ax=axes[0, col])
+        intensities(wb, axes[1, col])
+        col += 1
+    if self_dis is not None:
+        axes[0, col].set_title(f"selfDis: {np.asarray(self_dis).shape}")
+        im = axes[0, col].imshow(np.asarray(self_dis), aspect="auto")
+        fig.colorbar(im, ax=axes[0, col])
+        col += 1
+    for c in range(col, cols):
+        axes[0, c].axis("off")
+    axes[1, 0].axis("off")
+    for c in range(col, cols):
+        axes[1, c].axis("off")
+    fig.tight_layout()
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path
+
+
+def save_cluster_gif(image_rgb: np.ndarray, assigns, out_dir: str,
+                     prefix: str = "clusters",
+                     duration: float = 0.1) -> Optional[str]:
+    """All-cluster animation: one panel frame per cluster assembled into a
+    GIF (the reference's clusterNo=None branch, cluster_analysis.py:
+    250-262, imageio writer + per-frame cleanup). Returns the gif path,
+    or None when matplotlib/imageio are unavailable."""
+    plt = _mpl()
+    if plt is None:
+        return None
+    try:
+        import imageio.v2 as imageio
+    except Exception:
+        try:
+            import imageio
+        except Exception:
+            return None
+    import os
+    names = list(assigns)
+    n_clusters = np.asarray(assigns[names[0]]).shape[0]
+    frames = []
+    for c in range(n_clusters):
+        p = os.path.join(out_dir, f"_frame_{c}.png")
+        if save_cluster_panel(image_rgb, assigns, c, p,
+                              title=f"Cluster: {c}") is None:
+            return None
+        frames.append(p)
+    gif_path = os.path.join(out_dir, f"{prefix}.gif")
+    with imageio.get_writer(gif_path, mode="I", duration=duration) as wr:
+        for p in frames:
+            wr.append_data(imageio.imread(p))
+            os.remove(p)
+    return gif_path
 
 
 def save_distance_histograms(dist_pos: np.ndarray, dist_neg: np.ndarray,

@@ -165,3 +165,42 @@ def test_cluster_margin_and_rank_analysis(rng, tmp_path):
         np.linalg.norm(q - p, axis=1), np.linalg.norm(q - n, axis=1),
         str(tmp_path / "hod.png"), title="SegVLAD")
     assert out is None or os.path.exists(out)
+
+
+def test_cluster_overlay_and_panel_renderers(rng, tmp_path):
+    """The per-cluster image rendering tail of the reference's
+    cluster_analysis (overlay dump :113-146, 2-row diagnostic panel
+    :149-247 with visualize_pixel_intensities :284-290, all-cluster GIF
+    :250-262) — pure matplotlib, no mpld3."""
+    from revisit_anything_tpu.retrieval.cluster_analysis import (
+        save_cluster_gif, save_cluster_overlay, save_cluster_panel)
+
+    C, w = 4, 8
+    img = rng.integers(0, 255, (32, 48, 3)).astype(np.uint8)
+    sa_nv = rng.random((C, w * w)).astype(np.float32)
+    sa_vb = rng.random((C, w * w)).astype(np.float32)
+    w_burst = 1.0 + rng.random((w * w,)).astype(np.float32)
+    self_dis = rng.random((w * w, 16)).astype(np.float32)
+
+    out = save_cluster_overlay(img, sa_nv, 2, str(tmp_path / "ov.png"))
+    assert out is None or (os.path.exists(out)
+                           and os.path.getsize(out) > 0)
+
+    out = save_cluster_panel(
+        img, {"netvlad": sa_nv, "vlad_buff": sa_vb}, 1,
+        str(tmp_path / "panel.png"), w_burst=w_burst, self_dis=self_dis,
+        title="q Image ID: 0, Cluster: 1")
+    assert out is None or (os.path.exists(out)
+                           and os.path.getsize(out) > 0)
+
+    gif = save_cluster_gif(img, {"netvlad": sa_nv}, str(tmp_path),
+                           prefix="anim")
+    if gif is not None:
+        assert os.path.exists(gif) and os.path.getsize(gif) > 0
+        # frames are cleaned up like the reference loop
+        assert not list(tmp_path.glob("_frame_*.png"))
+
+    # non-square grids must fail loudly, not render garbage
+    with pytest.raises(AssertionError):
+        save_cluster_overlay(img, rng.random((C, 10)), 0,
+                             str(tmp_path / "bad.png"))
