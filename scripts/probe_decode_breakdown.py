@@ -61,11 +61,21 @@ def main():
     # and outputs (inside the production program it is consumed and
     # freed), so B=1024 can exhaust HBM — fall back to a sub-batch and
     # report per-prompt-scaled numbers
-    mh_bsz = bsz
+    mh_bsz = 0
     keys_mh, hyper_mh = keys2, hyper
+    deleted_full = False
     for cand in (bsz, 256, 128):
         try:
-            keys_mh, hyper_mh = keys2[:cand], hyper[:cand]
+            if cand < keys_mh.shape[0]:
+                k2, h2 = keys_mh[:cand], hyper_mh[:cand]
+                jax.block_until_ready((k2, h2))
+                # free the larger source before compiling: the r4/r5
+                # OOMs hit while BOTH the full 2 GB keys2 and the
+                # compile workspace were live (shared-HBM, CLAUDE.md)
+                keys_mh.delete()
+                hyper_mh.delete()
+                deleted_full = True
+                keys_mh, hyper_mh = k2, h2
             retry(f"compile mask_head[b={cand}]",
                   lambda: sync_tree(mask_head(keys_mh, hyper_mh)),
                   attempts=2, sleep_s=20)
@@ -76,16 +86,24 @@ def main():
                   f"{str(e).splitlines()[0][:120]}", flush=True)
             mh_bsz = 0
 
-    from revisit_anything_tpu.models.sam.prompt import (
-        embed_points, no_mask_dense_embedding)
-    from revisit_anything_tpu.utils.packing import maybe_unpack
-    up = maybe_unpack(s.sam_params)
-    sparse = embed_points(up, cfg, pts[:, None, :],
-                          jnp.ones((bsz, 1), jnp.int32), pad=True)
-    dense = no_mask_dense_embedding(up, cfg, 1)
-    dmasks = jax.jit(lambda e, pe, sp, de: decode_masks(
-        s.sam_params, cfg, e, pe, sp, de, multimask=True,
-        dense_shared=True, block_layout=True, mask_rows=mask_rows))
+    # decode_masks inputs are OPTIONAL: under transient co-tenant HBM
+    # pressure even these tiny ops can OOM (observed r5) — the probe's
+    # core numbers (decode_batch/two_way/mask_head) must still print
+    dmasks = sparse = dense = None
+    try:
+        from revisit_anything_tpu.models.sam.prompt import (
+            embed_points, no_mask_dense_embedding)
+        from revisit_anything_tpu.utils.packing import maybe_unpack
+        up = maybe_unpack(s.sam_params)
+        sparse = embed_points(up, cfg, pts[:, None, :],
+                              jnp.ones((bsz, 1), jnp.int32), pad=True)
+        dense = no_mask_dense_embedding(up, cfg, 1)
+        dmasks = jax.jit(lambda e, pe, sp, de: decode_masks(
+            s.sam_params, cfg, e, pe, sp, de, multimask=True,
+            dense_shared=True, block_layout=True, mask_rows=mask_rows))
+    except Exception as e:                                # noqa: BLE001
+        print(f"[dec] decode_masks inputs unavailable: "
+              f"{str(e).splitlines()[0][:120]}", flush=True)
 
     def loop(fn, n=8):
         out = fn()
@@ -104,8 +122,10 @@ def main():
             s.sam_params, cfg, s.emb, s.image_pe, pts, s.input_hw,
             s.sam_hw, amg)[1],
         "two_way": lambda: two_way(tokens, shared_src, src_pe_one)[0],
-        "decode_masks": lambda: dmasks(s.emb, s.image_pe, sparse, dense)[1],
     }
+    if dmasks is not None:
+        stages["decode_masks"] = lambda: dmasks(s.emb, s.image_pe,
+                                                sparse, dense)[1]
     if mh_bsz:
         stages["mask_head"] = lambda: mask_head(keys_mh, hyper_mh)
     for rnd in range(3):
