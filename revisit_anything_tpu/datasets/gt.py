@@ -38,6 +38,34 @@ def parse_camera_pose(path: str) -> np.ndarray:
     return np.fromstring(lines[-2], dtype=float, sep=" ")
 
 
+def parse_camera_pose_rot(path: str):
+    """(center [x, y, z], euler zyx degrees [3]) from a Baidu .camera
+    file — lines 4-6 hold the 3x3 rotation matrix (baidu_dataloader.py
+    get_cop_pose :55-73, scipy Rotation.as_euler('zyx', degrees=True))."""
+    from scipy.spatial.transform import Rotation
+    with open(path) as f:
+        lines = f.readlines()
+    xyz = np.fromstring(lines[-2], dtype=float, sep=" ")
+    rot = np.stack([np.fromstring(lines[i], dtype=float, sep=" ")
+                    for i in (4, 5, 6)])
+    return xyz, Rotation.from_matrix(rot).as_euler("zyx", degrees=True)
+
+
+def angular_filter_positives(positives: List[np.ndarray],
+                             db_euler: np.ndarray,
+                             q_euler: np.ndarray,
+                             ang_thresh: float) -> List[np.ndarray]:
+    """AND-filter radius positives by mean absolute euler-angle
+    difference < ``ang_thresh`` degrees (baidu_dataloader.py
+    use_ang_positives :160-196 — the reference's non-default knob)."""
+    out = []
+    for i, pos in enumerate(positives):
+        keep = [j for j in np.asarray(pos)
+                if np.mean(np.abs(q_euler[i] - db_euler[j])) < ang_thresh]
+        out.append(np.asarray(keep, dtype=np.int64))
+    return out
+
+
 def utm_from_paths(paths: Sequence[str]) -> np.ndarray:
     """UTM (easting, northing) from '@'-delimited filename tokens
     (func_vpr.py get_utm :1647-1653)."""
@@ -45,14 +73,28 @@ def utm_from_paths(paths: Sequence[str]) -> np.ndarray:
                      for p in paths])
 
 
-def _baidu_gt(data_root: str, dist_thresh: float = 10.0) -> List[np.ndarray]:
+def _baidu_gt(data_root: str, dist_thresh: float = 10.0,
+              ang_thresh: Optional[float] = None) -> List[np.ndarray]:
+    """Baidu positives within ``dist_thresh`` meters; with ``ang_thresh``
+    (degrees; the reference default is 20 when enabled) additionally
+    within the mean euler-angle difference — baidu_dataloader.py
+    use_ang_positives=False default :103, filter :160-196."""
     base = os.path.join(data_root, "baidu")
+
     def poses(sub):
         files = natsorted_keys(os.listdir(os.path.join(base, sub)))
-        return np.stack([parse_camera_pose(os.path.join(base, sub, f))
-                         for f in files])
-    return radius_positives(poses("training_gt"), poses("query_gt"),
-                            dist_thresh)
+        both = [parse_camera_pose_rot(os.path.join(base, sub, f))
+                for f in files]
+        return (np.stack([b[0] for b in both]),
+                np.stack([b[1] for b in both]))
+
+    db_xyz, db_euler = poses("training_gt")
+    q_xyz, q_euler = poses("query_gt")
+    positives = radius_positives(db_xyz, q_xyz, dist_thresh)
+    if ang_thresh is None:
+        return positives
+    return angular_filter_positives(positives, db_euler, q_euler,
+                                    ang_thresh)
 
 
 def _vpair_gt(data_root: str) -> List[np.ndarray]:
@@ -112,10 +154,15 @@ def get_gt(dataset: str,
            data_root: str,
            ref_paths: Optional[Sequence[str]] = None,
            query_paths: Optional[Sequence[str]] = None,
-           msls_gt_root: Optional[str] = None) -> Optional[List]:
-    """Ground truth per dataset (gt.py:10-79 dispatch)."""
+           msls_gt_root: Optional[str] = None,
+           baidu_ang_thresh: Optional[float] = None) -> Optional[List]:
+    """Ground truth per dataset (gt.py:10-79 dispatch).
+
+    ``baidu_ang_thresh``: optional Baidu orientation AND-filter in
+    degrees (the reference's use_ang_positives knob, default off —
+    baidu_dataloader.py:103)."""
     if dataset == "baidu":
-        return _baidu_gt(data_root)
+        return _baidu_gt(data_root, ang_thresh=baidu_ang_thresh)
     if dataset in ("mslsSF", "mslsCPH"):
         city = "sf" if dataset == "mslsSF" else "cph"
         root = msls_gt_root or os.path.join(data_root, "msls_npy_files")

@@ -51,6 +51,33 @@ def test_baidu_gt_pipeline(tmp_path):
     assert set(gt[1].tolist()) == {2}
 
 
+def test_baidu_angular_positives(tmp_path):
+    """The reference's optional orientation AND-filter
+    (baidu_dataloader.py use_ang_positives :103,160-196): radius
+    positives whose mean |euler(q) − euler(db)| ≥ ang_thresh drop."""
+    base = tmp_path / "baidu"
+    rot90z = "0 -1 0\n1 0 0\n0 0 1\n"            # euler zyx = (90, 0, 0)
+    ident = "1 0 0\n0 1 0\n0 0 1\n"
+    for sub, entries in (
+            ("training_gt", [([0, 0, 0], ident), ([5, 0, 0], rot90z),
+                             ([100, 0, 0], ident)]),
+            ("query_gt", [([1, 0, 0], ident)])):
+        d = base / sub
+        d.mkdir(parents=True)
+        for i, (p, rot) in enumerate(entries):
+            (d / f"img_{i}.camera").write_text(
+                f"h\nh\nh\nh\n{rot}0 0 0\n"
+                f"{p[0]} {p[1]} {p[2]}\n640 480\n")
+    gt_rad = get_gt("baidu", str(tmp_path))
+    assert set(gt_rad[0].tolist()) == {0, 1}
+    # mean |(90,0,0) − (0,0,0)| = 30° ≥ 20° → db 1 filtered out
+    gt_ang = get_gt("baidu", str(tmp_path), baidu_ang_thresh=20.0)
+    assert set(gt_ang[0].tolist()) == {0}
+    # a generous threshold keeps both
+    gt_wide = get_gt("baidu", str(tmp_path), baidu_ang_thresh=45.0)
+    assert set(gt_wide[0].tolist()) == {0, 1}
+
+
 def test_17places_and_amstertime_gt():
     q = [f"q{i}.jpg" for i in range(40)]
     r = [f"r{i}.jpg" for i in range(40)]
