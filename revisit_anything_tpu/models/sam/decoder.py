@@ -168,6 +168,16 @@ _FUSED_TAIL = "auto"
 # parity tests).
 _TAIL_KEYS = "auto"
 
+# logits-emission mode (r5): the mask head + hypernetwork MLPs run
+# INSIDE the fused tail kernel on the in-VMEM keys2 — the [M, D] branch
+# never touches HBM (4.3 GB/query of write+read in keys mode at 1024
+# prompts). Only multimask (tokens 1..3) decodes qualify. "auto" = on
+# whenever the keys mode would run; "off" = the r4 two-kernel shape
+# (A/B benchmarks, parity tests). DEFAULT OFF until the TPU A/B lands
+# (scripts/ab_tail_logits.py) — flipping it changes the production HLO
+# and invalidates the warm compile cache the driver bench relies on.
+_TAIL_LOGITS = "off"
+
 
 def _use_fused_tail() -> bool:
     if _FUSED_TAIL == "auto":
@@ -179,6 +189,12 @@ def _use_tail_keys() -> bool:
     if _TAIL_KEYS == "auto":
         return True
     return _TAIL_KEYS == "on"
+
+
+def _use_tail_logits() -> bool:
+    if _TAIL_LOGITS == "auto":
+        return _use_tail_keys()
+    return _TAIL_LOGITS == "on"
 
 
 def _use_token_kernel(m: int) -> bool:
@@ -340,7 +356,7 @@ def _run_two_way_shared(params_dec: Params, tokens, shared_src, src_pe_one,
 
 
 def _run_two_way_probs(params_dec: Params, tokens, shared_src, src_pe_one,
-                       cfg: SamArchConfig):
+                       cfg: SamArchConfig, mask_head_ctx=None):
     """Probability-factored AMG two-way transformer (ops/decode_probs.py).
 
     The per-prompt image branch is never materialized: each i2t layer
@@ -349,6 +365,11 @@ def _run_two_way_probs(params_dec: Params, tokens, shared_src, src_pe_one,
     head reconstruct the branch in VMEM from (img0, P, C). Token-side ops
     (self-attention, MLPs, out-projections, LayerNorms) stay in XLA —
     they are [B, T, D] sized.
+
+    ``mask_head_ctx``: optional (decoder params, content) enabling the
+    logits-emission mode (_use_tail_logits): the mask head runs inside
+    the tail kernel and the third return value is the tagged tuple
+    ("logits", mask logits [B, content, 16, 3]).
 
     Returns (queries, pstate, keys): exactly one of pstate/keys is
     non-None — pstate = (p1, c1m, p2, c2m, branch_rows) feeds
@@ -414,6 +435,15 @@ def _run_two_way_probs(params_dec: Params, tokens, shared_src, src_pe_one,
         pek2t = t_proj(l2["t2i"]["k"]["w"], l2["t2i"]["k"]["b"],
                        src_pe_one)
         pekft = t_proj(fa["k"]["w"], fa["k"]["b"], src_pe_one)
+        if (mask_head_ctx is not None and _use_tail_keys()
+                and _use_tail_logits()):
+            mh_params, content = mask_head_ctx
+            queries_out, logits = decode_tail_fused(
+                img0t, q1st, peq2t, pek2t, pekft, tok_k1, c1m, queries_b,
+                tokens.astype(queries_b.dtype), l2, fa, i1, l1["norm4"],
+                params_dec["norm_final"], nh, eps=cfg.eps,
+                interpret=interpret, mask_head=mh_params, content=content)
+            return queries_out, None, ("logits", logits)
         if _use_tail_keys():
             queries_out, keys2 = decode_tail_fused(
                 img0t, q1st, peq2t, pek2t, pekft, tok_k1, c1m, queries_b,
@@ -665,8 +695,13 @@ def decode_masks(params: Params, cfg: SamArchConfig,
         shared_src = (image_embedding[None]
                       + dense_prompts[:1]).reshape(1, g * g, d)
         src_pe_one = image_pe.reshape(1, g * g, d).astype(shared_src.dtype)
+        # logits-emission eligibility: multimask only (the in-kernel
+        # hypernetwork hardcodes mask tokens 1..3)
+        mh_ctx = ((dec, content if content is not None else g * g)
+                  if multimask else None)
         queries, pstate, keys = _run_two_way_probs(dec, tokens, shared_src,
-                                                   src_pe_one, cfg)
+                                                   src_pe_one, cfg,
+                                                   mask_head_ctx=mh_ctx)
     elif dense_shared:
         # AMG: the identical no-mask dense prompt for every point — the
         # image branch stays a single [1, M, D] tensor until it genuinely
@@ -685,6 +720,12 @@ def decode_masks(params: Params, cfg: SamArchConfig,
 
     iou_token_out = queries[:, 0]
     mask_tokens_out = queries[:, 1:1 + cfg.num_mask_tokens]
+
+    if isinstance(keys, tuple) and keys[0] == "logits":
+        # logits-emission mode: the mask head + hypernetwork already ran
+        # inside the tail kernel; only the iou head remains.
+        iou_pred = _mlp(iou_token_out, dec["iou_head"])
+        return keys[1], iou_pred[:, 1:]
 
     # Select the output tokens BEFORE the (expensive) mask einsum: the
     # unused token's 256 MB mask plane and the resulting slice copies are

@@ -38,7 +38,7 @@ transformer.py:16-240 (TwoWayTransformer depth 2 + final attention).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +48,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from revisit_anything_tpu.ops.decode_probs import (_block_diag_tokens_t,
                                                    _head_softmax_rows)
+from revisit_anything_tpu.ops.maskhead import (conv2_blockdiag,
+                                               mask_head_body,
+                                               pack_mask_head_vecs)
 
 Params = Dict[str, Any]
 
@@ -165,21 +168,38 @@ def _tail_kernel(img0t_ref, q1st_ref, peq2t_ref, pek2t_ref, pekft_ref,
                  lin2_ref, wk_i2_ref, wv_i2_ref, wout_i2_ref, wq2_ref,
                  wq_fa_ref, wk_fa_ref, wv_fa_ref, wout_fa_ref, rowv_ref,
                  colv_ref,
-                 kbdt1_ref, c1m_ref, qin_ref, tok_ref,
-                 *out_refs,
+                 *rest_refs,
                  heads: int, n_tok: int, eps: float,
-                 emit_keys: bool = False):
-    if emit_keys:
-        # keys-emission mode: the branch state after layer 2 (keys2 —
-        # exactly the tensor the SAM mask head consumes) is stored ONCE
-        # in [M, D] layout; the probabilities/c2m never leave the kernel,
-        # and the mask head skips its 2 reconstructions + 2 f32
-        # LayerNorms per prompt (its measured VPU bound).
-        keys_ref, qout_ref = out_refs
-        p1_ref = p2_ref = c2m_ref = None
+                 emit_keys: bool = False,
+                 emit_logits: bool = False, mh_c1: int = 0):
+    if emit_logits:
+        # logits-emission mode: the mask head (and the three hypernetwork
+        # MLPs it needs) run IN-KERNEL on the in-VMEM keys2 — the [M, D]
+        # branch tensor never touches HBM at all (it cost a 2 MB write +
+        # 2 MB read per prompt in keys mode: 4.3 GB per 1024-prompt
+        # query). Only the block logits [content, 16·M] and the token
+        # state leave the kernel.
+        (up1w_ref, up2wbd_ref, mhv_ref, hw1_ref, hw2_ref, hw3_ref,
+         hb1_ref, hb2_ref, hb3_ref,
+         kbdt1_ref, c1m_ref, qin_ref, tok_ref) = rest_refs[:-2]
+        logits_ref, qout_ref = rest_refs[-2:]
+        keys_ref = p1_ref = p2_ref = c2m_ref = None
     else:
-        p1_ref, p2_ref, c2m_ref, qout_ref = out_refs
-        keys_ref = None
+        kbdt1_ref, c1m_ref, qin_ref, tok_ref = rest_refs[:4]
+        out_refs = rest_refs[4:]
+        logits_ref = None
+        if emit_keys:
+            # keys-emission mode: the branch state after layer 2 (keys2 —
+            # exactly the tensor the SAM mask head consumes) is stored
+            # ONCE in [M, D] layout; the probabilities/c2m never leave
+            # the kernel, and the mask head skips its 2 reconstructions
+            # + 2 full f32 LayerNorms per prompt (its measured VPU
+            # bound).
+            keys_ref, qout_ref = out_refs
+            p1_ref = p2_ref = c2m_ref = None
+        else:
+            p1_ref, p2_ref, c2m_ref, qout_ref = out_refs
+            keys_ref = None
     d = img0t_ref.shape[1]
     da = q1st_ref.shape[1]
     hd = da // heads
@@ -281,18 +301,60 @@ def _tail_kernel(img0t_ref, q1st_ref, peq2t_ref, pek2t_ref, pekft_ref,
                        eps)
     qout_ref[0] = queries
 
+    if logits_ref is not None:
+        # ---- hypernetwork MLPs for mask tokens 1..3 (tiny, unrolled;
+        # same op order as decoder._mlp via _dense: f32 accumulation
+        # rounded to dtype BEFORE each bias add, relu between) ----
+        c2 = hw3_ref.shape[2]
+        rows = []
+        for i in range(3):
+            hx = queries[1 + i:2 + i]                    # [1, D]
+            hx = jnp.maximum(
+                _dense_rows(hx, hw1_ref[i], hb1_ref[i:i + 1, :d]), 0)
+            hx = jnp.maximum(
+                _dense_rows(hx, hw2_ref[i], hb2_ref[i:i + 1, :d]), 0)
+            hx = _dense_rows(hx, hw3_ref[i], hb3_ref[i:i + 1, :c2])
+            rows.append(hx)
+        hyper = jnp.concatenate(rows, axis=0)            # [M=3, c2]
+
+        # per-prompt block-diagonal hypernetwork [16·c2, 16·M] built
+        # in-register (fused_mask_head's eye16 einsum, iota-masked form)
+        m_tok = 3
+        hyper_t = jnp.transpose(hyper)                   # [c2, M]
+        tiled = jnp.concatenate([hyper_t] * 16, axis=0)  # [16·c2, M]
+        tiled = jnp.concatenate([tiled] * 16, axis=1)    # [16·c2, 16·M]
+        rg = jax.lax.broadcasted_iota(
+            jnp.int32, (16 * c2, 16 * m_tok), 0) // c2
+        cg = jax.lax.broadcasted_iota(
+            jnp.int32, (16 * c2, 16 * m_tok), 1) // m_tok
+        hbd = jnp.where(rg == cg, tiled,
+                        jnp.zeros_like(tiled)).astype(dtype)
+
+        # ---- mask head on the in-VMEM branch (rounded to the activation
+        # dtype exactly where the keys-emission store rounds) ----
+        content = logits_ref.shape[1]
+        x = jnp.transpose(keys2[:, :content].astype(dtype))  # [content, D]
+        logits_ref[0] = mask_head_body(
+            x, up1w_ref[...], up2wbd_ref[...], hbd,
+            mhv_ref[0:1, :d], mhv_ref[1:2, :d], mhv_ref[2:3, :d],
+            mhv_ref[3:4, :up2wbd_ref.shape[1]],
+            c1=mh_c1, eps=eps).astype(logits_ref.dtype)
+
 
 @partial(jax.jit, static_argnames=("heads", "n_tok", "eps", "interpret",
-                                   "emit_keys"))
+                                   "emit_keys", "content", "mh_c1"))
 def _tail_call(shared, weights, rowv, colv, kbdt1, c1m, qin, tok,
                heads: int, n_tok: int, eps: float, interpret: bool,
-               emit_keys: bool = False):
+               emit_keys: bool = False, mh_inputs=None,
+               content: int = 0, mh_c1: int = 0):
     img0t = shared[0]
     b, ht, _ = kbdt1.shape
     d, m = img0t.shape[1], img0t.shape[2]
     n_pad = qin.shape[1]
+    emit_logits = mh_inputs is not None
     kernel = partial(_tail_kernel, heads=heads, n_tok=n_tok, eps=eps,
-                     emit_keys=emit_keys)
+                     emit_keys=emit_keys, emit_logits=emit_logits,
+                     mh_c1=mh_c1)
 
     def inv(shape):
         nd = len(shape)
@@ -305,12 +367,26 @@ def _tail_call(shared, weights, rowv, colv, kbdt1, c1m, qin, tok,
                             lambda i, _n=nd: (i,) + (0,) * (_n - 1),
                             memory_space=pltpu.VMEM)
 
+    mh_inputs = tuple(mh_inputs) if emit_logits else ()
     in_specs = ([inv(s.shape) for s in shared]
                 + [inv(w.shape) for w in weights]
                 + [inv(rowv.shape), inv(colv.shape)]
+                + [inv(t.shape) for t in mh_inputs]
                 + [per_prompt(kbdt1.shape), per_prompt(c1m.shape),
                    per_prompt(qin.shape), per_prompt(tok.shape)])
-    if emit_keys:
+    if emit_logits:
+        n_out = 16 * 3
+        out_specs = [
+            pl.BlockSpec((1, content, n_out), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((b, content, n_out), qin.dtype),
+            jax.ShapeDtypeStruct((b, n_pad, d), qin.dtype),
+        ]
+    elif emit_keys:
         out_specs = [
             pl.BlockSpec((1, m, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -347,7 +423,7 @@ def _tail_call(shared, weights, rowv, colv, kbdt1, c1m, qin, tok,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(*shared, *weights, rowv, colv, kbdt1, c1m, qin, tok)
+    )(*shared, *weights, rowv, colv, *mh_inputs, kbdt1, c1m, qin, tok)
 
 
 def decode_tail_fused(img0t: jnp.ndarray, q1st: jnp.ndarray,
@@ -359,7 +435,9 @@ def decode_tail_fused(img0t: jnp.ndarray, q1st: jnp.ndarray,
                       norm_final: Params, heads: int,
                       eps: float = 1e-6,
                       interpret: bool = False,
-                      emit_keys: bool = False
+                      emit_keys: bool = False,
+                      mask_head: Optional[Params] = None,
+                      content: Optional[int] = None
                       ) -> Tuple[jnp.ndarray, ...]:
     """Host-side wrapper: pack weights and run the fused tail.
 
@@ -382,6 +460,14 @@ def decode_tail_fused(img0t: jnp.ndarray, q1st: jnp.ndarray,
     tensor the SAM mask head upscales, transformer.py:16-240 ``keys``)
     stored ONCE in the activation dtype, with the probability/c2m
     emissions skipped entirely.
+
+    With ``mask_head`` (the decoder param tree holding up1_w/up1_b/
+    up_ln/up2_w/up2_b/hyper_mlps), the mask head AND the three
+    hypernetwork MLPs run IN-KERNEL on the in-VMEM keys2 (logits-emission
+    mode): returns (queries_out, mask logits [B, content, 16, 3]) and the
+    [M, D] branch never touches HBM (multimask tokens 1..3 only —
+    mask_decoder.py:96-144 multimask_output selection). ``content``:
+    leading positions to decode (pad-row skipping; default all).
     """
     b, t, d = queries_b.shape
     dtype = queries_b.dtype
@@ -446,6 +532,29 @@ def decode_tail_fused(img0t: jnp.ndarray, q1st: jnp.ndarray,
 
     shared = (img0t.astype(dtype), q1st.astype(dtype), peq2t.astype(dtype),
               pek2t.astype(dtype), pekft.astype(dtype))
+    if mask_head is not None:
+        m = img0t.shape[2]
+        content = m if content is None else content
+        c1 = mask_head["up1_w"].shape[1] // 4
+        c2 = mask_head["up2_w"].shape[1] // 4
+        up1w = mask_head["up1_w"].astype(dtype)
+        up2wbd = conv2_blockdiag(mask_head["up2_w"], c1, c2).astype(dtype)
+        mhv = pack_mask_head_vecs(
+            mask_head["up1_b"], mask_head["up_ln"]["scale"],
+            mask_head["up_ln"]["bias"], mask_head["up2_b"], c1, c2, dtype)
+        mlps = mask_head["hyper_mlps"]
+        hw = [jnp.stack([mlps[1 + i][li]["w"] for i in range(3)]
+                        ).astype(dtype) for li in range(3)]
+        hb = [jnp.stack([mlps[1 + i][li]["b"] for i in range(3)]
+                        ).astype(dtype) for li in range(3)]
+        mh_inputs = (up1w, up2wbd, mhv, hw[0], hw[1], hw[2],
+                     hb[0], hb[1], hb[2])
+        logits, qout = _tail_call(
+            shared, weights, rowv, colv, kbdt1, c1m.astype(dtype),
+            queries_b, tokens, heads, tok_k1.shape[1], float(eps),
+            bool(interpret), mh_inputs=mh_inputs, content=int(content),
+            mh_c1=int(c1))
+        return qout[:, :t], logits.reshape(b, content, 16, 3)
     if emit_keys:
         keys2, qout = _tail_call(
             shared, weights, rowv, colv, kbdt1, c1m.astype(dtype),

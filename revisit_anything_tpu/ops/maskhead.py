@@ -128,15 +128,31 @@ def _mask_head_kernel(keys_ref, up1w_ref, up2wbd_ref, hbd_ref, vecs_ref,
         (o_ref,) = refs
         x = keys_ref[0]
     d = x.shape[1]
-    dtype = x.dtype
-
-    up1_b = vecs_ref[0:1, :d]                            # [1, D]
-    ln_scale = vecs_ref[1:2, :d].astype(jnp.float32)
-    ln_bias = vecs_ref[2:3, :d].astype(jnp.float32)
     up2_b = vecs_ref[3:4, :up2wbd_ref.shape[1]]
+    o_ref[0] = mask_head_body(
+        x, up1w_ref[...], up2wbd_ref[...], hbd_ref[0],
+        vecs_ref[0:1, :d], vecs_ref[1:2, :d], vecs_ref[2:3, :d], up2_b,
+        c1=c1, eps=eps).astype(o_ref.dtype)
+
+
+def mask_head_body(x, up1w, up2wbd, hbd, up1_b, ln_scale, ln_bias, up2_b,
+                   *, c1: int, eps: float):
+    """The fused mask-head math on in-VMEM values: conv1 → group-LN →
+    gelu → block-diag conv2 → gelu → hypernetwork matmul. Shared by the
+    standalone mask-head kernels here and by the decode tail's
+    emit_logits mode (ops/decode_fused.py), so the two paths cannot
+    drift numerically.
+
+    x [BLK, D]; up1w [D, D]; up2wbd [D, 16·c2]; hbd [16·c2, 16·M];
+    up1_b/ln_scale/ln_bias [1, D]; up2_b [1, 16·c2] → [BLK, 16·M] f32.
+    """
+    d = x.shape[1]
+    dtype = x.dtype
+    ln_scale = ln_scale.astype(jnp.float32)
+    ln_bias = ln_bias.astype(jnp.float32)
 
     y1 = jax.lax.dot_general(
-        x, up1w_ref[...], (((1,), (0,)), ((), ())),
+        x, up1w, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dtype) + up1_b
 
     # group LayerNorm: 4 lane-groups of c1; stats via indicator matmuls.
@@ -159,13 +175,13 @@ def _mask_head_kernel(keys_ref, up1w_ref, up2wbd_ref, hbd_ref, vecs_ref,
     h1 = _gelu(yn).astype(dtype)
 
     y2 = jax.lax.dot_general(
-        h1, up2wbd_ref[...], (((1,), (0,)), ((), ())),
+        h1, up2wbd, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dtype) + up2_b
     h2 = _gelu(y2.astype(jnp.float32)).astype(dtype)
 
-    o_ref[0] = jax.lax.dot_general(
-        h2, hbd_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    return jax.lax.dot_general(
+        h2, hbd, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
 def _pick_block(gg: int, block: int, lane: int = 1) -> int:
@@ -278,6 +294,30 @@ def _mask_head_call(keys, up1w, up2wbd, hbd, vecs, c1: int, eps: float,
     )(keys, up1w, up2wbd, hbd, vecs)
 
 
+def conv2_blockdiag(up2_w: jnp.ndarray, c1: int, c2: int) -> jnp.ndarray:
+    """conv2 as one block-diagonal [4·c1, 16·c2] matmul over the
+    (2x2-block, c1) lanes (3/4 zeros — extra MXU flops are free, the
+    layout change is not)."""
+    up2wbd = jnp.zeros((4 * c1, 16 * c2), up2_w.dtype)
+    for q in range(4):
+        up2wbd = up2wbd.at[q * c1:(q + 1) * c1,
+                           q * 4 * c2:(q + 1) * 4 * c2].set(up2_w)
+    return up2wbd
+
+
+def pack_mask_head_vecs(up1_b, ln_scale, ln_bias, up2_b, c1: int, c2: int,
+                        dtype) -> jnp.ndarray:
+    """Packed constant rows the mask-head body reads: row 0 = tiled
+    conv1 bias, 1/2 = tiled LN scale/bias, 3 = tiled conv2 bias."""
+    ncols = max(4 * c1, 16 * c2)
+    vecs = jnp.zeros((8, ncols), dtype)
+    vecs = vecs.at[0, :4 * c1].set(jnp.tile(up1_b, 4))
+    vecs = vecs.at[1, :4 * c1].set(jnp.tile(ln_scale, 4))
+    vecs = vecs.at[2, :4 * c1].set(jnp.tile(ln_bias, 4))
+    vecs = vecs.at[3, :16 * c2].set(jnp.tile(up2_b, 16))
+    return vecs
+
+
 def fused_mask_head(keys: jnp.ndarray, hyper: jnp.ndarray,
                     up1_w: jnp.ndarray, up1_b: jnp.ndarray,
                     ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
@@ -314,23 +354,15 @@ def fused_mask_head(keys: jnp.ndarray, hyper: jnp.ndarray,
     blk = _pick_block(content, block,
                       lane=8 if keys.dtype.itemsize == 4 else 16)
 
-    # conv2 as one block-diagonal matmul over the (2x2-block, c1) lanes
-    up2wbd = jnp.zeros((4 * c1, 16 * c2), up2_w.dtype)
-    for q in range(4):
-        up2wbd = up2wbd.at[q * c1:(q + 1) * c1,
-                           q * 4 * c2:(q + 1) * 4 * c2].set(up2_w)
+    up2wbd = conv2_blockdiag(up2_w, c1, c2)
 
     # hypernetwork as per-prompt block-diagonal [16·c2, 16·M]
     eye16 = jnp.eye(16, dtype=hyper.dtype)
     hbd = jnp.einsum("qs,nmc->nqcsm", eye16, hyper).reshape(
         np_, 16 * c2, 16 * m_tok).astype(keys.dtype)
 
-    ncols = max(4 * c1, 16 * c2)
-    vecs = jnp.zeros((8, ncols), keys.dtype)
-    vecs = vecs.at[0, :4 * c1].set(jnp.tile(up1_b, 4))
-    vecs = vecs.at[1, :4 * c1].set(jnp.tile(ln_scale, 4))
-    vecs = vecs.at[2, :4 * c1].set(jnp.tile(ln_bias, 4))
-    vecs = vecs.at[3, :16 * c2].set(jnp.tile(up2_b, 16))
+    vecs = pack_mask_head_vecs(up1_b, ln_scale, ln_bias, up2_b, c1, c2,
+                               keys.dtype)
 
     out = _mask_head_call(keys, up1_w, up2wbd, hbd, vecs, c1, float(eps),
                           blk, content, interpret)

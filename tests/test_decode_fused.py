@@ -38,24 +38,28 @@ def setup():
     return cfg, params, emb, pe, sparse, dense
 
 
-def _run(setup, fused: str, tail_keys: str = "auto", **kw):
+def _run(setup, fused: str, tail_keys: str = "auto",
+         tail_logits: str = "off", multimask: bool = True, **kw):
     cfg, params, emb, pe, sparse, dense = setup
     old = dec_mod._FUSED_TAIL
     old_keys = dec_mod._TAIL_KEYS
+    old_logits = dec_mod._TAIL_LOGITS
     dec_mod._FUSED_TAIL = fused
     dec_mod._TAIL_KEYS = tail_keys
-    # _FUSED_TAIL/_TAIL_KEYS are TRACE-time flags and decode_masks is
-    # module-jitted: without clearing, the second flag value would
-    # silently reuse the first value's cached computation and the
-    # comparison would be self-vs-self.
+    dec_mod._TAIL_LOGITS = tail_logits
+    # _FUSED_TAIL/_TAIL_KEYS/_TAIL_LOGITS are TRACE-time flags and
+    # decode_masks is module-jitted: without clearing, the second flag
+    # value would silently reuse the first value's cached computation
+    # and the comparison would be self-vs-self.
     decode_masks.clear_cache()
     try:
         masks, iou = decode_masks(params, cfg, emb, pe, sparse, dense,
-                                  multimask=True, dense_shared=True,
+                                  multimask=multimask, dense_shared=True,
                                   block_layout=True, probs_path=True, **kw)
     finally:
         dec_mod._FUSED_TAIL = old
         dec_mod._TAIL_KEYS = old_keys
+        dec_mod._TAIL_LOGITS = old_logits
         decode_masks.clear_cache()
     return np.asarray(masks, np.float32), np.asarray(iou, np.float32)
 
@@ -98,6 +102,40 @@ def test_keys_emission_matches_probs_mask_head_mask_rows(setup):
     m_keys, _ = _run(setup, "on", tail_keys="on", mask_rows=rows)
     assert m_keys.shape[1] == rows * cfg.grid
     np.testing.assert_allclose(m_keys, m_probs, atol=2e-5)
+
+
+def test_logits_emission_matches_keys_mode(setup):
+    """The logits-emission mode (mask head + hypernetwork MLPs run
+    INSIDE the tail kernel; the [M, D] branch never leaves VMEM) vs the
+    keys-emission two-kernel path — identical op order, so outputs must
+    agree to the rounding of the keys store (bit-level at f32)."""
+    m_keys, iou_keys = _run(setup, "on", tail_keys="on")
+    m_log, iou_log = _run(setup, "on", tail_keys="on", tail_logits="on")
+    assert m_log.shape == m_keys.shape
+    np.testing.assert_allclose(m_log, m_keys, atol=2e-5)
+    np.testing.assert_allclose(iou_log, iou_keys, atol=2e-5)
+
+
+def test_logits_emission_matches_keys_mode_mask_rows(setup):
+    cfg = setup[0]
+    rows = cfg.grid - 2
+    m_keys, _ = _run(setup, "on", tail_keys="on", mask_rows=rows)
+    m_log, _ = _run(setup, "on", tail_keys="on", tail_logits="on",
+                    mask_rows=rows)
+    assert m_log.shape[1] == rows * cfg.grid
+    np.testing.assert_allclose(m_log, m_keys, atol=2e-5)
+
+
+def test_logits_emission_single_mask_falls_back(setup):
+    """multimask=False is ineligible for the in-kernel hypernetwork
+    (tokens 1..3 hardcoded) — the flag must fall back to keys mode, not
+    produce wrong-token masks."""
+    m_keys, iou_keys = _run(setup, "on", tail_keys="on", multimask=False)
+    m_log, iou_log = _run(setup, "on", tail_keys="on", tail_logits="on",
+                          multimask=False)
+    assert m_log.shape == m_keys.shape and m_log.shape[-1] == 1
+    np.testing.assert_allclose(m_log, m_keys, atol=2e-5)
+    np.testing.assert_allclose(iou_log, iou_keys, atol=2e-5)
 
 
 def test_fused_tail_matches_materialized_reference(setup):
