@@ -308,15 +308,20 @@ def main():
         decode_tail_mode = "probs_split"
     elif not _dec._use_tail_keys():
         decode_tail_mode = "fused_probs"
+    elif _dec._use_tail_logits():
+        decode_tail_mode = "fused_logits"
     else:
         decode_tail_mode = "fused_keys"
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu and decode_tail_mode != "fused_keys":
+    # fused_logits executes the SAME FLOPs as fused_keys (the mask head
+    # moved in-kernel; no math changed) — both match the model below
+    if on_tpu and decode_tail_mode not in ("fused_keys", "fused_logits"):
         raise RuntimeError(
-            f"bench FLOP model assumes the fused keys-emission decode "
-            f"tail but the active mode is {decode_tail_mode!r} "
+            f"bench FLOP model assumes the fused keys/logits-emission "
+            f"decode tail but the active mode is {decode_tail_mode!r} "
             f"(_FUSED_TAIL={_dec._FUSED_TAIL!r} _TAIL_KEYS="
-            f"{_dec._TAIL_KEYS!r} _PROBS_PATH={_dec._PROBS_PATH!r} "
+            f"{_dec._TAIL_KEYS!r} _TAIL_LOGITS={_dec._TAIL_LOGITS!r} "
+            f"_PROBS_PATH={_dec._PROBS_PATH!r} "
             f"_MASKHEAD_DISABLED={_dec._MASKHEAD_DISABLED}); update "
             f"_decode_kernel_flops or restore the production flags")
     kernel_flops = (_decode_kernel_flops(server._bsz, sam_hw, mask_rows)
