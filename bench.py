@@ -271,7 +271,8 @@ def main():
             server._pca_comps, server._pca_var, server._db, server._db_ids,
             num_clusters=NUM_CLUSTERS,
             num_ref_images=index.num_ref_images,
-            knn_topk=200, borda_topk=50, top_images=5, whiten=True)
+            knn_topk=200, borda_topk=50, top_images=5, whiten=True,
+            db_norms=server._db_norms)
 
     adj_eye = jnp.asarray(np.eye(server.kmax, dtype=bool))
 
@@ -286,7 +287,8 @@ def main():
             server._pca_comps, server._pca_var, server._db, server._db_ids,
             num_clusters=NUM_CLUSTERS,
             num_ref_images=index.num_ref_images, knn_topk=200,
-            borda_topk=50, top_images=5, whiten=True)
+            borda_topk=50, top_images=5, whiten=True,
+            db_norms=server._db_norms)
 
     n_batches = server._pts_dev.shape[0] // server._bsz
     # the analytic kernel-FLOP term applies only where the Pallas kernels
@@ -341,7 +343,8 @@ def main():
                      server._pca_mean, server._pca_comps, server._pca_var,
                      server._db, server._db_ids, num_clusters=NUM_CLUSTERS,
                      num_ref_images=index.num_ref_images, knn_topk=200,
-                     borda_topk=50, top_images=5, whiten=True)),
+                     borda_topk=50, top_images=5, whiten=True,
+                     db_norms=server._db_norms)),
     }
 
     def measure_throughput():

@@ -77,7 +77,8 @@ def query_segment_rows(desc: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("num_clusters", "knn_topk", "borda_topk",
                                    "top_images", "num_ref_images",
-                                   "db_tile", "whiten"))
+                                   "db_tile", "whiten",
+                                   "oneshot_cap_bytes"))
 def query_topk_images(desc: jnp.ndarray,
                       patch_masks: jnp.ndarray,
                       adjacency: Optional[jnp.ndarray],
@@ -93,7 +94,10 @@ def query_topk_images(desc: jnp.ndarray,
                       borda_topk: int = BORDA_TOPK,
                       top_images: int = RECALL_TOPK,
                       db_tile: int = 8192,
-                      whiten: bool = True) -> jnp.ndarray:
+                      whiten: bool = True,
+                      db_norms: Optional[jnp.ndarray] = None,
+                      oneshot_cap_bytes: int = 256 * 1024 * 1024
+                      ) -> jnp.ndarray:
     """One query image → top database image ids, fully on device.
 
     Args:
@@ -104,6 +108,11 @@ def query_topk_images(desc: jnp.ndarray,
       pca_*: whitened-PCA parameters (projektion to the retrieval dim).
       db: [Nd, dim] PCA-projected, row-normalized database segments.
       db_image_ids: [Nd] database image id per segment.
+      db_norms: optional PRECOMPUTED [Nd] f32 squared row norms.
+        Recomputing them in-program costs a full extra database read
+        per query (410 MB at 100k x 1024 f32 — measured ~1-2 ms of the
+        tail); they only change when the database does, so serving
+        keeps them alongside the rows (SegVLADServer._db_state).
 
     Returns [top_images] database image ids, best first.
     """
@@ -123,7 +132,7 @@ def query_topk_images(desc: jnp.ndarray,
     # top_k — fastest by a wide margin while the score matrix is small
     # (128 segs x 1M rows = 512 MB; cap well below that). Beyond the cap,
     # fall back to the streaming tiled merge (unbounded Nd, sharded DBs).
-    oneshot = proj.shape[0] * nd * 4 <= 256 * 1024 * 1024
+    oneshot = proj.shape[0] * nd * 4 <= oneshot_cap_bytes
     if oneshot:
         if db.dtype == jnp.bfloat16:
             # same dtype discipline as the streaming path (_knn_scores):
@@ -133,16 +142,21 @@ def query_topk_images(desc: jnp.ndarray,
         else:
             s = jnp.dot(proj, db.T, preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST)
-        norms = jnp.sum(db.astype(jnp.float32) * db.astype(jnp.float32),
-                        axis=1)
+        norms = (db_norms.astype(jnp.float32) if db_norms is not None
+                 else jnp.sum(db.astype(jnp.float32)
+                              * db.astype(jnp.float32), axis=1))
         scores, idx = jax.lax.top_k(s - 0.5 * norms[None, :], k)
     else:
         tile = min(db_tile, max(128, nd))
         db_p = _pad_rows(db, tile, 0.0)
         # f32 norms regardless of db storage dtype (bf16 dbs halve HBM;
         # their norms must still accumulate in f32 to match the kNN dot)
-        norms = jnp.sum(db_p.astype(jnp.float32)
-                        * db_p.astype(jnp.float32), axis=1)
+        if db_norms is not None:
+            norms = jnp.pad(db_norms.astype(jnp.float32),
+                            (0, db_p.shape[0] - nd))
+        else:
+            norms = jnp.sum(db_p.astype(jnp.float32)
+                            * db_p.astype(jnp.float32), axis=1)
         if db_p.shape[0] > nd:
             pad_mask = jnp.arange(db_p.shape[0]) >= nd
             norms = jnp.where(pad_mask, jnp.inf, norms)

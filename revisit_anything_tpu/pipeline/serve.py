@@ -67,6 +67,18 @@ from revisit_anything_tpu.pipeline.query import (query_segment_rows,
 from revisit_anything_tpu.pipeline.query import DB_GUARD as _GUARD
 
 
+@jax.jit
+def _db_sq_norms(db):
+    """[Nd] f32 squared row norms, recomputed once per database swap and
+    fed to query_topk_images(db_norms=...): the in-program per-query
+    recompute was a full extra database read (round-5 tail probe).
+    Guard rows square to inf — the same -inf-score exclusion the
+    in-program form produced. Sharded dbs yield matching row-sharded
+    norms (elementwise + lane reduce)."""
+    dbf = db.astype(jnp.float32)
+    return jnp.sum(dbf * dbf, axis=1)
+
+
 # NOT donated: concurrent query threads may still hold the previous
 # database array (query_many pipelines); donation would delete it under
 # them. An insert therefore copies the db once on device (~1 ms for a
@@ -451,15 +463,20 @@ class SegVLADServer:
                     [db_ids, np.zeros((pad,), np.int32)])
             self._db_sharding = NamedSharding(self._mesh, P("data", None))
             self._ids_sharding = NamedSharding(self._mesh, P("data"))
+            db_dev = jax.device_put(jnp.asarray(db), self._db_sharding)
             self._db_state = (
-                jax.device_put(jnp.asarray(db), self._db_sharding),
-                jax.device_put(jnp.asarray(db_ids), self._ids_sharding))
+                db_dev,
+                jax.device_put(jnp.asarray(db_ids), self._ids_sharding),
+                _db_sq_norms(db_dev))
         else:
-            self._db_state = (jnp.asarray(db), jnp.asarray(db_ids))
+            db_dev = jnp.asarray(db)
+            self._db_state = (db_dev, jnp.asarray(db_ids),
+                              _db_sq_norms(db_dev))
         # Inserts/removes serialize on this lock; queries stay lock-free
-        # by reading the (db, ids) pair through ONE attribute load of
-        # _db_state (a torn read of two separate attributes could pair a
-        # post-insert db with pre-insert ids, mislabeling the new rows).
+        # by reading the (db, ids, norms) triple through ONE attribute
+        # load of _db_state (a torn read of separate attributes could
+        # pair a post-insert db with pre-insert ids/norms, mislabeling
+        # or mis-scoring the new rows).
         import threading
         self._mutate_lock = threading.Lock()
 
@@ -525,6 +542,14 @@ class SegVLADServer:
     def _db_ids(self):
         return self._db_state[1]
 
+    @property
+    def _db_norms(self):
+        """Precomputed [Nd] f32 squared row norms — recomputed once per
+        database SWAP (init/insert/remove/restore) instead of per query:
+        the in-program recompute was a full extra 410 MB database read
+        on every query (round-5 tail probe)."""
+        return self._db_state[2]
+
     # ----- public API -----
 
     def query(self, img_uint8: np.ndarray) -> np.ndarray:
@@ -537,7 +562,7 @@ class SegVLADServer:
         stats_np = np.asarray(stats)                       # SYNC 1 (tiny)
         adj, _ = self._adjacency(stats_np)
 
-        db, db_ids = self._db_state       # ONE load: consistent pair
+        db, db_ids, db_norms = self._db_state   # ONE load: consistent
         top = query_topk_images(
             desc, patch_masks, jnp.asarray(adj), self._centers,
             self._pca_mean, self._pca_comps, self._pca_var,
@@ -545,7 +570,8 @@ class SegVLADServer:
             num_clusters=self.num_clusters,
             num_ref_images=self.num_ref_images,
             knn_topk=self.knn_topk, borda_topk=self.borda_topk,
-            top_images=self.top_images, whiten=self._whiten)
+            top_images=self.top_images, whiten=self._whiten,
+            db_norms=db_norms)
         return np.asarray(top)                             # SYNC 2 (tiny)
 
     def query_many(self, imgs: Sequence[np.ndarray],
@@ -641,8 +667,10 @@ class SegVLADServer:
                     db = jax.device_put(db, self._db_sharding)
                     db_ids = jax.device_put(db_ids, self._ids_sharding)
                 # ONE swap: in-flight queries see either the old or the
-                # new consistent (db, ids) pair, never a mix
-                self._db_state = (db, db_ids)
+                # new consistent (db, ids, norms) triple, never a mix.
+                # (The norms recompute reads the db once per CHUNK —
+                # same order as _compact_insert_many's own copy.)
+                self._db_state = (db, db_ids, _db_sq_norms(db))
                 # kept rows lead each static block and the chunk is
                 # compacted; the stacked guard tail is overwritten by the
                 # next insert
@@ -663,7 +691,7 @@ class SegVLADServer:
             db = _db_remove(self._db, self._db_ids, np.int32(image_id))
             if self._db_sharding is not None:
                 db = jax.device_put(db, self._db_sharding)
-            self._db_state = (db, self._db_ids)
+            self._db_state = (db, self._db_ids, _db_sq_norms(db))
 
     def snapshot_index(self, path: Optional[str] = None,
                        image_keys: Optional[Sequence[str]] = None
@@ -676,7 +704,7 @@ class SegVLADServer:
         ``image_keys``: display names per image id for the query CLI;
         defaults to ``image_<id>`` per used image id."""
         with self._mutate_lock:     # consistent (db, ids, cursor) view
-            db_dev, ids_dev = self._db_state
+            db_dev, ids_dev = self._db_state[:2]
             n = self._cursor if self._cursor is not None else len(
                 np.asarray(ids_dev))
             db = np.asarray(db_dev[:n], np.float32)

@@ -49,6 +49,13 @@ def main():
 
     def make_db(tail_logits, label):
         dec_mod._TAIL_LOGITS = tail_logits
+        # raw_db is unjitted, but it CALLS the module-jitted decode_masks
+        # whose cache key ignores the trace-time flag — without clearing,
+        # the second variant silently reuses the first's computation and
+        # the A/B compares keys-vs-keys (caught r5: "compiled logits in
+        # 1s" + bit-identical parity across different kernel layouts).
+        from revisit_anything_tpu.models.sam.decoder import decode_masks
+        decode_masks.clear_cache()
         fn = jax.jit(lambda prm, e, pe, p: raw_db(
             prm, cfg, e, pe, p, s.input_hw, s.sam_hw, amg))
         print(f"[ab] compiling _decode_batch[{label}]...",

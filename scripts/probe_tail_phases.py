@@ -86,6 +86,38 @@ def main():
         norms = jnp.sum(dbx * dbx, axis=1)
         return jax.lax.top_k(s - 0.5 * norms[None, :], 50)
 
+    @jax.jit
+    def dot_fn(proj, dbx):
+        """scores WITHOUT norms or top_k — isolates the matmul read."""
+        s = jnp.dot(proj, dbx.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        return jnp.sum(s, axis=1)
+
+    @jax.jit
+    def knn_pre_fn(proj, dbx, norms):
+        """precomputed-norms variant: saves the per-query 410 MB db
+        re-read + reduce (db rows are unit-norm by construction)."""
+        s = jnp.dot(proj, dbx.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        return jax.lax.top_k(s - 0.5 * norms[None, :], 50)
+
+    @jax.jit
+    def knn_2stage_fn(proj, dbx, norms):
+        """precomputed norms + exact two-stage top-k: per-tile top-50
+        then top-50 of the tile winners (the global top-50 is a subset
+        of the union — exact)."""
+        s = jnp.dot(proj, dbx.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        s = s - 0.5 * norms[None, :]
+        m = s.shape[0]
+        tile = 12_500                     # 100k -> 8 tiles
+        st = s.reshape(m, -1, tile)
+        v, i = jax.lax.top_k(st, 50)      # [m, T, 50]
+        base = (jnp.arange(st.shape[1]) * tile)[None, :, None]
+        v2, i2 = jax.lax.top_k(v.reshape(m, -1), 50)
+        flat = (i + base).reshape(m, -1)
+        return v2, jnp.take_along_axis(flat, i2, axis=1)
+
     kw = dict(num_clusters=NUM_CLUSTERS, num_ref_images=n_db // 50,
               knn_topk=200, borda_topk=50, top_images=5, whiten=True)
 
@@ -118,6 +150,17 @@ def main():
     proj = retry("rows warm", lambda: rows_fn(
         desc, pm, adj, centers, pmean, comps, pvar))[0]
     sync(proj)
+    db_norms = jnp.sum(db * db, axis=1)
+    sync(db_norms)
+
+    # parity: the two-stage exact top-k must match the one-shot
+    v1, i1 = knn_fn(proj, db)
+    v2, i2 = knn_2stage_fn(proj, db, db_norms)
+    import numpy as _np
+    dv = float(_np.abs(_np.asarray(v1) - _np.asarray(v2)).max())
+    same = float(_np.mean(_np.asarray(i1) == _np.asarray(i2)))
+    print(f"[tail] 2stage parity: val max|d|={dv:.2e} idx match={same:.4f}"
+          f" (ties may permute)", flush=True)
 
     for rnd in range(3):
         t_mm = loop(lambda: mm(a4), n=40)
@@ -127,14 +170,17 @@ def main():
         t_vlad = loop(lambda: vlad_fn(desc, pm, adj, centers))
         t_rows = loop(lambda: rows_fn(desc, pm, adj, centers, pmean,
                                       comps, pvar)[0])
+        t_dot = loop(lambda: dot_fn(proj, db))
         t_knn = loop(lambda: knn_fn(proj, db)[0])
+        t_kpre = loop(lambda: knn_pre_fn(proj, db, db_norms)[0])
+        t_k2 = loop(lambda: knn_2stage_fn(proj, db, db_norms)[0])
         t_full = loop(full)
         print(f"[tail] round{rnd} mm_mfu={mfu:.3f} "
               f"pool={1000*t_pool:.2f} vlad={1000*t_vlad:.2f} "
               f"rows={1000*t_rows:.2f} (pca≈{1000*(t_rows-t_vlad):.2f}) "
-              f"knn={1000*t_knn:.2f} full={1000*t_full:.2f} "
-              f"(borda≈{1000*(t_full-t_pool-t_rows-t_knn):.2f})ms",
-              flush=True)
+              f"dot={1000*t_dot:.2f} knn={1000*t_knn:.2f} "
+              f"knn_pre={1000*t_kpre:.2f} knn_2stage={1000*t_k2:.2f} "
+              f"full={1000*t_full:.2f}ms", flush=True)
 
 
 if __name__ == "__main__":

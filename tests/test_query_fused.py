@@ -113,3 +113,28 @@ def test_fused_query_never_matched_bins_emit_minus_one(rng):
         knn_topk=8, borda_topk=8, top_images=5, db_tile=128))
     assert set(top[top >= 0].tolist()) <= {0, 1}, top
     assert (top[2:] == -1).all(), top
+
+
+def test_precomputed_db_norms_identical(rng):
+    """query_topk_images(db_norms=...) must match the in-program norm
+    recompute EXACTLY, on both the one-shot and streaming-tiled kNN
+    paths (the serving swap keeps norms alongside the rows — r5 tail
+    probe: the per-query recompute was a full extra database read)."""
+    (desc, centers, masks, adj, db, db_ids,
+     mean, comps, var, C) = _tiny_query_setup(rng, n_ref_imgs=12,
+                                              segs_per=20)
+    norms = jnp.sum(jnp.asarray(db).astype(jnp.float32) ** 2, axis=1)
+    # cap=0 forces the streaming-tiled branch on this tiny db
+    for cap in (256 * 1024 * 1024, 0):
+        kw = dict(num_clusters=C, num_ref_images=12, knn_topk=30,
+                  borda_topk=20, top_images=5, db_tile=128,
+                  oneshot_cap_bytes=cap)
+        a = np.asarray(query_topk_images(
+            jnp.asarray(desc), jnp.asarray(masks), jnp.asarray(adj),
+            jnp.asarray(centers), mean, comps, var,
+            jnp.asarray(db), jnp.asarray(db_ids), **kw))
+        b = np.asarray(query_topk_images(
+            jnp.asarray(desc), jnp.asarray(masks), jnp.asarray(adj),
+            jnp.asarray(centers), mean, comps, var,
+            jnp.asarray(db), jnp.asarray(db_ids), db_norms=norms, **kw))
+        np.testing.assert_array_equal(a, b)
