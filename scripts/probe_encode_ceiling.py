@@ -1,23 +1,26 @@
-"""Encode ceiling probe (round-4 verdict item 6): is sam_encode's
+"""Encode ceiling probe v2 (round-4 verdict item 6): is sam_encode's
 ~0.49-nominal MFU structural, or is there a lever left?
 
-Measures, interleaved in ONE process (async loops):
+v1 timed each constituent matmul as its own dispatch; at 0.3-1 ms of
+device work per matmul the ~1 ms async launch cost dominated (proj
+measured "13 TF" = exactly the launch floor) and the summed "lower
+bound" exceeded the real encode time. v2 times everything INSIDE one
+jit via lax.scan chains (dispatch cost amortized over 32-256 steps):
 
-  1. the achievable TF of each constituent encode matmul SHAPE in
-     isolation (bf16, exact ViT-H dims) — tests BASELINE's "K=1280
-     shapes cap at 115-160 TF" claim directly;
-  2. a square 4k³ reference matmul (the 166 TF/0.84-MFU ceiling pin);
-  3. full encode_image (production program, warm cache);
-  4. the sum-of-matmuls lower bound implied by (1) vs (3): the gap is
-     LN/softmax/window-reshape/bias overhead — the structural residual.
+  1. per-shape sustained TF: scan over 32 stacked operand pairs, each
+     step dot + scalar-sum epilogue (fuses on TPU — no extra HBM pass)
+     — tests BASELINE's "K=1280 shapes cap at 115-160 TF" directly;
+  2. a square 4k^3 reference chain (the 166 TF / 0.84-MFU ceiling pin);
+  3. matmul SKELETON of the full encoder: 32-layer scan of
+     qkv -> (q slice) proj -> mlp1 -> mlp2 with per-layer weights —
+     the true matmul floor of encode_image in one program;
+  4. full encode_image (production program, warm cache).
 
-ViT-H per image: 32 blocks x [qkv (N,1280)x(1280,3840), proj
-(N,1280)x(1280,1280)(*), MLP (N,1280)x(1280,5120) + (N,5120)x(5120,1280)]
-with N = 4900 (25 windows x 196 rows, windowed x28) or 4096 (global x4),
-plus attention einsums (windowed: [25,16,196,196] scores; global: flash).
-(*) proj input is (N, 1280) after head merge.
+encode - skeleton = attention einsums + LN + window reshapes + neck +
+residual adds: the structural non-matmul cost. If skeleton TF matches
+the per-shape caps and encode - skeleton is small, encode is closed.
 
-Working set: a few hundred MB of random matrices + packed ViT-H params
+Working set: ~1.2 GB stacked skeleton weights + packed ViT-H params
 (~1.3 GB) — run ALONE per the one-TPU-process rule.
 """
 import time
@@ -38,39 +41,79 @@ def main():
     cfg = SAM_VIT_H
     d, mlp = cfg.encoder_dim, 4 * cfg.encoder_dim          # 1280, 5120
     shapes = {
-        # name: (M, K, N, per-image count)
-        "qkv_win": (4900, d, 3 * d, 28),
-        "qkv_glb": (4096, d, 3 * d, 4),
-        "proj_win": (4900, d, d, 28),
-        "proj_glb": (4096, d, d, 4),
-        "mlp1_win": (4900, d, mlp, 28),
-        "mlp1_glb": (4096, d, mlp, 4),
-        "mlp2_win": (4900, mlp, d, 28),
-        "mlp2_glb": (4096, mlp, d, 4),
-        "ref_4k3": (4096, 4096, 4096, 0),
+        # name: (M, K, N)  — windowed N=4900 (25x196), global N=4096
+        "qkv_win": (4900, d, 3 * d),
+        "proj_win": (4900, d, d),
+        "mlp1_win": (4900, d, mlp),
+        "mlp2_win": (4900, mlp, d),
+        "qkv_glb": (4096, d, 3 * d),
+        "ref_4k3": (4096, 4096, 4096),
     }
+    STEPS = 32
 
     key = jax.random.PRNGKey(0)
-    mats = {}
-    for name, (m, k, n, _) in shapes.items():
-        k1, k2 = jax.random.split(jax.random.fold_in(key, hash(name) % 97))
-        mats[name] = (jax.random.normal(k1, (m, k), jnp.bfloat16),
-                      jax.random.normal(k2, (k, n), jnp.bfloat16))
 
-    mm = jax.jit(lambda a, b: jax.lax.dot(
-        a, b, preferred_element_type=jnp.float32).astype(jnp.bfloat16))
+    def stacked(name, m, k, n):
+        k1, k2 = jax.random.split(jax.random.fold_in(key, hash(name) % 97))
+        return (jax.random.normal(k1, (STEPS, m, k), jnp.bfloat16),
+                jax.random.normal(k2, (STEPS, k, n), jnp.bfloat16))
+
+    @jax.jit
+    def chain(A, B):
+        # STEPS sequential matmuls in ONE program; the scalar-sum epilogue
+        # forces each full dot and fuses into it (no extra HBM pass).
+        def body(acc, ab):
+            a, b = ab
+            y = jax.lax.dot(a, b, preferred_element_type=jnp.float32)
+            return acc + jnp.sum(y), ()
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), (A, B))
+        return acc
+
+    # ---- skeleton: the encoder's matmuls, chained layer to layer ----
+    L = cfg.encoder_depth                                   # 32
+    rng = np.random.default_rng(0)
+
+    def w(*shape):
+        return jnp.asarray(rng.standard_normal(shape) * 0.02, jnp.bfloat16)
+
+    Wqkv = w(L, d, 3 * d)
+    Wproj = w(L, d, d)
+    W1 = w(L, d, mlp)
+    W2 = w(L, mlp, d)
+    x0 = w(4900, d)
+
+    @jax.jit
+    def skeleton(x, Wqkv, Wproj, W1, W2):
+        def layer(x, ws):
+            wq, wp, w1, w2 = ws
+            qkv = jax.lax.dot(x, wq, preferred_element_type=jnp.float32
+                              ).astype(jnp.bfloat16)
+            q = qkv[:, :d]
+            y = jax.lax.dot(q, wp, preferred_element_type=jnp.float32
+                            ).astype(jnp.bfloat16)
+            h = jax.lax.dot(y, w1, preferred_element_type=jnp.float32
+                            ).astype(jnp.bfloat16)
+            o = jax.lax.dot(h, w2, preferred_element_type=jnp.float32
+                            ).astype(jnp.bfloat16)
+            return x + o, ()
+        x, _ = jax.lax.scan(layer, x, (Wqkv, Wproj, W1, W2))
+        return jnp.sum(x.astype(jnp.float32))
+    skel_flops = 2 * 4900 * d * (3 * d + d + mlp + mlp) * L
 
     sam_params = packed_init(
         lambda k: init_sam_params(cfg, k, dtype=jnp.bfloat16),
         jax.random.PRNGKey(1))
-    rng = np.random.default_rng(0)
     pre = jnp.asarray(rng.standard_normal(
         (1, cfg.image_size, cfg.image_size, 3)), jnp.float32)
+
+    mats = {nm: stacked(nm, *s) for nm, s in shapes.items()}
     retry("encode warm", lambda: sync_tree(encode_image(sam_params, cfg,
                                                         pre)))
-    for name in shapes:
-        a, b = mats[name]
-        retry(f"warm {name}", lambda a=a, b=b: sync_tree(mm(a, b)))
+    for nm in shapes:
+        A, B = mats[nm]
+        retry(f"warm {nm}", lambda A=A, B=B: sync_tree(chain(A, B)))
+    retry("warm skeleton",
+          lambda: sync_tree(skeleton(x0, Wqkv, Wproj, W1, W2)))
 
     def loop(fn, n):
         out = fn()
@@ -83,19 +126,18 @@ def main():
 
     for rnd in range(3):
         tf = {}
-        matmul_total_ms = 0.0
-        for name, (m, k, n, cnt) in shapes.items():
-            a, b = mats[name]
-            t = loop(lambda a=a, b=b: mm(a, b), n=30)
-            tf[name] = 2 * m * k * n / t / 1e12
-            matmul_total_ms += 1000 * t * cnt
+        for nm, (m, k, n) in shapes.items():
+            A, B = mats[nm]
+            t = loop(lambda A=A, B=B: chain(A, B), n=6)
+            tf[nm] = 2 * m * k * n * STEPS / t / 1e12
+        t_skel = loop(lambda: skeleton(x0, Wqkv, Wproj, W1, W2), n=10)
         t_enc = loop(lambda: encode_image(sam_params, cfg, pre), n=6)
         parts = " ".join(f"{nm}={tf[nm]:.0f}TF" for nm in shapes)
         print(f"[enc] round{rnd} {parts}", flush=True)
         print(f"[enc] round{rnd} encode={1000*t_enc:.1f}ms "
-              f"matmul_lower_bound={matmul_total_ms:.1f}ms "
-              f"residual={1000*t_enc - matmul_total_ms:.1f}ms "
-              f"(attention einsums + LN + window reshapes + neck)",
+              f"skeleton={1000*t_skel:.1f}ms "
+              f"({skel_flops/t_skel/1e12:.0f}TF) "
+              f"nonmatmul_residual={1000*(t_enc - t_skel):.1f}ms",
               flush=True)
 
 
