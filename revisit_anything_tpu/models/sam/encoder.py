@@ -83,6 +83,18 @@ def _rel_pos_gather(rel_pos: jnp.ndarray, q_size: int, k_size: int) -> jnp.ndarr
 # kernel pays its grid/pipeline overhead 28 times. Keep 1024.
 _FLASH_MIN_TOKENS = 1024
 
+# Windowed layers route through the DEDICATED whole-window-in-VMEM
+# kernel (ops/winattn.py — one grid step per window, not the flash
+# kernel's streaming design that lost the r2 A/B). "auto" = real TPU
+# only; "on"/"off" force it (A/B hook — scripts/ab_winattn.py).
+_WINATTN = "auto"
+
+
+def _use_winattn() -> bool:
+    if _WINATTN == "auto":
+        return jax.default_backend() == "tpu"
+    return _WINATTN == "on"
+
 # Test hook: the flash glue (bias construction, transposes, side wiring)
 # is backend-gated and would otherwise be unreachable off-TPU; tests set
 # True to drive it through the kernel's interpret mode (None = gate on
@@ -100,6 +112,25 @@ def _attention(x: jnp.ndarray, blk: Params, cfg: SamArchConfig) -> jnp.ndarray:
     b, h, w, d = x.shape
     nh, hd = cfg.encoder_heads, cfg.head_dim
     qkv = _dense(x.reshape(b, h * w, d), blk["qkv"])
+
+    if h == w and h * w < _FLASH_MIN_TOKENS and _use_winattn():
+        # Dedicated windowed kernel: consumes the RAW qkv (per-head
+        # q/k/v are in-kernel lane slices — no XLA split/reshape) plus
+        # the q-projected bias components in head-major lanes; scores/
+        # softmax never touch HBM (ops/winattn.py).
+        from revisit_anything_tpu.ops.winattn import windowed_attend
+        rh = _rel_pos_gather(blk["rel_pos_h"], h, h)
+        rw = _rel_pos_gather(blk["rel_pos_w"], w, w)
+        qg = qkv[..., :d].reshape(b, h, w, nh, hd)
+        bias_h = jnp.einsum("bhwnd,hkd->bhwnk", qg, rh.astype(qkv.dtype),
+                            preferred_element_type=jnp.float32
+                            ).astype(x.dtype).reshape(b, h * w, nh * h)
+        bias_w = jnp.einsum("bhwnd,wkd->bhwnk", qg, rw.astype(qkv.dtype),
+                            preferred_element_type=jnp.float32
+                            ).astype(x.dtype).reshape(b, h * w, nh * w)
+        out = windowed_attend(qkv, bias_h, bias_w, nh, side=h)
+        return _dense(out, blk["proj"]).reshape(b, h, w, d)
+
     # split along the minor (lane) dim at d-multiples — tile-aligned, no
     # strided-layout copies (the [.., 3, nh, hd] reshape+index form cost
     # ~4 ms/encode in relayouts)
