@@ -83,16 +83,20 @@ def _rel_pos_gather(rel_pos: jnp.ndarray, q_size: int, k_size: int) -> jnp.ndarr
 # kernel pays its grid/pipeline overhead 28 times. Keep 1024.
 _FLASH_MIN_TOKENS = 1024
 
-# Windowed layers route through the DEDICATED whole-window-in-VMEM
-# kernel (ops/winattn.py — one grid step per window, not the flash
-# kernel's streaming design that lost the r2 A/B). "auto" = real TPU
-# only; "on"/"off" force it (A/B hook — scripts/ab_winattn.py).
+# Windowed layers and the DEDICATED whole-window-in-VMEM kernel
+# (ops/winattn.py — one grid step per window, not the flash kernel's
+# streaming design that lost the r2 A/B). NEGATIVE A/B (recorded, do not
+# retry): the kernel measured 0.952-0.958x vs the XLA windowed path
+# (67.1-67.4 vs 64.2-64.4 ms encode, 4 interleaved rounds, 2026-08-20,
+# scripts/ab_winattn.py) — XLA batches all 25 windows x 16 heads into
+# big fused einsums, while the kernel runs 25 grid steps of 16 unrolled
+# [196, 196] per-head dots per layer; the HBM-score round trips it
+# eliminates are already hidden behind compute at this size. "auto" =
+# OFF everywhere; "on" forces it (A/B hook — scripts/ab_winattn.py).
 _WINATTN = "auto"
 
 
 def _use_winattn() -> bool:
-    if _WINATTN == "auto":
-        return jax.default_backend() == "tpu"
     return _WINATTN == "on"
 
 # Test hook: the flash glue (bias construction, transposes, side wiring)
