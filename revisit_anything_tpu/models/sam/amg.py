@@ -264,34 +264,60 @@ def _decode_batch(params: Params, cfg: SamArchConfig,
 
     thr = cfg.mask_threshold
     off = amg.stability_score_offset
+    hgt, wid = orig_hw
     if on_tpu:
-        flags = fused_resize_flags(lowres_blk, wh, ww, thr, off,
-                                   grid_hw=(gh, g))
+        # emit_stats: the kernel accumulates the per-axis reductions
+        # (rows-any, per-row hi/lo counts, cols-any) while the logits are
+        # live in registers, so the [B·3, H, W] flag image is never
+        # re-read by the stats pass (probe_maskside2 P4: ~4 ms/query
+        # loaded). The count / index math below is integer-exact and
+        # bit-identical to the flag-image reductions it replaces.
+        flags, rowst, colst = fused_resize_flags(lowres_blk, wh, ww, thr,
+                                                 off, grid_hw=(gh, g),
+                                                 emit_stats=True)
+        n_m = flags.shape[1]
+        flags = flags.reshape(-1, hgt, wid)
+        # Stability score (utils/amg.py:156-176) — per-row counts ≤ W
+        # are exact in f32.
+        hi = jnp.sum(rowst[:, :, 4:4 + n_m], axis=1).reshape(-1)
+        lo = jnp.sum(rowst[:, :, 8:8 + n_m], axis=1).reshape(-1)
+        stability = hi / jnp.maximum(lo, 1.0)
+        masks_bool = (flags & 2).astype(bool)
+        # batched_mask_to_box (utils/amg.py:303-346): XYXY where x2/y2
+        # are the LAST true pixel indices (no +1); empty → [0,0,0,0].
+        rows = rowst[:, :, :n_m] > 0.0                   # [B, H, M]
+        cols = colst[:, :n_m, :] > 0.0                   # [B, M, W]
+        ridx = jnp.arange(hgt)[None, :, None]
+        cidx = jnp.arange(wid)[None, None, :]
+        top = jnp.min(jnp.where(rows, ridx, hgt), axis=1).reshape(-1)
+        bottom = jnp.max(jnp.where(rows, ridx, -1), axis=1).reshape(-1)
+        left = jnp.min(jnp.where(cols, cidx, wid), axis=2).reshape(-1)
+        right = jnp.max(jnp.where(cols, cidx, -1), axis=2).reshape(-1)
+        empty = ~jnp.any(rows, axis=1).reshape(-1)
     else:
         flags = resize_flags_reference(lowres_blk, wh, ww, thr, off,
                                        grid_hw=(gh, g))
-    flags = flags.reshape(-1, orig_hw[0], orig_hw[1])
+        flags = flags.reshape(-1, hgt, wid)
 
-    # Stability score (utils/amg.py:156-176) from the flag counts.
-    hi = jnp.sum(flags >> 2, axis=(1, 2), dtype=jnp.int32
-                 ).astype(jnp.float32)
-    lo = jnp.sum(flags & 1, axis=(1, 2), dtype=jnp.int32
-                 ).astype(jnp.float32)
-    stability = hi / jnp.maximum(lo, 1.0)
+        # Stability score (utils/amg.py:156-176) from the flag counts.
+        hi = jnp.sum(flags >> 2, axis=(1, 2), dtype=jnp.int32
+                     ).astype(jnp.float32)
+        lo = jnp.sum(flags & 1, axis=(1, 2), dtype=jnp.int32
+                     ).astype(jnp.float32)
+        stability = hi / jnp.maximum(lo, 1.0)
 
-    masks_bool = (flags & 2).astype(bool)
-    # batched_mask_to_box (utils/amg.py:303-346): XYXY where x2/y2 are the
-    # LAST true pixel indices (no +1); empty masks → [0,0,0,0].
-    hgt, wid = orig_hw
-    rows = jnp.any(masks_bool, axis=2)
-    cols = jnp.any(masks_bool, axis=1)
-    ridx = jnp.arange(hgt)
-    cidx = jnp.arange(wid)
-    top = jnp.min(jnp.where(rows, ridx, hgt), axis=1)
-    bottom = jnp.max(jnp.where(rows, ridx, -1), axis=1)
-    left = jnp.min(jnp.where(cols, cidx, wid), axis=1)
-    right = jnp.max(jnp.where(cols, cidx, -1), axis=1)
-    empty = ~jnp.any(rows, axis=1)
+        masks_bool = (flags & 2).astype(bool)
+        # batched_mask_to_box (utils/amg.py:303-346): XYXY where x2/y2
+        # are the LAST true pixel indices (no +1); empty → [0,0,0,0].
+        rows = jnp.any(masks_bool, axis=2)
+        cols = jnp.any(masks_bool, axis=1)
+        ridx = jnp.arange(hgt)
+        cidx = jnp.arange(wid)
+        top = jnp.min(jnp.where(rows, ridx, hgt), axis=1)
+        bottom = jnp.max(jnp.where(rows, ridx, -1), axis=1)
+        left = jnp.min(jnp.where(cols, cidx, wid), axis=1)
+        right = jnp.max(jnp.where(cols, cidx, -1), axis=1)
+        empty = ~jnp.any(rows, axis=1)
     boxes = jnp.stack([left, top, right, bottom], axis=1)
     boxes = jnp.where(empty[:, None], 0, boxes).astype(jnp.float32)
 

@@ -89,7 +89,7 @@ def _gelu(x):
 
 def _mask_head_kernel(keys_ref, up1w_ref, up2wbd_ref, hbd_ref, vecs_ref,
                       *refs, c1: int, eps: float, recon: bool = False,
-                      ln_eps: float = 1e-6):
+                      ln_eps: float = 1e-6, ln_stats: str = "matmul"):
     """One (prompt, position-block) step.
 
     keys_ref:  [1, BLK, D]        image-branch activations (D = 4·c1) —
@@ -132,11 +132,11 @@ def _mask_head_kernel(keys_ref, up1w_ref, up2wbd_ref, hbd_ref, vecs_ref,
     o_ref[0] = mask_head_body(
         x, up1w_ref[...], up2wbd_ref[...], hbd_ref[0],
         vecs_ref[0:1, :d], vecs_ref[1:2, :d], vecs_ref[2:3, :d], up2_b,
-        c1=c1, eps=eps).astype(o_ref.dtype)
+        c1=c1, eps=eps, ln_stats=ln_stats).astype(o_ref.dtype)
 
 
 def mask_head_body(x, up1w, up2wbd, hbd, up1_b, ln_scale, ln_bias, up2_b,
-                   *, c1: int, eps: float):
+                   *, c1: int, eps: float, ln_stats: str = "matmul"):
     """The fused mask-head math on in-VMEM values: conv1 → group-LN →
     gelu → block-diag conv2 → gelu → hypernetwork matmul. Shared by the
     standalone mask-head kernels here and by the decode tail's
@@ -145,6 +145,12 @@ def mask_head_body(x, up1w, up2wbd, hbd, up1_b, ln_scale, ln_bias, up2_b,
 
     x [BLK, D]; up1w [D, D]; up2wbd [D, 16·c2]; hbd [16·c2, 16·M];
     up1_b/ln_scale/ln_bias [1, D]; up2_b [1, 16·c2] → [BLK, 16·M] f32.
+
+    ln_stats: how the group-LN statistics are computed — "matmul"
+    (indicator matmuls, 4 extra MXU dots ≈ 1/3 of the kernel's tile-ops)
+    or "vpu" (lane-slice reductions + iota-select broadcast-backs, zero
+    MXU; A/B hook — scripts/ab_maskhead_lnstats.py). f32 sum-order
+    differs between the two at the ~1e-7 level.
     """
     d = x.shape[1]
     dtype = x.dtype
@@ -155,22 +161,39 @@ def mask_head_body(x, up1w, up2wbd, hbd, up1_b, ln_scale, ln_bias, up2_b,
         x, up1w, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dtype) + up1_b
 
-    # group LayerNorm: 4 lane-groups of c1; stats via indicator matmuls.
+    # group LayerNorm: 4 lane-groups of c1.
     yf = y1.astype(jnp.float32)
     n_groups = d // c1
-    giota = jax.lax.broadcasted_iota(jnp.int32, (d, n_groups), 0) // c1
-    gcol = jax.lax.broadcasted_iota(jnp.int32, (d, n_groups), 1)
-    gmat = (giota == gcol).astype(jnp.float32) / c1      # [D, 4] mean map
-    mu = jax.lax.dot_general(yf, gmat, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    ex2 = jax.lax.dot_general(yf * yf, gmat, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    var = ex2 - mu * mu                                   # [BLK, 4]
-    gt = (giota == gcol).astype(jnp.float32)              # [D, 4]
-    mub = jax.lax.dot_general(mu, gt, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    varb = jax.lax.dot_general(var, gt, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+    if ln_stats == "vpu":
+        blk = yf.shape[0]
+        lane_g = jax.lax.broadcasted_iota(jnp.int32, (blk, d), 1) // c1
+        yf2 = yf * yf
+        mub = jnp.zeros_like(yf)
+        varb = jnp.zeros_like(yf)
+        for g in range(n_groups):
+            sl = yf[:, g * c1:(g + 1) * c1]
+            sl2 = yf2[:, g * c1:(g + 1) * c1]
+            mu_g = jnp.sum(sl, axis=1, keepdims=True) / c1    # [BLK, 1]
+            ex2_g = jnp.sum(sl2, axis=1, keepdims=True) / c1
+            var_g = ex2_g - mu_g * mu_g
+            mub = mub + jnp.where(lane_g == g, mu_g, 0.0)
+            varb = varb + jnp.where(lane_g == g, var_g, 0.0)
+    else:
+        # stats via indicator matmuls (Mosaic cannot cheaply reshape the
+        # lane dim).
+        giota = jax.lax.broadcasted_iota(jnp.int32, (d, n_groups), 0) // c1
+        gcol = jax.lax.broadcasted_iota(jnp.int32, (d, n_groups), 1)
+        gmat = (giota == gcol).astype(jnp.float32) / c1  # [D, 4] mean map
+        mu = jax.lax.dot_general(yf, gmat, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ex2 = jax.lax.dot_general(yf * yf, gmat, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        var = ex2 - mu * mu                               # [BLK, 4]
+        gt = (giota == gcol).astype(jnp.float32)          # [D, 4]
+        mub = jax.lax.dot_general(mu, gt, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        varb = jax.lax.dot_general(var, gt, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
     yn = (yf - mub) * jax.lax.rsqrt(varb + eps) * ln_scale + ln_bias
     h1 = _gelu(yn).astype(dtype)
 
@@ -266,12 +289,13 @@ def _mask_head_call_probs(img0, p1, c1m, p2, c2m, bvecs, up1w, up2wbd, hbd,
 
 
 @partial(jax.jit, static_argnames=("c1", "eps", "block", "content",
-                                   "interpret"))
+                                   "interpret", "ln_stats"))
 def _mask_head_call(keys, up1w, up2wbd, hbd, vecs, c1: int, eps: float,
-                    block: int, content: int, interpret: bool):
+                    block: int, content: int, interpret: bool,
+                    ln_stats: str = "matmul"):
     np_, gg, d = keys.shape
     n_out = hbd.shape[2]
-    kernel = partial(_mask_head_kernel, c1=c1, eps=eps)
+    kernel = partial(_mask_head_kernel, c1=c1, eps=eps, ln_stats=ln_stats)
     return pl.pallas_call(
         kernel,
         grid=(np_, content // block),
@@ -323,10 +347,21 @@ def fused_mask_head(keys: jnp.ndarray, hyper: jnp.ndarray,
                     ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
                     up2_w: jnp.ndarray, up2_b: jnp.ndarray,
                     eps: float = 1e-6,
-                    block: int = 2048,
+                    block: int = None,
                     content: int = None,
-                    interpret: bool = False) -> jnp.ndarray:
+                    interpret: bool = False,
+                    ln_stats: str = "matmul") -> jnp.ndarray:
     """Mask logits in block layout via the fused kernel.
+
+    block default (None) = ONE position block per prompt when content
+    ≤ 3200, else 2048: scripts/probe_maskside2.py (2026-08-20, b=256 ×4,
+    three interleaved rounds) measures the one-step blk 3200 at
+    45.6-45.9 ms/query vs blk2048's 46.4-48.9 at the loaded window,
+    outputs BIT-identical — the same largest-legal-block result as the
+    probs-path A/B. A single 4096-position step (the no-pad-skip SFXL/
+    AmsterTime content) CRASHES the Mosaic compile helper
+    (scripts/probe_mh4096_compile.py, caught by the r5 compile sweep) —
+    those shapes keep 2048.
 
     Args:
       keys: [Np, gg, D] final image-branch activations (D = 4·c1).
@@ -349,6 +384,8 @@ def fused_mask_head(keys: jnp.ndarray, hyper: jnp.ndarray,
 
     content = gg if content is None else content
     assert content <= gg, (content, gg)
+    if block is None:
+        block = content if content <= 3200 else 2048
     # keys blocks carry blk in their SECOND-minor dim — Mosaic's native
     # sublane tile is 8 for 4-byte dtypes, 16 for 2-byte (bf16).
     blk = _pick_block(content, block,
@@ -365,7 +402,7 @@ def fused_mask_head(keys: jnp.ndarray, hyper: jnp.ndarray,
                                keys.dtype)
 
     out = _mask_head_call(keys, up1_w, up2wbd, hbd, vecs, c1, float(eps),
-                          blk, content, interpret)
+                          blk, content, interpret, ln_stats=ln_stats)
     return out.reshape(np_, content, 16, m_tok)
 
 

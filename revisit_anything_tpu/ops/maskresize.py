@@ -42,42 +42,105 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _resize_flags_kernel(lx_ref, wh_ref, wwt_ref, o_ref, *, thr: float,
-                         off: float, n_masks: int):
+def _resize_flags_kernel(lx_ref, wh_ref, wwt_ref, o_ref, *stat_refs,
+                         thr: float, off: float, n_masks: int,
+                         col_precision: str = "highest"):
     """One prompt: [4g, M·4g] block logits → [M, H, W] uint8 flags.
 
     lx_ref:  [1, 4g, M·4g]  logits, rows (i,a,c), cols (m,j,b,d)
     wh_ref:  [H, 4g]        row-resize matrix (logits dtype)
     wwt_ref: [4g, W]        column-resize matrix, transposed (f32)
     o_ref:   [1, M, H, W]   uint8 threshold flags
+    stat_refs (emit_stats): rowst [1, H, 16] f32 (lane m = rows-any of
+      mask m, 4+m = per-row hi counts, 8+m = per-row lo counts) and
+      colst [1, 8, W] f32 (sublane m = cols-any) — the tiny per-axis
+      reductions the caller's stability/box math needs, accumulated
+      here while the logits are in registers so the [M, H, W] flag
+      image is never re-read (amg._decode_batch stats pass).
     """
+    h = o_ref.shape[2]
+    w = o_ref.shape[3]
+    emit_stats = len(stat_refs) == 2
+    if emit_stats:
+        rowst = jnp.zeros((h, 16), jnp.float32)
+        colst = jnp.zeros((8, w), jnp.float32)
+        lane16 = jax.lax.broadcasted_iota(jnp.int32, (h, 16), 1)
+        sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, w), 0)
     tmp = jax.lax.dot_general(
         wh_ref[...], lx_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)              # [H, M·4g]
     k = tmp.shape[1] // n_masks
+    if col_precision == "high":
+        # manual bf16x3: split both f32 operands hi+lo, drop lo·lo —
+        # bf16 products are EXACT in f32 (8+8 mantissa bits), so the
+        # only error is the dropped lo·lo term (~2^-32 relative). 3 MXU
+        # passes vs HIGHEST's 6 (Mosaic rejects Precision.HIGH).
+        whi = wwt_ref[...].astype(jnp.bfloat16)
+        wlo = (wwt_ref[...] - whi.astype(jnp.float32)).astype(jnp.bfloat16)
     for m in range(n_masks):
-        # f32 x f32 contraction at HIGHEST precision: this build's default
-        # matmul precision is LOW (bf16-class) and the replaced einsum ran
-        # HIGHEST — without it, near-threshold pixels flip vs the
-        # reference path on real TPUs (invisible to interpret-mode tests)
-        logits = jax.lax.dot_general(
-            tmp[:, m * k:(m + 1) * k], wwt_ref[...],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)         # [H, W]
+        t = tmp[:, m * k:(m + 1) * k]
+        if col_precision == "high":
+            thi = t.astype(jnp.bfloat16)
+            tlo = (t - thi.astype(jnp.float32)).astype(jnp.bfloat16)
+            dims = (((1,), (0,)), ((), ()))
+            logits = (
+                jax.lax.dot_general(thi, whi, dims,
+                                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(thi, wlo, dims,
+                                      preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(tlo, whi, dims,
+                                      preferred_element_type=jnp.float32))
+        else:
+            # f32 x f32 contraction at HIGHEST precision: this build's
+            # default matmul precision is LOW (bf16-class) and the
+            # replaced einsum ran HIGHEST — without it, near-threshold
+            # pixels flip vs the reference path on real TPUs (invisible
+            # to interpret-mode tests)
+            logits = jax.lax.dot_general(
+                t, wwt_ref[...],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=(jax.lax.Precision.HIGHEST
+                           if col_precision == "highest"
+                           else jax.lax.Precision.DEFAULT))  # [H, W]
         # flag arithmetic in i32 (Mosaic has no i8 vector add), one
         # truncating cast at the store
-        flags = ((logits > thr - off).astype(jnp.int32)
-                 + (logits > thr).astype(jnp.int32) * 2
-                 + (logits > thr + off).astype(jnp.int32) * 4)
+        b_lo = logits > thr - off
+        b_m = logits > thr
+        b_hi = logits > thr + off
+        flags = (b_lo.astype(jnp.int32)
+                 + b_m.astype(jnp.int32) * 2
+                 + b_hi.astype(jnp.int32) * 4)
         o_ref[0, m] = flags.astype(jnp.uint8)
+        if emit_stats:
+            # per-axis partial reductions while the compares are live;
+            # iota-masked accumulation into full-dim tiles (no slice
+            # stores — Mosaic-robust). Row counts ≤ W, exact in f32.
+            rows_any = jnp.max(b_m.astype(jnp.float32), axis=1,
+                               keepdims=True)            # [H, 1]
+            hi_rows = jnp.sum(b_hi.astype(jnp.float32), axis=1,
+                              keepdims=True)             # [H, 1]
+            lo_rows = jnp.sum(b_lo.astype(jnp.float32), axis=1,
+                              keepdims=True)             # [H, 1]
+            cols_any = jnp.max(b_m.astype(jnp.float32), axis=0,
+                               keepdims=True)            # [1, W]
+            rowst = rowst + jnp.where(lane16 == m, rows_any, 0.0) \
+                + jnp.where(lane16 == 4 + m, hi_rows, 0.0) \
+                + jnp.where(lane16 == 8 + m, lo_rows, 0.0)
+            colst = colst + jnp.where(sub8 == m, cols_any, 0.0)
+    if emit_stats:
+        stat_refs[0][0] = rowst
+        stat_refs[1][0] = colst
 
 
-@partial(jax.jit, static_argnames=("thr", "off", "grid_hw", "interpret"))
+@partial(jax.jit, static_argnames=("thr", "off", "grid_hw", "interpret",
+                                   "col_precision", "emit_stats"))
 def fused_resize_flags(lowres_blk: jnp.ndarray, wh: jnp.ndarray,
                        ww: jnp.ndarray, thr: float, off: float,
                        grid_hw=None,
-                       interpret: bool = False) -> jnp.ndarray:
+                       interpret: bool = False,
+                       col_precision: str = "high",
+                       emit_stats: bool = False):
     """Resize block-layout mask logits and threshold, fused.
 
     Args:
@@ -90,9 +153,24 @@ def fused_resize_flags(lowres_blk: jnp.ndarray, wh: jnp.ndarray,
       grid_hw: (gh, gw) token grid of the logits — gh < gw when the
         decoder skipped pad-row positions (decode_masks ``mask_rows``).
         Default: square, inferred from gh·gw.
+      col_precision: MXU precision of the f32 column contraction —
+        "high" (default; manual 3-pass bf16x3 split, ~2^-32 relative
+        deltas), "highest" (6-pass, bit-matches the einsum reference) or
+        "low" (1-pass bf16 truncation). Measured on TPU
+        (scripts/ab_resize_prec.py, 4 interleaved rounds, 2026-08-20):
+        high 1.12-1.16x faster than highest at a 4.1e-6 flag flip rate
+        (flips only at exact threshold crossings of random-weight
+        logits, whose margins are ~1e4x tighter than real checkpoints');
+        low is 1.26-1.30x but flips 8.3e-4 — rejected.
+
+      emit_stats: also return the per-axis reductions the AMG stats
+        pass needs (see _resize_flags_kernel), accumulated in-kernel so
+        the flag image is never re-read from HBM.
 
     Returns:
-      [Np, M, H, W] uint8 flags (see module docstring).
+      [Np, M, H, W] uint8 flags (see module docstring); with
+      ``emit_stats``, the tuple (flags, rowst [Np, H, 16] f32,
+      colst [Np, 8, W] f32).
     """
     np_, gg, sixteen, n_masks = lowres_blk.shape
     assert sixteen == 16, lowres_blk.shape
@@ -110,8 +188,22 @@ def fused_resize_flags(lowres_blk: jnp.ndarray, wh: jnp.ndarray,
     wh_d = jnp.asarray(wh, lowres_blk.dtype)             # match einsum path
     wwt = jnp.asarray(ww, jnp.float32).T
 
+    assert col_precision in ("highest", "high", "low"), col_precision
     kernel = partial(_resize_flags_kernel, thr=float(thr), off=float(off),
-                     n_masks=n_masks)
+                     n_masks=n_masks, col_precision=col_precision)
+    out_specs = pl.BlockSpec((1, n_masks, h, w), lambda n: (n, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((np_, n_masks, h, w), jnp.uint8)
+    if emit_stats:
+        assert n_masks <= 4, n_masks    # lane layout: m / 4+m / 8+m
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, h, 16), lambda n: (n, 0, 0),
+                                  memory_space=pltpu.VMEM),
+                     pl.BlockSpec((1, 8, w), lambda n: (n, 0, 0),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((np_, h, 16), jnp.float32),
+                     jax.ShapeDtypeStruct((np_, 8, w), jnp.float32))
     return pl.pallas_call(
         kernel,
         grid=(np_,),
@@ -123,9 +215,8 @@ def fused_resize_flags(lowres_blk: jnp.ndarray, wh: jnp.ndarray,
             pl.BlockSpec((4 * g, w), lambda n: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n_masks, h, w), lambda n: (n, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((np_, n_masks, h, w), jnp.uint8),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(lx, wh_d, wwt)
 

@@ -34,6 +34,58 @@ def test_kernel_matches_reference(dtype):
     assert mismatch.mean() < 1e-4, mismatch.mean()
 
 
+def test_emit_stats_matches_flag_reductions():
+    """emit_stats per-axis reductions + the amg._decode_batch TPU-branch
+    math must reproduce the flag-image stats bit-for-bit (integer-exact
+    counts / indices)."""
+    import jax.numpy as jnp
+
+    lowres, wh, ww = _setup(dtype=jnp.float32)
+    thr, off = 0.0, 1.0
+    flags, rowst, colst = fused_resize_flags(
+        lowres, wh, ww, thr, off, interpret=True, emit_stats=True)
+    flags, rowst, colst = map(np.asarray, (flags, rowst, colst))
+    b, n_m, hgt, wid = flags.shape
+    flat = flags.reshape(-1, hgt, wid)
+
+    # oracle: stats from the flag image (the pre-fusion XLA math)
+    hi_o = (flat >> 2).sum(axis=(1, 2)).astype(np.float32)
+    lo_o = (flat & 1).sum(axis=(1, 2)).astype(np.float32)
+    masks = (flat & 2).astype(bool)
+    rows_o = masks.any(axis=2)
+    cols_o = masks.any(axis=1)
+    ridx, cidx = np.arange(hgt), np.arange(wid)
+    top_o = np.min(np.where(rows_o, ridx, hgt), axis=1)
+    bot_o = np.max(np.where(rows_o, ridx, -1), axis=1)
+    left_o = np.min(np.where(cols_o, cidx, wid), axis=1)
+    right_o = np.max(np.where(cols_o, cidx, -1), axis=1)
+    empty_o = ~rows_o.any(axis=1)
+
+    # the amg TPU-branch math on the kernel outputs
+    hi = rowst[:, :, 4:4 + n_m].sum(axis=1).reshape(-1)
+    lo = rowst[:, :, 8:8 + n_m].sum(axis=1).reshape(-1)
+    rows = rowst[:, :, :n_m] > 0.0
+    cols = colst[:, :n_m, :] > 0.0
+    top = np.min(np.where(rows, ridx[None, :, None], hgt), axis=1
+                 ).reshape(-1)
+    bot = np.max(np.where(rows, ridx[None, :, None], -1), axis=1
+                 ).reshape(-1)
+    left = np.min(np.where(cols, cidx[None, None, :], wid), axis=2
+                  ).reshape(-1)
+    right = np.max(np.where(cols, cidx[None, None, :], -1), axis=2
+                   ).reshape(-1)
+    empty = ~rows.any(axis=1).reshape(-1)
+
+    np.testing.assert_array_equal(hi, hi_o)
+    np.testing.assert_array_equal(lo, lo_o)
+    np.testing.assert_array_equal(top, top_o)
+    np.testing.assert_array_equal(bot, bot_o)
+    np.testing.assert_array_equal(left, left_o)
+    np.testing.assert_array_equal(right, right_o)
+    np.testing.assert_array_equal(empty, empty_o)
+    assert not empty.all()          # the random setup must exercise masks
+
+
 def test_flags_encode_three_thresholds():
     lowres, wh, ww = _setup(dtype=jnp.float32)
     thr, off = 0.0, 1.0
