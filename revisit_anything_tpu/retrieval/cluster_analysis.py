@@ -1,14 +1,15 @@
-"""Cluster / descriptor-space analysis — the quantitative core of the
-reference's cluster_analysis.py (VLAD-BuFF/cluster_analysis.py, 1127 LoC;
-the interactive mpld3 tooltip scatter remains deliberately out of scope —
-it is a browser-embedding presentation layer, not an algorithm).
+"""Cluster / descriptor-space analysis — the full surface of the
+reference's cluster_analysis.py (VLAD-BuFF/cluster_analysis.py, 1127 LoC).
 
 Provides: 2-D t-SNE embedding of descriptors, per-image cluster usage
 histograms from hard assignments, per-cluster triplet margins + the
 cross-method cluster-rank-difference analysis (the HoPD burstiness
-diagnostic), pairwise cosine-similarity maps, and headless-safe plot
+diagnostic), pairwise cosine-similarity maps, headless-safe plot
 writers (t-SNE scatter, HoD distance histograms, per-cluster
-soft-assignment overlays and the 2-row per-cluster diagnostic panel).
+soft-assignment overlays and the 2-row per-cluster diagnostic panel),
+and the interactive tooltip scatter (``save_interactive_tsne_html`` —
+the reference's mpld3 figure rebuilt as a dependency-free standalone
+SVG+JS document).
 """
 
 from __future__ import annotations
@@ -298,4 +299,122 @@ def save_distance_histograms(dist_pos: np.ndarray, dist_neg: np.ndarray,
     fig.tight_layout()
     fig.savefig(out_path)
     plt.close(fig)
+    return out_path
+
+
+def save_interactive_tsne_html(panels, out_path: str, *,
+                               width: int = 700, height: int = 620,
+                               point_radius: int = 5,
+                               tooltip_width: int = 300) -> str:
+    """Interactive t-SNE scatter with per-point hover image tooltips —
+    the reference's mpld3 figure (VLAD-BuFF/cluster_analysis.py:511-601
+    and :780-858: side-by-side method panels, query/positive/negative
+    point sets in r/g/b, ``PointHTMLTooltip`` labels of
+    ``<img src=... width=300>``, saved via ``mpld3.save_html``), rebuilt
+    as a SELF-CONTAINED static SVG+JS document with no rendering
+    dependency at all (no mpld3, no matplotlib, no server).
+
+    ``panels``: sequence of ``(title, groups)``; each group is
+    ``(label, css_color, points_2d [N,2], tooltips)`` where ``tooltips``
+    gives one entry per point — an image path (rendered as the
+    reference's ``<img width=300>``; a path missing at write time renders
+    the reference's ``Image not found: <path>`` fallback,
+    cluster_analysis.py:544-547) or a raw HTML snippet (detected by a
+    leading ``<``). Paths are embedded verbatim, so callers keep the
+    reference's relative-path convention (:595-601). Returns
+    ``out_path``.
+    """
+    import html as _html
+    import os as _os
+
+    def _tooltip_html(tt) -> str:
+        tt = str(tt)
+        if tt.lstrip().startswith("<"):
+            return tt
+        if _os.path.exists(tt):
+            return f'<img src="{_html.escape(tt, quote=True)}" ' \
+                   f'width="{tooltip_width}">'
+        return f"Image not found: {_html.escape(tt)}"
+
+    margin, legend_h, title_h = 40, 24, 28
+    plot_w = width - 2 * margin
+    plot_h = height - 2 * margin - legend_h - title_h
+    svgs = []
+    for title, groups in panels:
+        pts_all = [np.asarray(p, np.float64).reshape(-1, 2)
+                   for _, _, p, _ in groups]
+        stacked = (np.concatenate([p for p in pts_all if len(p)], axis=0)
+                   if any(len(p) for p in pts_all)
+                   else np.zeros((1, 2)))
+        lo, hi = stacked.min(axis=0), stacked.max(axis=0)
+        span = np.maximum(hi - lo, 1e-12)
+        parts = [f'<svg width="{width}" height="{height}" '
+                 f'class="rat-panel" '
+                 f'xmlns="http://www.w3.org/2000/svg">',
+                 f'<text x="{width // 2}" y="{title_h - 8}" '
+                 f'text-anchor="middle" class="rat-title">'
+                 f'{_html.escape(str(title))}</text>',
+                 f'<rect x="{margin}" y="{title_h}" width="{plot_w}" '
+                 f'height="{plot_h}" class="rat-frame"/>']
+        legend_x = margin
+        for label, color, pts, tooltips in groups:
+            pts = np.asarray(pts, np.float64).reshape(-1, 2)
+            if len(tooltips) != len(pts):
+                raise ValueError(
+                    f"group {label!r}: {len(tooltips)} tooltips for "
+                    f"{len(pts)} points")
+            color = _html.escape(str(color), quote=True)
+            for (x, y), tt in zip(pts, tooltips):
+                sx = margin + (x - lo[0]) / span[0] * plot_w
+                # SVG y grows downward; data y grows upward.
+                sy = title_h + plot_h - (y - lo[1]) / span[1] * plot_h
+                parts.append(
+                    f'<circle cx="{sx:.1f}" cy="{sy:.1f}" '
+                    f'r="{point_radius}" fill="{color}" class="rat-pt" '
+                    f'data-tt="{_html.escape(_tooltip_html(tt), quote=True)}"/>')
+            ly = title_h + plot_h + legend_h
+            parts.append(f'<circle cx="{legend_x + 6}" cy="{ly}" r="5" '
+                         f'fill="{color}"/>')
+            parts.append(f'<text x="{legend_x + 16}" y="{ly + 4}" '
+                         f'class="rat-legend">'
+                         f'{_html.escape(str(label))}</text>')
+            legend_x += 26 + 8 * len(str(label))
+        parts.append('</svg>')
+        svgs.append("\n".join(parts))
+
+    doc = f"""<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>t-SNE scatter</title>
+<style>
+body {{ font-family: sans-serif; margin: 8px; }}
+.rat-panel {{ display: inline-block; vertical-align: top; }}
+.rat-frame {{ fill: none; stroke: #888; }}
+.rat-title {{ font-size: 15px; }}
+.rat-legend {{ font-size: 12px; }}
+.rat-pt {{ cursor: pointer; opacity: 0.85; }}
+.rat-pt:hover {{ stroke: #000; stroke-width: 1.5; }}
+#rat-tip {{ position: fixed; display: none; pointer-events: none;
+  background: #fff; border: 1px solid #444; padding: 4px;
+  z-index: 10; max-width: {tooltip_width + 20}px; }}
+</style></head><body>
+{"".join(svgs)}
+<div id="rat-tip"></div>
+<script>
+var tip = document.getElementById("rat-tip");
+document.querySelectorAll(".rat-pt").forEach(function (c) {{
+  c.addEventListener("mouseenter", function (e) {{
+    tip.innerHTML = c.getAttribute("data-tt");
+    tip.style.display = "block";
+  }});
+  c.addEventListener("mousemove", function (e) {{
+    tip.style.left = (e.clientX + 10) + "px";
+    tip.style.top = (e.clientY + 10) + "px";
+  }});
+  c.addEventListener("mouseleave", function () {{
+    tip.style.display = "none";
+  }});
+}});
+</script></body></html>
+"""
+    with open(out_path, "w") as fh:
+        fh.write(doc)
     return out_path

@@ -204,3 +204,55 @@ def test_cluster_overlay_and_panel_renderers(rng, tmp_path):
     with pytest.raises(AssertionError):
         save_cluster_overlay(img, rng.random((C, 10)), 0,
                              str(tmp_path / "bad.png"))
+
+
+def test_interactive_tsne_html(rng, tmp_path):
+    """The reference's interactive mpld3 tooltip scatter
+    (VLAD-BuFF/cluster_analysis.py:511-601: two method panels,
+    query/positive/negative sets in r/g/b, PointHTMLTooltip labels of
+    '<img width=300>' with an 'Image not found' fallback :544-547),
+    rebuilt dependency-free: every point renders as an SVG circle
+    carrying its tooltip HTML; paths stay verbatim (relative-path
+    convention :595-601)."""
+    from revisit_anything_tpu.retrieval.cluster_analysis import (
+        save_interactive_tsne_html)
+
+    img_path = tmp_path / "q0.png"
+    img_path.write_bytes(b"\x89PNG\r\n\x1a\nfake")
+    q = rng.standard_normal((3, 2))
+    p = rng.standard_normal((2, 2))
+    n = rng.standard_normal((2, 2))
+    panels = [
+        ("t-SNE of VLAD Descriptors ours", [
+            ("query", "r", q, [str(img_path), "./missing_7.png",
+                               "<b>raw &amp; html</b>"]),
+            ("positive", "g", p, ["./missing_1.png", "./missing_2.png"]),
+            ("negative", "b", n, ["./missing_3.png", "./missing_4.png"]),
+        ]),
+        ("t-SNE of VLAD Descriptors netvlad", [
+            ("query", "r", q, [str(img_path)] * 3),
+            ("positive", "g", np.zeros((0, 2)), []),
+            ("negative", "b", n, ["./m5.png", "./m6.png"]),
+        ]),
+    ]
+    out = save_interactive_tsne_html(panels, str(tmp_path / "tsne.html"))
+    html = open(out).read()
+    assert html.count("<svg") == 2
+    # 7 + 5 data points, plus one legend dot per group (6)
+    assert html.count("<circle") == 12 + 6
+    assert html.count('class="rat-pt"') == 12
+    # existing image -> reference-style <img width=300> tooltip (escaped
+    # into the data attribute); missing -> the reference fallback text
+    assert f"&lt;img src=&quot;{img_path}&quot; width=&quot;300&quot;&gt;" in html
+    assert "Image not found: ./missing_7.png" in html
+    # raw HTML snippets pass through un-wrapped
+    assert "&lt;b&gt;raw &amp;amp; html&lt;/b&gt;" in html
+    # self-contained: tooltip div + hover wiring present
+    assert 'id="rat-tip"' in html and "mouseenter" in html
+
+    # tooltip/point count mismatch fails loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        save_interactive_tsne_html(
+            [("x", [("query", "r", q, ["only-one"])])],
+            str(tmp_path / "bad.html"))
