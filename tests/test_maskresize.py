@@ -34,13 +34,16 @@ def test_kernel_matches_reference(dtype):
     assert mismatch.mean() < 1e-4, mismatch.mean()
 
 
-def test_emit_stats_matches_flag_reductions():
+@pytest.mark.parametrize("h,w", [(30, 40), (25, 50), (64, 20)])
+def test_emit_stats_matches_flag_reductions(h, w):
     """emit_stats per-axis reductions + the amg._decode_batch TPU-branch
     math must reproduce the flag-image stats bit-for-bit (integer-exact
-    counts / indices)."""
+    counts / indices) — at wide, odd-dimension, and tall output shapes
+    (the production set spans 240x320 .. 300x400 .. 256x256; a row/col
+    axis mixup would pass any single square-ish shape)."""
     import jax.numpy as jnp
 
-    lowres, wh, ww = _setup(dtype=jnp.float32)
+    lowres, wh, ww = _setup(h=h, w=w, dtype=jnp.float32)
     thr, off = 0.0, 1.0
     flags, rowst, colst = fused_resize_flags(
         lowres, wh, ww, thr, off, interpret=True, emit_stats=True)
